@@ -1,0 +1,22 @@
+"""Test harness: force an 8-device virtual CPU mesh BEFORE jax initializes.
+
+Multi-chip sharding paths are exercised on host CPU per the project test
+strategy (SURVEY.md §4): ``xla_force_host_platform_device_count=8`` stands in
+for an 8-chip TPU slice.
+"""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+os.environ.setdefault("TF_CPP_MIN_LOG_LEVEL", "3")
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)
