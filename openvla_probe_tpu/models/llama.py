@@ -1,0 +1,327 @@
+"""Llama-2 decoder, TPU-first: layer-stacked params + lax.scan, fused KV-cache decode.
+
+Functional re-design of the reference's LLM backbone (HF `LlamaForCausalLM`
+wrapped at prismatic/models/backbones/llm/base_llm.py:101-223). Weight-layout
+and math conventions follow the HF checkpoint format so OpenVLA safetensors load
+directly:
+
+  * RMSNorm in fp32 (variance over the last axis, then scale), output cast back.
+  * Rotary embeddings in the HF "rotate_half" convention (cos/sin tables over
+    positions, full head-dim duplication) — NOT Meta's interleaved complex form.
+  * Attention softmax in fp32; scores scaled by 1/sqrt(head_dim).
+  * SwiGLU MLP: down(silu(gate(x)) * up(x)).
+
+TPU-first choices:
+  * All 32 layers' weights are stacked on a leading axis and the block is a
+    single `lax.scan` — one trace/compile of one layer instead of 32 inlined
+    copies, and the natural layout for pipeline/fsdp sharding of the layer axis.
+  * The KV cache is one [n_layers, B, S_max, n_kv_heads, head_dim] array per
+    k/v, updated with dynamic_update_slice inside the scan — greedy decode of N
+    tokens is itself a scan, so the whole predict_action path is two nested
+    scans in one jit.
+  * Hidden-state taps: prefill optionally emits mean-pooled per-layer hidden
+    states (33 x D, computed in the scan) for the probe workflow — replacing
+    the reference's second full forward (experiments/robot/openvla_utils.py:188-203).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+Params = Dict[str, Any]
+
+
+@dataclasses.dataclass(frozen=True)
+class LlamaConfig:
+    vocab_size: int = 32064          # 32000 + pad_to_multiple_of=64 round-up (OpenVLA)
+    hidden_size: int = 4096
+    intermediate_size: int = 11008
+    num_hidden_layers: int = 32
+    num_attention_heads: int = 32
+    num_key_value_heads: int = 32
+    max_position_embeddings: int = 2048
+    rms_norm_eps: float = 1e-5
+    rope_theta: float = 10000.0
+    dtype: Any = jnp.bfloat16
+
+    @property
+    def head_dim(self) -> int:
+        return self.hidden_size // self.num_attention_heads
+
+    @staticmethod
+    def llama2_7b(**kw) -> "LlamaConfig":
+        return LlamaConfig(**kw)
+
+    @staticmethod
+    def tiny(**kw) -> "LlamaConfig":
+        """Test-scale config (keeps ratios; compiles in seconds)."""
+        d = dict(vocab_size=512, hidden_size=64, intermediate_size=128,
+                 num_hidden_layers=4, num_attention_heads=4, num_key_value_heads=4,
+                 max_position_embeddings=256, dtype=jnp.float32)
+        d.update(kw)
+        return LlamaConfig(**d)
+
+
+class KVCache(NamedTuple):
+    """Per-model KV cache: [n_layers, B, S_max, n_kv_heads, head_dim] each."""
+
+    k: jnp.ndarray
+    v: jnp.ndarray
+
+    @staticmethod
+    def zeros(cfg: LlamaConfig, batch: int, max_len: int, dtype=None) -> "KVCache":
+        shape = (cfg.num_hidden_layers, batch, max_len, cfg.num_key_value_heads, cfg.head_dim)
+        dtype = dtype or cfg.dtype
+        return KVCache(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype))
+
+
+# --- building blocks --------------------------------------------------------
+
+def rms_norm(x: jnp.ndarray, weight: jnp.ndarray, eps: float) -> jnp.ndarray:
+    """HF-convention RMSNorm: fp32 variance + scale, cast back to input dtype."""
+    dt = x.dtype
+    xf = x.astype(jnp.float32)
+    var = jnp.mean(xf * xf, axis=-1, keepdims=True)
+    xf = xf * jax.lax.rsqrt(var + eps)
+    return (xf.astype(dt) * weight.astype(dt)).astype(dt)
+
+
+def rope_tables(cfg: LlamaConfig, positions: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """cos/sin [..., T, head_dim] in fp32, HF rotate_half convention."""
+    half = cfg.head_dim // 2
+    inv_freq = 1.0 / (cfg.rope_theta ** (jnp.arange(0, half, dtype=jnp.float32) * 2.0 / cfg.head_dim))
+    freqs = positions[..., None].astype(jnp.float32) * inv_freq  # [..., T, half]
+    emb = jnp.concatenate([freqs, freqs], axis=-1)
+    return jnp.cos(emb), jnp.sin(emb)
+
+
+def _rotate_half(x: jnp.ndarray) -> jnp.ndarray:
+    half = x.shape[-1] // 2
+    return jnp.concatenate([-x[..., half:], x[..., :half]], axis=-1)
+
+
+def apply_rope(q: jnp.ndarray, k: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """q/k: [B, T, H, Dh]; cos/sin: [B, T, Dh] (fp32). Rotation in fp32."""
+    cos = cos[:, :, None, :]
+    sin = sin[:, :, None, :]
+    qf, kf = q.astype(jnp.float32), k.astype(jnp.float32)
+    q_out = qf * cos + _rotate_half(qf) * sin
+    k_out = kf * cos + _rotate_half(kf) * sin
+    return q_out.astype(q.dtype), k_out.astype(k.dtype)
+
+
+def _repeat_kv(x: jnp.ndarray, n_rep: int) -> jnp.ndarray:
+    if n_rep == 1:
+        return x
+    return jnp.repeat(x, n_rep, axis=2)
+
+
+def attention(
+    q: jnp.ndarray,         # [B, Tq, H, Dh]
+    k: jnp.ndarray,         # [B, Tk, Hkv, Dh]
+    v: jnp.ndarray,         # [B, Tk, Hkv, Dh]
+    mask: jnp.ndarray,      # [B, 1, Tq, Tk] additive fp32 (0 / -inf-ish)
+) -> jnp.ndarray:
+    """Masked softmax(QK^T)V with fp32 logits/softmax. XLA path; the Pallas
+    flash kernel in ops/attention.py swaps in behind the same signature."""
+    n_rep = q.shape[2] // k.shape[2]
+    k = _repeat_kv(k, n_rep)
+    v = _repeat_kv(v, n_rep)
+    scale = 1.0 / np.sqrt(q.shape[-1])
+    scores = jnp.einsum("bthd,bshd->bhts", q, k, preferred_element_type=jnp.float32)
+    scores = scores * scale + mask
+    probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(q.dtype)
+    return jnp.einsum("bhts,bshd->bthd", probs, v, preferred_element_type=jnp.float32).astype(q.dtype)
+
+
+NEG_INF = -2.3819763e38  # matches XLA's finite mask value; avoids nan from full -inf rows
+
+
+def make_causal_mask(attn_mask: jnp.ndarray, tq: int, tk: int, offset: int = 0) -> jnp.ndarray:
+    """[B, Tk] padding mask (1 = attend) -> [B, 1, Tq, Tk] additive fp32 mask.
+    `offset` = absolute position of query 0 (for cached decode)."""
+    qi = jnp.arange(tq)[:, None] + offset
+    ki = jnp.arange(tk)[None, :]
+    causal = ki <= qi  # [Tq, Tk]
+    ok = causal[None, :, :] & (attn_mask[:, None, :] > 0)
+    return jnp.where(ok, 0.0, NEG_INF)[:, None, :, :].astype(jnp.float32)
+
+
+# --- layer + model ----------------------------------------------------------
+
+def _layer_forward(
+    cfg: LlamaConfig,
+    lp: Params,               # single-layer params (leading L axis already indexed away)
+    x: jnp.ndarray,           # [B, T, D]
+    mask: jnp.ndarray,        # [B, 1, T, Tk]
+    cos: jnp.ndarray,
+    sin: jnp.ndarray,
+    cache_kv: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,   # ([B,S,Hkv,Dh], [B,S,Hkv,Dh])
+    cache_index: Optional[jnp.ndarray] = None,
+) -> Tuple[jnp.ndarray, Optional[Tuple[jnp.ndarray, jnp.ndarray]]]:
+    B, T, D = x.shape
+    H, Hkv, Dh = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
+
+    h = rms_norm(x, lp["input_layernorm"], cfg.rms_norm_eps)
+    q = (h @ lp["q_proj"].T).reshape(B, T, H, Dh)
+    k = (h @ lp["k_proj"].T).reshape(B, T, Hkv, Dh)
+    v = (h @ lp["v_proj"].T).reshape(B, T, Hkv, Dh)
+    q, k = apply_rope(q, k, cos, sin)
+
+    new_cache = None
+    if cache_kv is not None:
+        ck, cv = cache_kv
+        ck = jax.lax.dynamic_update_slice(ck, k, (0, cache_index, 0, 0))
+        cv = jax.lax.dynamic_update_slice(cv, v, (0, cache_index, 0, 0))
+        k, v = ck, cv
+        new_cache = (ck, cv)
+
+    attn = attention(q, k, v, mask).reshape(B, T, D)
+    x = x + attn @ lp["o_proj"].T
+
+    h = rms_norm(x, lp["post_attention_layernorm"], cfg.rms_norm_eps)
+    gate = jax.nn.silu((h @ lp["gate_proj"].T).astype(jnp.float32)).astype(h.dtype)
+    up = h @ lp["up_proj"].T
+    x = x + (gate * up) @ lp["down_proj"].T
+    return x, new_cache
+
+
+def forward(
+    params: Params,
+    cfg: LlamaConfig,
+    inputs_embeds: jnp.ndarray,             # [B, T, D]
+    attn_mask: jnp.ndarray,                 # [B, Tk] (Tk == T without cache, S_max with)
+    positions: jnp.ndarray,                 # [B, T] absolute positions
+    cache: Optional[KVCache] = None,
+    cache_index: Optional[jnp.ndarray] = None,
+    collect_hidden_states: bool = False,
+) -> Dict[str, Any]:
+    """Run the decoder stack via lax.scan over the stacked layer params.
+
+    Returns dict with: logits [B, T, V]; cache (updated KVCache if given);
+    hidden_pooled [B, n_layers+1, D] (masked mean over T of each layer's
+    output, embeddings first) when collect_hidden_states — the probe tap.
+    """
+    B, T, D = inputs_embeds.shape
+    x = inputs_embeds
+    tk = attn_mask.shape[1]
+    offset = 0 if cache is None else cache_index
+    mask = make_causal_mask(attn_mask, T, tk, offset=offset)
+    cos, sin = rope_tables(cfg, positions)
+
+    # masked mean-pool over the sequence axis (pad tokens excluded), fp32
+    pool_w = (attn_mask[:, :T] if cache is None else jnp.ones((B, T))).astype(jnp.float32)
+    denom = jnp.maximum(pool_w.sum(-1, keepdims=True), 1.0)
+
+    def pool(h):
+        return (h.astype(jnp.float32) * pool_w[..., None]).sum(1) / denom
+
+    layers = params["layers"]
+    L = cfg.num_hidden_layers
+
+    def body(x, inp):
+        lp, ck, cv = inp
+        cache_kv = None if cache is None else (ck, cv)
+        x_out, new_cache = _layer_forward(cfg, lp, x, mask, cos, sin, cache_kv, cache_index)
+        ys: Dict[str, Any] = {}
+        if cache is not None:
+            ys["cache"] = new_cache
+        if collect_hidden_states:
+            ys["pooled"] = pool(x_out)
+        return x_out, ys
+
+    if cache is not None:
+        xs = (layers, cache.k, cache.v)
+    else:
+        dummy = jnp.zeros((L, 1))
+        xs = (layers, dummy, dummy)
+    x, scan_out = jax.lax.scan(body, x, xs)
+
+    out: Dict[str, Any] = {}
+    if cache is not None:
+        out["cache"] = KVCache(scan_out["cache"][0], scan_out["cache"][1])
+
+    x = rms_norm(x, params["norm"], cfg.rms_norm_eps)
+    if collect_hidden_states:
+        # HF output_hidden_states convention (the reference pools exactly this:
+        # openvla_utils.py:188-199): [embeddings, layer_1..layer_{L-1} outputs,
+        # FINAL-NORMED last layer] — L+1 entries.
+        per_layer = scan_out["pooled"]  # [L, B, D]; last entry is pre-norm
+        emb_pool = pool(inputs_embeds)[None]  # [1, B, D]
+        final_pool = pool(x)[None]
+        out["hidden_pooled"] = jnp.concatenate(
+            [emb_pool, per_layer[:-1], final_pool], axis=0
+        ).transpose(1, 0, 2)
+    out["last_hidden_state"] = x
+    out["logits"] = (x @ params["lm_head"].T).astype(jnp.float32)
+    return out
+
+
+def embed_tokens(params: Params, input_ids: jnp.ndarray) -> jnp.ndarray:
+    return params["embed_tokens"][input_ids]
+
+
+# --- init + HF weight import ------------------------------------------------
+
+def init_params(cfg: LlamaConfig, key: jax.Array) -> Params:
+    """Random init (normal 0.02) with the stacked-layer layout."""
+    k1, k2, k3 = jax.random.split(key, 3)
+    D, F, V, L = cfg.hidden_size, cfg.intermediate_size, cfg.vocab_size, cfg.num_hidden_layers
+    H, Hkv, Dh = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
+
+    def nrm(k, shape):
+        return (jax.random.normal(k, shape, jnp.float32) * 0.02).astype(cfg.dtype)
+
+    keys = jax.random.split(k3, 7)
+    layers = {
+        "q_proj": nrm(keys[0], (L, H * Dh, D)),
+        "k_proj": nrm(keys[1], (L, Hkv * Dh, D)),
+        "v_proj": nrm(keys[2], (L, Hkv * Dh, D)),
+        "o_proj": nrm(keys[3], (L, D, H * Dh)),
+        "gate_proj": nrm(keys[4], (L, F, D)),
+        "up_proj": nrm(keys[5], (L, F, D)),
+        "down_proj": nrm(keys[6], (L, D, F)),
+        "input_layernorm": jnp.ones((L, D), cfg.dtype),
+        "post_attention_layernorm": jnp.ones((L, D), cfg.dtype),
+    }
+    return {
+        "embed_tokens": nrm(k1, (V, D)),
+        "layers": layers,
+        "norm": jnp.ones((D,), cfg.dtype),
+        "lm_head": nrm(k2, (V, D)),
+    }
+
+
+_HF_LAYER_KEYS = {
+    "self_attn.q_proj.weight": "q_proj",
+    "self_attn.k_proj.weight": "k_proj",
+    "self_attn.v_proj.weight": "v_proj",
+    "self_attn.o_proj.weight": "o_proj",
+    "mlp.gate_proj.weight": "gate_proj",
+    "mlp.up_proj.weight": "up_proj",
+    "mlp.down_proj.weight": "down_proj",
+    "input_layernorm.weight": "input_layernorm",
+    "post_attention_layernorm.weight": "post_attention_layernorm",
+}
+
+
+def params_from_hf(state: Dict[str, np.ndarray], cfg: LlamaConfig, prefix: str = "model.") -> Params:
+    """Map an HF LlamaForCausalLM state dict (numpy arrays) onto the stacked
+    pytree. `state` keys like `model.layers.3.self_attn.q_proj.weight`."""
+    L = cfg.num_hidden_layers
+    layers: Dict[str, np.ndarray] = {}
+    for hf_key, ours in _HF_LAYER_KEYS.items():
+        per = [np.asarray(state[f"{prefix}layers.{i}.{hf_key}"]) for i in range(L)]
+        layers[ours] = jnp.asarray(np.stack(per), cfg.dtype)
+    return {
+        "embed_tokens": jnp.asarray(state[f"{prefix}embed_tokens.weight"], cfg.dtype),
+        "layers": layers,
+        "norm": jnp.asarray(state[f"{prefix}norm.weight"], cfg.dtype),
+        "lm_head": jnp.asarray(state["lm_head.weight"], cfg.dtype),
+    }

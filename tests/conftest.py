@@ -15,6 +15,10 @@ os.environ.setdefault("TF_CPP_MIN_LOG_LEVEL", "3")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
+import jax  # noqa: E402
+
+# fp32 parity tests need true-f32 matmuls; the default downcasts to bf16 passes
+jax.config.update("jax_default_matmul_precision", "highest")
 
 
 @pytest.fixture
