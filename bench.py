@@ -1,0 +1,120 @@
+#!/usr/bin/env python
+"""Headline benchmark: 7-DoF predict_action calls/sec/chip at full OpenVLA-7B scale.
+
+Runs the complete fused serving path (uint8 image -> dual-ViT DINOv2-L +
+SigLIP-so400m -> projector -> Llama-2-7B prefill -> 7-token greedy decode ->
+detokenize -> unnorm) with random bf16 weights (throughput is weight-value
+independent) on the default JAX backend, and prints ONE JSON line.
+
+Baseline: the reference publishes no throughput numbers
+(SURVEY.md §6; verify_openvla.py only prints wall times). BASELINE.json sets
+the build target at >=30 calls/s/chip on one v5e; `vs_baseline` is measured
+against that target.
+
+Env knobs: BENCH_SCALE=tiny for a smoke run; BENCH_CALLS=N (default 30).
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from openvla_probe_tpu.models import vla, vlm
+
+    scale = os.environ.get("BENCH_SCALE", "full")
+    n_calls = int(os.environ.get("BENCH_CALLS", "30"))
+
+    if scale == "tiny":
+        cfg = vlm.VLMConfig.tiny()
+        serving = vla.VLAServingConfig(vlm=cfg, prompt_pad_len=16,
+                                       codec_vocab_size=cfg.llm.vocab_size)
+        img_hw = (64, 64)
+    else:
+        cfg = vlm.VLMConfig.openvla_7b()
+        serving = vla.VLAServingConfig(vlm=cfg, prompt_pad_len=48)
+        img_hw = (256, 256)
+
+    # init weights directly on device (bf16) — value-independent benchmark
+    init = jax.jit(lambda key: vlm.init_params(cfg, key))
+    params = init(jax.random.key(0))
+    jax.block_until_ready(params)
+    _ = np.asarray(jax.tree.leaves(params)[0].ravel()[0])  # force materialization
+
+    from openvla_probe_tpu.ops.image import ImageTransformConfig
+
+    if scale == "tiny":
+        from openvla_probe_tpu.ops.image import BackboneTransformSpec
+
+        s = cfg.vision[0].image_size
+        img_cfg = ImageTransformConfig(specs=(
+            BackboneTransformSpec((s, s), "bicubic", (0.485, 0.456, 0.406), (0.229, 0.224, 0.225)),
+            BackboneTransformSpec((s, s), "bicubic", (0.5, 0.5, 0.5), (0.5, 0.5, 0.5)),
+        ))
+    else:
+        img_cfg = ImageTransformConfig.dinosiglip_224()
+
+    rng = np.random.default_rng(0)
+    image = rng.integers(0, 256, size=(1, *img_hw, 3), dtype=np.uint8)
+    # "In: What action should the robot take to {instr}?\nOut:" ~= 25 tokens
+    P = serving.prompt_pad_len
+    prompt_len = 26
+    ids = np.zeros((1, P), np.int32)
+    ids[0, 0] = 1
+    ids[0, 1:prompt_len - 1] = rng.integers(1000, 20000, prompt_len - 2)
+    ids[0, prompt_len - 1] = vla.EMPTY_TOKEN_ID
+
+    q01 = -np.ones(7, np.float32)
+    q99 = np.ones(7, np.float32)
+    mask = np.array([True] * 6 + [False])
+
+    import functools
+
+    fn = jax.jit(functools.partial(
+        vla.predict_action_from_image, cfg=serving, image_cfg=img_cfg))
+    args = dict(
+        image_u8=jnp.asarray(image),
+        input_ids=jnp.asarray(ids),
+        prompt_len=jnp.asarray([prompt_len], jnp.int32),
+        q01=jnp.asarray(q01), q99=jnp.asarray(q99), action_mask=jnp.asarray(mask),
+    )
+
+    # NOTE: fetch real values (np.asarray), not just block_until_ready — on
+    # tunneled backends only a host transfer reliably waits for execution.
+    t0 = time.time()
+    out = fn(params, **args)
+    _ = np.asarray(out["action_tokens"])
+    compile_s = time.time() - t0
+
+    # warmup + timed steady state; device executes enqueued programs in order,
+    # so fetching the final output's value bounds the whole batch of calls
+    for _ in range(3):
+        _ = np.asarray(fn(params, **args)["action_tokens"])
+    t0 = time.time()
+    for _ in range(n_calls):
+        out = fn(params, **args)
+    _ = np.asarray(out["action_tokens"])
+    dt = (time.time() - t0) / n_calls
+
+    calls_per_s = 1.0 / dt
+    print(json.dumps({
+        "metric": "predict_action calls/sec/chip (7-DoF @ 224px)",
+        "value": round(calls_per_s, 3),
+        "unit": "calls/s",
+        "vs_baseline": round(calls_per_s / 30.0, 3),
+        "p50_latency_ms": round(dt * 1e3, 2),
+        "compile_s": round(compile_s, 1),
+        "scale": scale,
+        "backend": jax.default_backend(),
+    }))
+
+
+if __name__ == "__main__":
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    main()

@@ -201,6 +201,8 @@ def forward(
     cache: Optional[KVCache] = None,
     cache_index: Optional[jnp.ndarray] = None,
     collect_hidden_states: bool = False,
+    pool_mask: Optional[jnp.ndarray] = None,   # [B, T] override for the tap pooling
+    compute_logits: bool = True,
 ) -> Dict[str, Any]:
     """Run the decoder stack via lax.scan over the stacked layer params.
 
@@ -216,7 +218,10 @@ def forward(
     cos, sin = rope_tables(cfg, positions)
 
     # masked mean-pool over the sequence axis (pad tokens excluded), fp32
-    pool_w = (attn_mask[:, :T] if cache is None else jnp.ones((B, T))).astype(jnp.float32)
+    if pool_mask is not None:
+        pool_w = pool_mask.astype(jnp.float32)
+    else:
+        pool_w = (attn_mask[:, :T] if cache is None else jnp.ones((B, T))).astype(jnp.float32)
     denom = jnp.maximum(pool_w.sum(-1, keepdims=True), 1.0)
 
     def pool(h):
@@ -259,7 +264,8 @@ def forward(
             [emb_pool, per_layer[:-1], final_pool], axis=0
         ).transpose(1, 0, 2)
     out["last_hidden_state"] = x
-    out["logits"] = (x @ params["lm_head"].T).astype(jnp.float32)
+    if compute_logits:
+        out["logits"] = (x @ params["lm_head"].T).astype(jnp.float32)
     return out
 
 

@@ -1,0 +1,269 @@
+"""OpenVLA serving path: preprocess -> prefill -> greedy decode -> action, one jit.
+
+TPU-first re-design of the reference's two-model, host-hopping hot path
+(extern/hf/modeling_prismatic.py:506-536 predict_action +
+prismatic/models/vlas/openvla.py:23-131): everything from the channel-stacked
+pixel tensor to the un-normalized 7-DoF action runs inside a single compiled
+graph —
+
+  pixels -> dual ViT -> projector -> [BOS | patches | prompt] prefill (KV cache)
+         -> lax.scan greedy decode of `action_dim` tokens
+         -> 256-bin de-tokenize -> q01/q99 un-normalize
+
+with optional per-layer mean-pooled hidden-state taps emitted from the SAME
+prefill (the reference pays a second full forward for capture,
+openvla_utils.py:188-203).
+
+Shape policy (XLA static shapes): prompts are right-padded to a fixed bucket
+`prompt_pad_len`; true lengths ride in as traced scalars, so one compilation
+serves every prompt up to the bucket. Decoded tokens are written at fixed
+cache slots after the pad region with their true (un-padded) RoPE positions,
+and pad slots are masked out of attention — results are identical to an
+unpadded run. Batched serving works out of the box (the reference is
+hard-limited to batch 1, modeling_prismatic.py:326).
+
+Greedy semantics match the reference exactly: argmax over the FULL vocab at
+every step, exactly `action_dim` new tokens, no EOS handling; the trailing
+empty token 29871 is appended host-side if absent (modeling_prismatic.py:512-515)
+and excluded from capture pooling (the reference's capture forward runs on the
+un-appended inputs).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.image import ImageTransformConfig, apply_image_transform
+from ..vla.action_tokenizer import ActionCodec
+from . import llama, vlm
+
+Params = Dict[str, Any]
+
+EMPTY_TOKEN_ID = 29871  # Llama sentencepiece "▁"; the reference's forced prompt suffix
+
+
+@dataclasses.dataclass(frozen=True)
+class VLAServingConfig:
+    vlm: vlm.VLMConfig
+    action_dim: int = 7
+    prompt_pad_len: int = 48
+    codec_vocab_size: int = 32000  # text vocab minus the 64-row pad round-up
+
+    @property
+    def prefill_len(self) -> int:
+        return 1 + self.vlm.num_patches + self.prompt_pad_len - 1  # BOS + patches + prompt[1:]
+
+    @property
+    def cache_len(self) -> int:
+        return self.prefill_len + self.action_dim
+
+
+def predict_action_core(
+    params: Params,
+    cfg: VLAServingConfig,
+    pixel_values: jnp.ndarray,    # [B, 3K, S, S] preprocessed (or raw via preprocess=True path)
+    input_ids: jnp.ndarray,       # [B, P] right-padded, starts with BOS, ends (at prompt_len-1) with 29871
+    prompt_len: jnp.ndarray,      # [B] true prompt lengths (incl. BOS and 29871)
+    q01: jnp.ndarray,             # [B, A] or [A]
+    q99: jnp.ndarray,
+    action_mask: jnp.ndarray,     # [B, A] or [A] bool; False dims pass through
+    collect_hidden_states: bool = False,
+) -> Dict[str, jnp.ndarray]:
+    c = cfg.vlm
+    B, P = input_ids.shape
+    N = c.num_patches
+    A = cfg.action_dim
+    S = cfg.cache_len
+    codec = ActionCodec(vocab_size=cfg.codec_vocab_size)
+
+    # --- multimodal prefill ---------------------------------------------
+    prompt_mask = (jnp.arange(P)[None, :] < prompt_len[:, None]).astype(jnp.int32)
+    mm = vlm.build_multimodal_inputs(params, c, input_ids, prompt_mask, pixel_values)
+    embeds, mm_mask = mm["inputs_embeds"], mm["attn_mask"]            # [B, T], T = 1+N+P-1...
+    T = embeds.shape[1]                                               # = 1 + N + (P - 1) + 1 = N + P
+    mm_len = 1 + N + (prompt_len - 1)                                 # [B] true multimodal length
+
+    cache = llama.KVCache.zeros(c.llm, B, S, dtype=c.llm.dtype)
+    positions = jnp.broadcast_to(jnp.arange(T), (B, T))
+    attn_mask_S = jnp.pad(mm_mask, ((0, 0), (0, S - T)))
+    pool_mask = None
+    if collect_hidden_states:
+        # capture parity: pool over [BOS | patches | prompt] EXCLUDING the
+        # appended trailing 29871 (reference forward #1 runs without it)
+        pool_mask = (jnp.arange(T)[None, :] < (mm_len - 1)[:, None]).astype(jnp.int32)
+    out = llama.forward(
+        params["llm"], c.llm, embeds, attn_mask_S, positions,
+        cache=cache, cache_index=jnp.int32(0),
+        collect_hidden_states=collect_hidden_states, pool_mask=pool_mask,
+        compute_logits=False,  # only the last real token's logits are needed
+    )
+    cache = out["cache"]
+    # hidden state at the last REAL token -> lm_head -> first generated token
+    D = out["last_hidden_state"].shape[-1]
+    last_idx = (mm_len - 1)[:, None, None]                            # [B,1,1]
+    last_hidden = jnp.take_along_axis(
+        out["last_hidden_state"], jnp.broadcast_to(last_idx, (B, 1, D)), axis=1
+    )[:, 0]                                                           # [B, D]
+    last_logits = (last_hidden @ params["llm"]["lm_head"].T).astype(jnp.float32)
+    first_tok = last_logits.argmax(-1).astype(jnp.int32)              # [B]
+
+    # --- greedy decode of A tokens at fixed cache slots -------------------
+    slot0 = T  # first decode slot (right after the padded prefill region)
+    slots = jnp.arange(S)[None, :]
+
+    def step(carry, t):
+        cache, tok = carry
+        e = llama.embed_tokens(params["llm"], tok[:, None])           # [B,1,D]
+        pos = (mm_len + t)[:, None]                                   # true RoPE position
+        valid = (slots < mm_len[:, None]) | ((slots >= slot0) & (slots <= slot0 + t))
+        step_out = llama.forward(
+            params["llm"], c.llm, e, valid.astype(jnp.int32), pos,
+            cache=cache, cache_index=jnp.int32(slot0) + t,
+        )
+        nxt = step_out["logits"][:, -1].argmax(-1).astype(jnp.int32)
+        return (step_out["cache"], nxt), nxt
+
+    # A-1 decode steps: the prefill already produced token 1 of A
+    (_, _), toks = jax.lax.scan(step, (cache, first_tok), jnp.arange(A - 1, dtype=jnp.int32))
+    action_tokens = jnp.concatenate([first_tok[:, None], toks.T], axis=1)  # [B, A]
+
+    # --- de-tokenize + un-normalize (fused) -------------------------------
+    norm_actions = codec.decode(action_tokens)
+    actions = codec.unnormalize(norm_actions, q01, q99, action_mask)
+
+    result = {
+        "actions": actions,
+        "action_tokens": action_tokens,
+        "normalized_actions": norm_actions,
+    }
+    if collect_hidden_states:
+        result["hidden_pooled"] = out["hidden_pooled"]                # [B, L+1, D]
+    return result
+
+
+def predict_action_from_image(
+    params: Params,
+    cfg: VLAServingConfig,
+    image_u8: jnp.ndarray,        # [B, H, W, 3] uint8
+    image_cfg: ImageTransformConfig,
+    input_ids: jnp.ndarray,
+    prompt_len: jnp.ndarray,
+    q01: jnp.ndarray,
+    q99: jnp.ndarray,
+    action_mask: jnp.ndarray,
+    collect_hidden_states: bool = False,
+) -> Dict[str, jnp.ndarray]:
+    """Raw-uint8 entry: fuses the preprocessing graph into the same jit."""
+    pixels = apply_image_transform(image_u8, image_cfg).astype(cfg.vlm.llm.dtype)
+    return predict_action_core(
+        params, cfg, pixels, input_ids, prompt_len, q01, q99, action_mask,
+        collect_hidden_states,
+    )
+
+
+class OpenVLA:
+    """Stateful convenience wrapper: jit caching, tokenizer, norm-stats lookup.
+
+    Mirrors the reference's `OpenVLAForActionPrediction.predict_action` +
+    `OpenVLA.predict_action` public surface (unnorm_key semantics per
+    prismatic/models/vlas/openvla.py:94-131).
+    """
+
+    def __init__(
+        self,
+        params: Params,
+        cfg: VLAServingConfig,
+        tokenizer: Any,                      # .encode(str) -> List[int] (with BOS)
+        norm_stats: Dict[str, Dict[str, Any]],
+        image_cfg: Optional[ImageTransformConfig] = None,
+    ) -> None:
+        self.params = params
+        self.cfg = cfg
+        self.tokenizer = tokenizer
+        self.norm_stats = norm_stats
+        self.image_cfg = image_cfg or ImageTransformConfig.dinosiglip_224()
+        self._jit_cache: Dict[Any, Any] = {}
+
+    # --- unnorm-key plumbing (reference openvla.py:103-131) ---------------
+    def _check_unnorm_key(self, unnorm_key: Optional[str]) -> str:
+        if unnorm_key is None:
+            if len(self.norm_stats) != 1:
+                raise ValueError(
+                    f"Your model was trained on more than one dataset; "
+                    f"please pass `unnorm_key` from {list(self.norm_stats.keys())}"
+                )
+            return next(iter(self.norm_stats))
+        if unnorm_key not in self.norm_stats:
+            raise ValueError(
+                f"`unnorm_key={unnorm_key}` not in `norm_stats`; "
+                f"choose from {list(self.norm_stats.keys())}"
+            )
+        return unnorm_key
+
+    def get_action_dim(self, unnorm_key: Optional[str] = None) -> int:
+        return len(self.get_action_stats(unnorm_key)["q01"])
+
+    def get_action_stats(self, unnorm_key: Optional[str] = None) -> Dict[str, Any]:
+        return self.norm_stats[self._check_unnorm_key(unnorm_key)]["action"]
+
+    # --- host-side prompt prep -------------------------------------------
+    def prepare_ids(self, prompt: str) -> Tuple[np.ndarray, int]:
+        ids = list(self.tokenizer.encode(prompt))
+        if ids[-1] != EMPTY_TOKEN_ID:
+            ids.append(EMPTY_TOKEN_ID)
+        P = self.cfg.prompt_pad_len
+        if len(ids) > P:
+            raise ValueError(f"Prompt of {len(ids)} tokens exceeds pad bucket {P}")
+        out = np.zeros((P,), np.int32)
+        out[: len(ids)] = ids
+        return out, len(ids)
+
+    def _get_jit(self, collect: bool):
+        key = collect
+        if key not in self._jit_cache:
+            self._jit_cache[key] = jax.jit(
+                functools.partial(
+                    predict_action_from_image,
+                    cfg=self.cfg,
+                    image_cfg=self.image_cfg,
+                    collect_hidden_states=collect,
+                ),
+                static_argnames=(),
+            )
+        return self._jit_cache[key]
+
+    def predict_action(
+        self,
+        image: np.ndarray,                  # [H, W, 3] or [B, H, W, 3] uint8
+        prompt: str,
+        unnorm_key: Optional[str] = None,
+        return_hidden_states: bool = False,
+    ) -> Dict[str, np.ndarray]:
+        stats = self.get_action_stats(unnorm_key)
+        image = np.asarray(image)
+        squeeze = image.ndim == 3
+        if squeeze:
+            image = image[None]
+        B = image.shape[0]
+        ids, plen = self.prepare_ids(prompt)
+        out = self._get_jit(return_hidden_states)(
+            self.params,
+            image_u8=jnp.asarray(image),
+            input_ids=jnp.broadcast_to(jnp.asarray(ids), (B, ids.shape[0])),
+            prompt_len=jnp.full((B,), plen, jnp.int32),
+            q01=jnp.asarray(np.asarray(stats["q01"], np.float32)),
+            q99=jnp.asarray(np.asarray(stats["q99"], np.float32)),
+            action_mask=jnp.asarray(
+                np.asarray(stats.get("mask", np.ones_like(stats["q01"], bool)), bool)
+            ),
+        )
+        result = {k: np.asarray(v) for k, v in out.items()}
+        if squeeze:
+            result = {k: v[0] for k, v in result.items()}
+        return result

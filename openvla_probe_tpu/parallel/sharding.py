@@ -1,0 +1,128 @@
+"""Parameter/optimizer sharding rules over a named mesh (fsdp / tp / dp).
+
+Replaces the reference's torch-FSDP wrapping policies
+(prismatic/training/strategies/fsdp.py:135-157 auto-wrap + MixedPrecision)
+with declarative PartitionSpecs: XLA inserts all-gather / reduce-scatter from
+the specs (scaling-book recipe — pick a mesh, annotate shardings, let the
+compiler place collectives on ICI).
+
+Strategies
+  * fsdp  — ZeRO-3: every sizable tensor sharded along one dim over the
+            `fsdp` axis (params, grads and optimizer state all inherit it).
+            Maps the reference's "fsdp-full-shard".
+  * tp    — megatron-style tensor parallelism for the Llama trunk: qkv/gate/up
+            sharded on the output-feature dim, o/down on the input-feature
+            dim, embeddings on vocab. Not in the reference (SURVEY.md §2.5:
+            absent) — needed on TPU to fit 7B bf16 beyond one 16 GB chip.
+  * fsdp+tp — both, on a 2-D mesh.
+
+Rules operate on pytree paths, so they cover every model family here
+(llama / vit / projector) without per-module wrapping code.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+MIN_SHARD_ELEMS = 2**14  # replicate tiny tensors (norms, biases)
+
+
+def _path_str(path: Tuple[Any, ...]) -> str:
+    parts = []
+    for p in path:
+        if isinstance(p, jax.tree_util.DictKey):
+            parts.append(str(p.key))
+        elif isinstance(p, jax.tree_util.SequenceKey):
+            parts.append(str(p.idx))
+        else:
+            parts.append(str(p))
+    return "/".join(parts)
+
+
+# --- tp rules: path-pattern -> dim to shard --------------------------------
+# Llama stacked-layer weights are [L, out, in]; embeddings [V, D].
+_TP_DIM_BY_SUFFIX = {
+    "q_proj": 1, "k_proj": 1, "v_proj": 1,       # shard heads (out dim)
+    "gate_proj": 1, "up_proj": 1,                # shard ffn (out dim)
+    "o_proj": 2, "down_proj": 2,                 # shard contraction (in dim)
+    "embed_tokens": 0, "lm_head": 0,             # shard vocab
+    # ViT blocks [L, out, in]
+    "qkv_w": 1, "fc1_w": 1,
+    "proj_w": 2, "fc2_w": 2,
+}
+
+
+def _tp_dim(path: str, shape: Tuple[int, ...]) -> Optional[int]:
+    leaf = path.rsplit("/", 1)[-1]
+    # projector dicts are {fc*: {w,b}} — path ends in w/b
+    if leaf == "w" and len(shape) == 2:
+        if "/fc1/" in path or path.endswith("fc1/w"):
+            return 0
+        return 1 if "/fc2/" in path or "/fc3/" in path else None
+    return _TP_DIM_BY_SUFFIX.get(leaf)
+
+
+def _fsdp_dim(shape: Tuple[int, ...], axis_size: int, skip: Tuple[int, ...] = ()) -> Optional[int]:
+    """Largest dim divisible by the axis size (excluding `skip` dims)."""
+    best, best_size = None, 0
+    for d, s in enumerate(shape):
+        if d in skip:
+            continue
+        if s % axis_size == 0 and s > best_size:
+            best, best_size = d, s
+    return best
+
+
+def param_spec(
+    path: str,
+    shape: Tuple[int, ...],
+    mesh: Mesh,
+    strategy: str = "fsdp",
+) -> P:
+    """PartitionSpec for one parameter tensor."""
+    if int(np.prod(shape)) < MIN_SHARD_ELEMS:
+        return P()
+    entries: list = [None] * len(shape)
+    used_dims = set()
+
+    if "tp" in strategy and "tp" in mesh.axis_names and mesh.shape["tp"] > 1:
+        d = _tp_dim(path, shape)
+        if d is not None and shape[d] % mesh.shape["tp"] == 0:
+            entries[d] = "tp"
+            used_dims.add(d)
+
+    if "fsdp" in strategy and "fsdp" in mesh.axis_names and mesh.shape["fsdp"] > 1:
+        # layer-stacked tensors (path contains 'layers' or 'blocks'): never
+        # shard the stack axis (it is scanned over)
+        skip = set(used_dims)
+        if ("layers/" in path or "blocks/" in path) and len(shape) >= 2:
+            skip.add(0)
+        d = _fsdp_dim(shape, mesh.shape["fsdp"], skip=tuple(skip))
+        if d is not None:
+            entries[d] = "fsdp"
+
+    return P(*entries)
+
+
+def shard_params(
+    params: Any,
+    mesh: Mesh,
+    strategy: str = "fsdp",
+) -> Any:
+    """Pytree of NamedShardings mirroring `params` (pass as out_shardings/put target)."""
+
+    def leaf_sharding(path, leaf):
+        spec = param_spec(_path_str(path), np.shape(leaf), mesh, strategy)
+        return NamedSharding(mesh, spec)
+
+    return jax.tree_util.tree_map_with_path(leaf_sharding, params)
+
+
+def place_params(params: Any, mesh: Mesh, strategy: str = "fsdp") -> Any:
+    """device_put the pytree according to the strategy's shardings."""
+    shardings = shard_params(params, mesh, strategy)
+    return jax.device_put(params, shardings)

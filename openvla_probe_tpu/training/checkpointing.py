@@ -1,0 +1,104 @@
+"""Checkpoint save/restore (orbax) with the reference's run-dir conventions.
+
+Replaces the reference's FSDP full-state-dict rank-0 torch.save flow
+(prismatic/training/strategies/fsdp.py:95-133) with orbax: sharded arrays are
+written collectively (no rank-0 gather / CPU offload needed), and restore
+re-shards to the current mesh automatically.
+
+Run-dir layout mirrors the reference (train.py:133-138, 202-204):
+
+    run_dir/
+      config.json                      # model + train config
+      dataset_statistics.json          # unnorm sidecar (rides with the ckpt)
+      checkpoints/
+        step-XXXXXX-epoch-YY-loss=Z.ZZZZ/     # orbax dir (reference: .pt file)
+
+Resume: `latest_checkpoint` parses step/epoch from the directory name — the
+same name-derived resume contract the reference validates
+(vla-scripts/train.py:143-150).
+"""
+
+from __future__ import annotations
+
+import json
+import re
+from pathlib import Path
+from typing import Any, Dict, Optional, Tuple, Union
+
+import jax
+import orbax.checkpoint as ocp
+
+_CKPT_RE = re.compile(r"step-(\d+)-epoch-(\d+)-loss=([0-9.]+?)\.?$")
+
+
+def checkpoint_name(step: int, epoch: int = 0, loss: float = 0.0) -> str:
+    return f"step-{step:06d}-epoch-{epoch:02d}-loss={loss:.4f}"
+
+
+def parse_checkpoint_name(name: str) -> Optional[Tuple[int, int, float]]:
+    m = _CKPT_RE.match(name)
+    if not m:
+        return None
+    return int(m.group(1)), int(m.group(2)), float(m.group(3))
+
+
+def save_checkpoint(
+    run_dir: Union[str, Path],
+    state: Any,
+    step: int,
+    epoch: int = 0,
+    loss: float = 0.0,
+    keep_limit: Optional[int] = None,
+) -> Path:
+    """Write `state` (any pytree: TrainState or bare params) collectively."""
+    run_dir = Path(run_dir)
+    ckpt_dir = run_dir / "checkpoints"
+    ckpt_dir.mkdir(parents=True, exist_ok=True)
+    path = (ckpt_dir / checkpoint_name(step, epoch, loss)).absolute()
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(path, state, force=True)
+    if keep_limit:
+        all_ckpts = sorted(
+            [p for p in ckpt_dir.iterdir() if parse_checkpoint_name(p.name)],
+            key=lambda p: parse_checkpoint_name(p.name)[0],
+        )
+        for old in all_ckpts[:-keep_limit]:
+            import shutil
+
+            shutil.rmtree(old)
+    return path
+
+
+def latest_checkpoint(run_dir: Union[str, Path]) -> Optional[Path]:
+    ckpt_dir = Path(run_dir) / "checkpoints"
+    if not ckpt_dir.exists():
+        return None
+    cands = [(parse_checkpoint_name(p.name), p) for p in ckpt_dir.iterdir()]
+    cands = [(meta, p) for meta, p in cands if meta is not None]
+    if not cands:
+        return None
+    return max(cands, key=lambda mp: mp[0][0])[1]
+
+
+def load_checkpoint(
+    path: Union[str, Path],
+    template: Any,
+) -> Any:
+    """Restore into the structure/shardings of `template` (abstract values OK:
+    pass jax.eval_shape output device_put to target shardings for resharding)."""
+    with ocp.StandardCheckpointer() as ckptr:
+        return ckptr.restore(Path(path).absolute(), template)
+
+
+def save_run_config(run_dir: Union[str, Path], config: Dict[str, Any]) -> Path:
+    run_dir = Path(run_dir)
+    run_dir.mkdir(parents=True, exist_ok=True)
+    out = run_dir / "config.json"
+    with open(out, "w") as f:
+        json.dump(config, f, indent=2, default=str)
+    return out
+
+
+def load_run_config(run_dir: Union[str, Path]) -> Dict[str, Any]:
+    with open(Path(run_dir) / "config.json") as f:
+        return json.load(f)

@@ -1,0 +1,91 @@
+"""Optimizer/scheduler state: AdamW + decay groups + warmup-cosine, fp32 accumulators.
+
+Replaces the reference's FSDP optimizer setup
+(prismatic/training/strategies/fsdp.py:196-246): decay / no-decay parameter
+groups (no decay on norms, biases, 1-D tensors), linear-warmup + cosine-decay
+or constant schedules, bf16 params with fp32 Adam moments (the reference's
+MixedPrecision + fp32 master behavior falls out of optax's mu_dtype and our
+cast-on-update).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+
+@dataclasses.dataclass(frozen=True)
+class OptimizerConfig:
+    learning_rate: float = 2e-5
+    lr_schedule_type: str = "linear-warmup+cosine-decay"  # or "constant"
+    warmup_ratio: float = 0.05
+    max_steps: int = 10000
+    weight_decay: float = 0.01
+    max_grad_norm: float = 1.0
+    betas: tuple = (0.9, 0.999)
+    final_lr_ratio: float = 0.01  # cosine floor, matching a near-zero eta_min
+
+
+def _is_no_decay(path: tuple, leaf: Any) -> bool:
+    """No weight decay for 1-D tensors (norm scales, biases) — the reference's
+    decay/no-decay split (fsdp.py:210-226)."""
+    return np.ndim(leaf) <= 1
+
+
+def make_schedule(cfg: OptimizerConfig) -> optax.Schedule:
+    if cfg.lr_schedule_type == "constant":
+        return optax.constant_schedule(cfg.learning_rate)
+    if cfg.lr_schedule_type == "linear-warmup+cosine-decay":
+        warmup = max(1, int(cfg.max_steps * cfg.warmup_ratio))
+        return optax.warmup_cosine_decay_schedule(
+            init_value=0.0,
+            peak_value=cfg.learning_rate,
+            warmup_steps=warmup,
+            decay_steps=cfg.max_steps,
+            end_value=cfg.learning_rate * cfg.final_lr_ratio,
+        )
+    raise ValueError(f"Unknown schedule {cfg.lr_schedule_type}")
+
+
+def make_optimizer(cfg: OptimizerConfig, params: Any) -> optax.GradientTransformation:
+    schedule = make_schedule(cfg)
+    decay_mask = jax.tree_util.tree_map_with_path(
+        lambda p, x: not _is_no_decay(p, x), params
+    )
+    return optax.chain(
+        optax.clip_by_global_norm(cfg.max_grad_norm),
+        optax.scale_by_adam(b1=cfg.betas[0], b2=cfg.betas[1], mu_dtype=jnp.float32),
+        optax.add_decayed_weights(cfg.weight_decay, mask=decay_mask),
+        optax.scale_by_learning_rate(schedule),
+    )
+
+
+class TrainState(NamedTuple):
+    step: jnp.ndarray
+    params: Any
+    opt_state: Any
+
+    @staticmethod
+    def create(params: Any, optimizer: optax.GradientTransformation) -> "TrainState":
+        return TrainState(
+            step=jnp.zeros((), jnp.int32),
+            params=params,
+            opt_state=optimizer.init(params),
+        )
+
+
+def apply_gradients(
+    state: TrainState, grads: Any, optimizer: optax.GradientTransformation
+) -> TrainState:
+    updates, new_opt = optimizer.update(grads, state.opt_state, state.params)
+    new_params = jax.tree.map(
+        lambda p, u: (p.astype(jnp.float32) + u.astype(jnp.float32)).astype(p.dtype),
+        state.params,
+        updates,
+    )
+    return TrainState(step=state.step + 1, params=new_params, opt_state=new_opt)

@@ -1,0 +1,170 @@
+"""Jitted VLA/VLM train step: masked CE + in-graph action metrics + pjit sharding.
+
+Replaces the reference's per-step host loop
+(prismatic/training/strategies/base_strategy.py:245-389 run_vla_training):
+the forward, loss, action-token accuracy and continuous-L1 metrics, backward,
+clip, and optimizer update are ONE compiled graph — the reference's per-step
+device->host syncs for metrics (base_strategy.py:303-332) become on-device
+reductions returned once per step.
+
+Loss semantics match exactly: next-token CE with IGNORE_INDEX(-100) masking so
+loss lands only on action tokens (+ stop token), labels pre-masked by the data
+pipeline (prismatic/vla/datasets/datasets.py:62-66); action accuracy and L1
+are computed over positions where label > action_token_begin_idx
+(base_strategy.py:303-332).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..models import vlm
+from ..vla.action_tokenizer import ActionCodec
+from .train_state import TrainState
+
+IGNORE_INDEX = -100
+
+
+def cross_entropy_loss(
+    logits: jnp.ndarray,    # [B, T, V]
+    labels: jnp.ndarray,    # [B, T] with IGNORE_INDEX
+) -> jnp.ndarray:
+    """Mean next-token CE over non-ignored positions (labels already aligned
+    to inputs; we shift internally like the HF reference)."""
+    shift_logits = logits[:, :-1]
+    shift_labels = labels[:, 1:]
+    valid = shift_labels != IGNORE_INDEX
+    safe_labels = jnp.where(valid, shift_labels, 0)
+    logp = jax.nn.log_softmax(shift_logits.astype(jnp.float32), axis=-1)
+    ll = jnp.take_along_axis(logp, safe_labels[..., None], axis=-1)[..., 0]
+    total = jnp.sum(jnp.where(valid, -ll, 0.0))
+    count = jnp.maximum(jnp.sum(valid), 1)
+    return total / count
+
+
+def action_metrics(
+    logits: jnp.ndarray,
+    labels: jnp.ndarray,
+    codec: ActionCodec,
+) -> Dict[str, jnp.ndarray]:
+    """Action-token accuracy + continuous L1, on-device (reference computes
+    these per-step on host, base_strategy.py:303-332)."""
+    preds = logits[:, :-1].argmax(-1)
+    targets = labels[:, 1:]
+    mask = targets > codec.action_token_begin_idx
+    n = jnp.maximum(mask.sum(), 1)
+    acc = jnp.sum((preds == targets) & mask) / n
+    cont_pred = codec.decode(jnp.where(mask, preds, codec.vocab_size - 1))
+    cont_tgt = codec.decode(jnp.where(mask, targets, codec.vocab_size - 1))
+    l1 = jnp.sum(jnp.where(mask, jnp.abs(cont_pred - cont_tgt), 0.0)) / n
+    return {"action_accuracy": acc, "l1_loss": l1}
+
+
+def vla_loss_fn(
+    params: Any,
+    cfg: vlm.VLMConfig,
+    batch: Dict[str, jnp.ndarray],
+    codec: ActionCodec,
+) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+    out = vlm.forward(
+        params, cfg,
+        input_ids=batch["input_ids"],
+        attn_mask=batch["attention_mask"],
+        pixel_values=batch.get("pixel_values"),
+        labels=batch["labels"],
+    )
+    logits, labels = out["logits"], out["labels"]
+    loss = cross_entropy_loss(logits, labels)
+    metrics = {"loss": loss, **action_metrics(logits, labels, codec)}
+    return loss, metrics
+
+
+def make_train_step(
+    cfg: vlm.VLMConfig,
+    optimizer: optax.GradientTransformation,
+    codec: Optional[ActionCodec] = None,
+    trainable_mask: Optional[Any] = None,   # pytree of bool: False => frozen
+    loss_fn: Optional[Callable] = None,
+    donate: bool = True,
+) -> Callable[[TrainState, Dict[str, jnp.ndarray]], Tuple[TrainState, Dict[str, jnp.ndarray]]]:
+    """Build the jitted (state, batch) -> (state, metrics) step.
+
+    `trainable_mask` implements stage freezing (reference
+    vlms/prismatic.py:129-241 freeze_backbones): frozen leaves get zero
+    gradients, so optimizer momentum never moves them.
+    """
+    codec = codec or ActionCodec()
+    loss_fn = loss_fn or functools.partial(vla_loss_fn, codec=codec)
+
+    def step(state: TrainState, batch: Dict[str, jnp.ndarray]):
+        (loss, metrics), grads = jax.value_and_grad(
+            lambda p: loss_fn(p, cfg, batch), has_aux=True
+        )(state.params)
+        if trainable_mask is not None:
+            grads = jax.tree.map(
+                lambda g, t: g if t else jnp.zeros_like(g), grads, trainable_mask
+            )
+        updates, new_opt = optimizer.update(grads, state.opt_state, state.params)
+        new_params = jax.tree.map(
+            lambda p, u: (p.astype(jnp.float32) + u.astype(jnp.float32)).astype(p.dtype),
+            state.params, updates,
+        )
+        new_state = TrainState(step=state.step + 1, params=new_params, opt_state=new_opt)
+        metrics = dict(metrics)
+        metrics["grad_norm"] = optax.global_norm(grads)
+        return new_state, metrics
+
+    return jax.jit(step, donate_argnums=(0,) if donate else ())
+
+
+def make_sharded_train_step(
+    cfg: vlm.VLMConfig,
+    optimizer: optax.GradientTransformation,
+    mesh,
+    state_shardings,
+    batch_sharding,
+    codec: Optional[ActionCodec] = None,
+    trainable_mask: Optional[Any] = None,
+    loss_fn: Optional[Callable] = None,
+):
+    """pjit variant: state/batch shardings pin the fsdp/tp/dp layout; XLA
+    inserts the all-gather / reduce-scatter collectives (the entire FSDP
+    machinery of the reference, fsdp.py:40-270, reduces to these specs)."""
+    inner = make_train_step(
+        cfg, optimizer, codec=codec, trainable_mask=trainable_mask,
+        loss_fn=loss_fn, donate=False,
+    )
+
+    # re-wrap un-jitted logic with explicit shardings
+    codec = codec or ActionCodec()
+    loss_fn = loss_fn or functools.partial(vla_loss_fn, codec=codec)
+
+    def step(state: TrainState, batch):
+        (loss, metrics), grads = jax.value_and_grad(
+            lambda p: loss_fn(p, cfg, batch), has_aux=True
+        )(state.params)
+        if trainable_mask is not None:
+            grads = jax.tree.map(
+                lambda g, t: g if t else jnp.zeros_like(g), grads, trainable_mask
+            )
+        updates, new_opt = optimizer.update(grads, state.opt_state, state.params)
+        new_params = jax.tree.map(
+            lambda p, u: (p.astype(jnp.float32) + u.astype(jnp.float32)).astype(p.dtype),
+            state.params, updates,
+        )
+        new_state = TrainState(step=state.step + 1, params=new_params, opt_state=new_opt)
+        metrics = dict(metrics)
+        metrics["grad_norm"] = optax.global_norm(grads)
+        return new_state, metrics
+
+    return jax.jit(
+        step,
+        in_shardings=(state_shardings, batch_sharding),
+        out_shardings=(state_shardings, None),
+        donate_argnums=(0,),
+    )

@@ -17,6 +17,9 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 import jax  # noqa: E402
 
+# The env var alone is NOT enough here: the axon TPU plugin overrides
+# JAX_PLATFORMS at import time; config.update wins.
+jax.config.update("jax_platforms", "cpu")
 # fp32 parity tests need true-f32 matmuls; the default downcasts to bf16 passes
 jax.config.update("jax_default_matmul_precision", "highest")
 
