@@ -1,0 +1,134 @@
+"""REST action server: POST /act with a json-numpy payload -> 7-DoF action.
+
+Same wire contract as the reference's deploy server (vla-scripts/deploy.py:66-145:
+FastAPI `POST /act` with {image, instruction, unnorm_key?}), re-implemented on
+the stdlib http.server (zero extra deps; uvicorn/FastAPI are not needed for a
+single-model action endpoint). json-numpy encoding is supported both ways:
+arrays ride as {"__numpy__": <b64>, "dtype": ..., "shape": ...}; plain nested
+lists also work.
+
+The prompt template matches deploy.py:58-62:
+  "In: What action should the robot take to {instruction.lower()}?\nOut:"
+"""
+
+from __future__ import annotations
+
+import base64
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Any, Dict, Optional
+
+import numpy as np
+
+
+def encode_numpy(obj: Any) -> Any:
+    if isinstance(obj, np.ndarray):
+        return {
+            "__numpy__": base64.b64encode(np.ascontiguousarray(obj).tobytes()).decode(),
+            "dtype": str(obj.dtype),
+            "shape": list(obj.shape),
+        }
+    if isinstance(obj, (np.floating, np.integer)):
+        return obj.item()
+    if isinstance(obj, dict):
+        return {k: encode_numpy(v) for k, v in obj.items()}
+    if isinstance(obj, (list, tuple)):
+        return [encode_numpy(v) for v in obj]
+    return obj
+
+
+def decode_numpy(obj: Any) -> Any:
+    if isinstance(obj, dict):
+        if "__numpy__" in obj:
+            buf = base64.b64decode(obj["__numpy__"])
+            return np.frombuffer(buf, dtype=np.dtype(obj["dtype"])).reshape(obj["shape"]).copy()
+        return {k: decode_numpy(v) for k, v in obj.items()}
+    if isinstance(obj, list):
+        return [decode_numpy(v) for v in obj]
+    return obj
+
+
+def get_openvla_prompt(instruction: str, base_vlm: str = "openvla-7b") -> str:
+    """deploy.py:58-62 template (v01 models use the chat-style prefix)."""
+    if "v01" in base_vlm:
+        return (
+            "USER: What action should the robot take to "
+            f"{instruction.lower()}? ASSISTANT:"
+        )
+    return f"In: What action should the robot take to {instruction.lower()}?\nOut:"
+
+
+class OpenVLAServer:
+    """Serve `model.predict_action` over HTTP. `model` is any object with
+    predict_action(image, prompt, unnorm_key) -> {"actions": ...}."""
+
+    def __init__(self, model: Any, base_vlm: str = "openvla-7b") -> None:
+        self.model = model
+        self.base_vlm = base_vlm
+        self._httpd: Optional[ThreadingHTTPServer] = None
+
+    def predict_action(self, payload: Dict[str, Any]) -> Dict[str, Any]:
+        if "instruction" not in payload or "image" not in payload:
+            raise ValueError(
+                "Payload must contain 'image' and 'instruction' keys "
+                "(optionally 'unnorm_key')"
+            )
+        image = np.asarray(payload["image"], dtype=np.uint8)
+        prompt = get_openvla_prompt(str(payload["instruction"]), self.base_vlm)
+        out = self.model.predict_action(
+            image, prompt, unnorm_key=payload.get("unnorm_key")
+        )
+        return {"action": out["actions"]}
+
+    def _make_handler(server_self):  # noqa: N805
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, fmt, *args):  # quiet
+                pass
+
+            def _send(self, code: int, payload: Dict[str, Any]) -> None:
+                body = json.dumps(encode_numpy(payload)).encode()
+                self.send_response(code)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def do_POST(self):
+                if self.path.rstrip("/") != "/act":
+                    self._send(404, {"error": f"unknown path {self.path}"})
+                    return
+                try:
+                    n = int(self.headers.get("Content-Length", 0))
+                    payload = decode_numpy(json.loads(self.rfile.read(n)))
+                    result = server_self.predict_action(payload)
+                    self._send(200, result)
+                except ValueError as e:
+                    self._send(400, {"error": str(e)})
+                except Exception as e:  # noqa: BLE001
+                    self._send(500, {"error": f"{type(e).__name__}: {e}"})
+
+            def do_GET(self):
+                if self.path.rstrip("/") == "/health":
+                    self._send(200, {"status": "ok"})
+                else:
+                    self._send(404, {"error": "POST /act"})
+
+        return Handler
+
+    def run(self, host: str = "0.0.0.0", port: int = 8000, background: bool = False):
+        self._httpd = ThreadingHTTPServer((host, port), self._make_handler())
+        if background:
+            t = threading.Thread(target=self._httpd.serve_forever, daemon=True)
+            t.start()
+            return t
+        self._httpd.serve_forever()
+
+    @property
+    def port(self) -> Optional[int]:
+        return self._httpd.server_address[1] if self._httpd else None
+
+    def shutdown(self) -> None:
+        if self._httpd:
+            self._httpd.shutdown()
+            self._httpd = None

@@ -1,0 +1,172 @@
+"""Probe pipeline tests on synthetic episodes with planted linear structure."""
+
+import numpy as np
+import pytest
+
+from openvla_probe_tpu.probe import analysis, episodes, train_probes
+
+L1, D, K = 3, 24, 6  # layers (incl. embeddings), hidden dim, labels
+
+
+def make_episodes(n_eps=12, T=40, seed=0, informative_layer=1):
+    """Labels linearly decodable from `informative_layer`; layer 0 is noise.
+    Label K-1 never flips (always 1) to exercise the keep-filter; label K-2 is
+    sometimes -1 (not applicable)."""
+    g = np.random.default_rng(seed)
+    W = g.normal(size=(K, D))
+    eps = []
+    for _ in range(n_eps):
+        z = g.normal(size=(T, D))
+        y = (z @ W.T > 0).astype(np.int8)
+        y[:, K - 1] = 1
+        na = g.random((T,)) < 0.3
+        y[na, K - 2] = -1
+        hid = np.stack([
+            g.normal(size=(T, D)),            # layer 0: pure noise
+            z + 0.05 * g.normal(size=(T, D)),  # layer 1: informative
+            0.5 * z + g.normal(size=(T, D)),   # layer 2: partial
+        ]).astype(np.float16)
+        eps.append({
+            "visual_semantic_encoding": hid,
+            "symbolic_state_object_relations": y[:, : K - 2],
+            "symbolic_state_action_subgoals": y[:, K - 2 :],
+        })
+    return eps
+
+
+@pytest.fixture(scope="module")
+def trained():
+    eps = make_episodes()
+    # hotter than the reference defaults: the synthetic set is tiny (≈440
+    # frames, D=24) so Adam needs a larger lr/step budget to converge; the
+    # library defaults match the reference's real-data regime
+    cfg = train_probes.ProbeTrainConfig(epochs=30, batch_size=64, learning_rate=1e-2)
+    return eps, train_probes.train_probes(eps, cfg)
+
+
+def test_keep_filter_drops_constant_labels(trained):
+    _, result = trained
+    keep = result["bank"].keep
+    assert K - 1 not in keep          # constant label dropped
+    assert len(keep) == K - 1
+
+
+def test_informative_layer_beats_noise_layer(trained):
+    _, result = trained
+    recs = {r["layer"]: r for r in result["records"]}
+    assert recs[1]["val_f1"] > 0.9, recs
+    assert recs[1]["val_f1"] > recs[0]["val_f1"] + 0.2
+    assert recs[1]["val_ap"] > recs[0]["val_ap"]
+
+
+def test_majority_baseline_below_probe(trained):
+    _, result = trained
+    recs = {r["layer"]: r for r in result["records"]}
+    assert result["baseline"]["val_f1"] < recs[1]["val_f1"]
+
+
+def test_shuffled_label_control_kills_signal():
+    eps = make_episodes()
+    cfg = train_probes.ProbeTrainConfig(
+        epochs=10, batch_size=64, learning_rate=1e-2, shuffled_label_control=True
+    )
+    result = train_probes.train_probes(eps, cfg)
+    recs = {r["layer"]: r for r in result["records"]}
+    assert recs[1]["val_f1"] < 0.75  # no structure left to decode
+
+
+def test_bank_save_load_roundtrip(trained, tmp_path):
+    _, result = trained
+    p = result["bank"].save(tmp_path / "bank.npz")
+    loaded = train_probes.ProbeBank.load(p)
+    np.testing.assert_allclose(loaded.w, result["bank"].w)
+    assert loaded.layers == result["bank"].layers
+    assert loaded.head == "binary"
+
+
+def test_metrics_csv(trained, tmp_path):
+    _, result = trained
+    p = train_probes.save_metrics_csv(result["records"], tmp_path / "probe_metrics.csv")
+    import csv
+
+    rows = list(csv.DictReader(open(p)))
+    assert len(rows) == L1
+    assert set(rows[0].keys()) == {"layer", "val_acc", "val_f1", "val_ap"}
+
+
+def test_dual_and_3class_heads():
+    eps = make_episodes(n_eps=8)
+    for head in ["dual", "3class"]:
+        cfg = train_probes.ProbeTrainConfig(epochs=4, batch_size=64, learning_rate=1e-2, head=head)
+        result = train_probes.train_probes(eps, cfg)
+        assert len(result["records"]) == L1
+        if head == "dual":
+            assert "presence_f1" in result["records"][0]
+        else:
+            assert "val_f1" in result["records"][0]
+
+
+def test_collect_logits_and_per_label_metrics(trained):
+    eps, result = trained
+    collected = analysis.collect_logits(result["bank"], eps)
+    assert set(collected.keys()) == {0, 1, 2}
+    n_frames = sum(e["symbolic_state_object_relations"].shape[0] for e in eps)
+    assert collected[1]["logits"].shape == (n_frames, len(result["bank"].keep))
+
+    names = [f"(rel-{i} a b)" for i in range(K - 2)] + ["(grasped x)", "(const y)"]
+    kept_names = [names[i] for i in result["bank"].keep]
+    rows = analysis.per_label_metrics(collected, kept_names)
+    assert {"layer", "label", "f1", "auprc", "mcc", "balanced_acc"} <= set(rows[0].keys())
+    layer1 = [r for r in rows if r["layer"] == 1]
+    assert np.nanmean([r["f1"] for r in layer1]) > 0.8
+
+
+def test_family_auprc_and_lift(trained):
+    eps, result = trained
+    collected = analysis.collect_logits(result["bank"], eps)
+    names = [f"(rel-{i % 2} a b)" for i in range(K - 2)] + ["(grasped x)", "(const y)"]
+    kept = [names[i] for i in result["bank"].keep]
+    fams = analysis.family_auprc(collected, kept)
+    assert all({"family", "auprc", "prior", "lift"} <= set(r.keys()) for r in fams)
+    for r in fams:
+        if not np.isnan(r["lift"]):
+            assert r["lift"] >= 0.9  # informative layers pooled -> beats prior
+
+
+def test_episode_writer_roundtrip(tmp_path):
+    w = episodes.EpisodeWriter(tmp_path)
+    g = np.random.default_rng(0)
+    for _ in range(5):
+        w.append(
+            g.normal(size=(L1, D)),
+            symbolic_state_object_relations=g.integers(-1, 2, K - 2),
+            symbolic_state_action_subgoals=g.integers(-1, 2, 2),
+        )
+    p = w.flush(3, success=True)
+    assert p.name == "episode_3.npz"
+    ep = episodes.load_episode(p)
+    assert ep["visual_semantic_encoding"].shape == (L1, 5, D)
+    assert ep["symbolic_state_object_relations"].shape == (5, K - 2)
+    assert bool(ep["success"])
+    assert episodes.list_episodes(tmp_path) == [p]
+
+
+def test_load_reference_pt_format(tmp_path):
+    import torch
+
+    g = np.random.default_rng(0)
+    blob = {
+        "visual_semantic_encoding": {i: torch.tensor(g.normal(size=(4, D)).astype(np.float32))
+                                     for i in range(L1)},
+        "symbolic_state_object_relations": torch.tensor(g.integers(-1, 2, (4, K - 2))),
+        "symbolic_state_action_subgoals": torch.tensor(g.integers(-1, 2, (4, 2))),
+    }
+    torch.save(blob, tmp_path / "episode_0.pt")
+    ep = episodes.load_episode(tmp_path / "episode_0.pt")
+    assert ep["visual_semantic_encoding"].shape == (L1, 4, D)
+    assert ep["symbolic_state_object_relations"].shape == (4, K - 2)
+
+
+def test_success_log_parsing():
+    log = "Episode 0 success: False\nEpisode 1 success: True\nblah\nEpisode 7 success: True"
+    assert analysis.success_episode_indices(log) == [1, 7]
