@@ -11,7 +11,10 @@ Baseline: the reference publishes no throughput numbers
 the build target at >=30 calls/s/chip on one v5e; `vs_baseline` is measured
 against that target.
 
-Env knobs: BENCH_SCALE=tiny for a smoke run; BENCH_CALLS=N (default 30).
+Env knobs: BENCH_SCALE=tiny for a smoke run; BENCH_CALLS=N (default 30);
+BENCH_BATCH=N (default 8) batched serving; BENCH_QUANT=int8|bf16 (default
+int8) — int8 is the turbo serving mode (weight-only quantized Llama trunk via
+the Pallas kernel); bf16 is the bit-parity mode.
 """
 
 import json
@@ -30,6 +33,8 @@ def main() -> None:
 
     scale = os.environ.get("BENCH_SCALE", "full")
     n_calls = int(os.environ.get("BENCH_CALLS", "30"))
+    batch = int(os.environ.get("BENCH_BATCH", "8"))
+    quant = os.environ.get("BENCH_QUANT", "int8")
 
     if scale == "tiny":
         cfg = vlm.VLMConfig.tiny()
@@ -42,7 +47,16 @@ def main() -> None:
         img_hw = (256, 256)
 
     # init weights directly on device (bf16) — value-independent benchmark
-    init = jax.jit(lambda key: vlm.init_params(cfg, key))
+    if quant == "int8":
+        from openvla_probe_tpu.ops.linear import quantize_params
+
+        init = jax.jit(lambda key: quantize_params(
+            {**vlm.init_params(cfg, key)},
+            suffixes=("q_proj", "k_proj", "v_proj", "o_proj",
+                      "gate_proj", "up_proj", "down_proj", "lm_head"),
+        ))
+    else:
+        init = jax.jit(lambda key: vlm.init_params(cfg, key))
     params = init(jax.random.key(0))
     jax.block_until_ready(params)
     _ = np.asarray(jax.tree.leaves(params)[0].ravel()[0])  # force materialization
@@ -61,14 +75,14 @@ def main() -> None:
         img_cfg = ImageTransformConfig.dinosiglip_224()
 
     rng = np.random.default_rng(0)
-    image = rng.integers(0, 256, size=(1, *img_hw, 3), dtype=np.uint8)
+    image = rng.integers(0, 256, size=(batch, *img_hw, 3), dtype=np.uint8)
     # "In: What action should the robot take to {instr}?\nOut:" ~= 25 tokens
     P = serving.prompt_pad_len
     prompt_len = 26
-    ids = np.zeros((1, P), np.int32)
-    ids[0, 0] = 1
-    ids[0, 1:prompt_len - 1] = rng.integers(1000, 20000, prompt_len - 2)
-    ids[0, prompt_len - 1] = vla.EMPTY_TOKEN_ID
+    ids = np.zeros((batch, P), np.int32)
+    ids[:, 0] = 1
+    ids[:, 1:prompt_len - 1] = rng.integers(1000, 20000, (batch, prompt_len - 2))
+    ids[:, prompt_len - 1] = vla.EMPTY_TOKEN_ID
 
     q01 = -np.ones(7, np.float32)
     q99 = np.ones(7, np.float32)
@@ -81,7 +95,7 @@ def main() -> None:
     args = dict(
         image_u8=jnp.asarray(image),
         input_ids=jnp.asarray(ids),
-        prompt_len=jnp.asarray([prompt_len], jnp.int32),
+        prompt_len=jnp.full((batch,), prompt_len, jnp.int32),
         q01=jnp.asarray(q01), q99=jnp.asarray(q99), action_mask=jnp.asarray(mask),
     )
 
@@ -102,13 +116,15 @@ def main() -> None:
     _ = np.asarray(out["action_tokens"])
     dt = (time.time() - t0) / n_calls
 
-    calls_per_s = 1.0 / dt
+    calls_per_s = batch / dt
     print(json.dumps({
         "metric": "predict_action calls/sec/chip (7-DoF @ 224px)",
         "value": round(calls_per_s, 3),
         "unit": "calls/s",
         "vs_baseline": round(calls_per_s / 30.0, 3),
         "p50_latency_ms": round(dt * 1e3, 2),
+        "batch": batch,
+        "quant": quant,
         "compile_s": round(compile_s, 1),
         "scale": scale,
         "backend": jax.default_backend(),

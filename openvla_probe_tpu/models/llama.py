@@ -34,6 +34,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..ops.linear import matmul_t
+
 Params = Dict[str, Any]
 
 
@@ -169,9 +171,9 @@ def _layer_forward(
     H, Hkv, Dh = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
 
     h = rms_norm(x, lp["input_layernorm"], cfg.rms_norm_eps)
-    q = (h @ lp["q_proj"].T).reshape(B, T, H, Dh)
-    k = (h @ lp["k_proj"].T).reshape(B, T, Hkv, Dh)
-    v = (h @ lp["v_proj"].T).reshape(B, T, Hkv, Dh)
+    q = matmul_t(h, lp["q_proj"]).reshape(B, T, H, Dh)
+    k = matmul_t(h, lp["k_proj"]).reshape(B, T, Hkv, Dh)
+    v = matmul_t(h, lp["v_proj"]).reshape(B, T, Hkv, Dh)
     q, k = apply_rope(q, k, cos, sin)
 
     new_cache = None
@@ -183,12 +185,12 @@ def _layer_forward(
         new_cache = (ck, cv)
 
     attn = attention(q, k, v, mask).reshape(B, T, D)
-    x = x + attn @ lp["o_proj"].T
+    x = x + matmul_t(attn, lp["o_proj"])
 
     h = rms_norm(x, lp["post_attention_layernorm"], cfg.rms_norm_eps)
-    gate = jax.nn.silu((h @ lp["gate_proj"].T).astype(jnp.float32)).astype(h.dtype)
-    up = h @ lp["up_proj"].T
-    x = x + (gate * up) @ lp["down_proj"].T
+    gate = jax.nn.silu(matmul_t(h, lp["gate_proj"]).astype(jnp.float32)).astype(h.dtype)
+    up = matmul_t(h, lp["up_proj"])
+    x = x + matmul_t(gate * up, lp["down_proj"])
     return x, new_cache
 
 
@@ -265,7 +267,7 @@ def forward(
         ).transpose(1, 0, 2)
     out["last_hidden_state"] = x
     if compute_logits:
-        out["logits"] = (x @ params["lm_head"].T).astype(jnp.float32)
+        out["logits"] = matmul_t(x, params["lm_head"]).astype(jnp.float32)
     return out
 
 

@@ -110,7 +110,9 @@ def predict_action_core(
     last_hidden = jnp.take_along_axis(
         out["last_hidden_state"], jnp.broadcast_to(last_idx, (B, 1, D)), axis=1
     )[:, 0]                                                           # [B, D]
-    last_logits = (last_hidden @ params["llm"]["lm_head"].T).astype(jnp.float32)
+    from ..ops.linear import matmul_t
+
+    last_logits = matmul_t(last_hidden, params["llm"]["lm_head"]).astype(jnp.float32)
     first_tok = last_logits.argmax(-1).astype(jnp.int32)              # [B]
 
     # --- greedy decode of A tokens at fixed cache slots -------------------

@@ -1,0 +1,160 @@
+"""Linear/matmul dispatch: plain bf16 weights or weight-only int8 (Pallas).
+
+The serving bottleneck at 7B/bs=1 is HBM bandwidth — each greedy decode step
+streams every weight byte (measured 153 ms/call bf16). Weight-only int8 halves
+the stream; the Pallas kernel below keeps the weights int8 ALL the way into
+VMEM and dequantizes there (an XLA `convert` would materialize bf16 weights
+back to HBM on some shapes, forfeiting the win).
+
+Quantization scheme: symmetric per-output-channel absmax
+  q = round(w / s), s = absmax(w, axis=in) / 127      (int8, f32 scales)
+Dequantized matmul runs in bf16 on the MXU with f32 accumulation, so serving
+numerics change only by the weight rounding (a documented "turbo" mode —
+bf16 remains the bit-parity mode).
+
+A quantized weight is the pytree {"q": int8 [..., O, I], "s": f32 [..., O]} —
+`linear()` accepts either representation, and layer-stacked quantized weights
+slice transparently inside `lax.scan`.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Optional, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+QuantWeight = Dict[str, jnp.ndarray]
+AnyWeight = Union[jnp.ndarray, QuantWeight]
+
+
+def is_quantized(w: Any) -> bool:
+    return isinstance(w, dict) and "q" in w and "s" in w
+
+
+def quantize_weight(w: jnp.ndarray) -> QuantWeight:
+    """Symmetric per-output-channel int8 quantization of [..., O, I]."""
+    wf = jnp.asarray(w, jnp.float32)
+    s = jnp.max(jnp.abs(wf), axis=-1) / 127.0
+    s = jnp.maximum(s, 1e-8)
+    q = jnp.clip(jnp.round(wf / s[..., None]), -127, 127).astype(jnp.int8)
+    return {"q": q, "s": s}
+
+
+def dequantize_weight(qw: QuantWeight, dtype=jnp.bfloat16) -> jnp.ndarray:
+    return (qw["q"].astype(jnp.float32) * qw["s"][..., None]).astype(dtype)
+
+
+# --- Pallas weight-only int8 matmul -----------------------------------------
+
+def _wi8_kernel(x_ref, q_ref, s_ref, o_ref):
+    """o[M, TN] = (x[M, K] @ q[TN, K].T) * s[TN] — dequant in VMEM."""
+    x = x_ref[:]
+    w = q_ref[:].astype(jnp.bfloat16)
+    acc = jax.lax.dot_general(
+        x, w, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    o_ref[:] = (acc * s_ref[:][None, :].astype(jnp.float32)).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("block_m", "block_n"))
+def _wi8_matmul_2d(
+    x: jnp.ndarray, q: jnp.ndarray, s: jnp.ndarray,
+    block_m: int = 256, block_n: int = 512,
+) -> jnp.ndarray:
+    """x [M, K] bf16 @ int8 [N, K].T -> [M, N] bf16 via Pallas (TPU).
+
+    Grid over (M, N) tiles with the full K dimension resident per tile —
+    K <= ~11k keeps each tile pair under the VMEM budget, and the int8
+    weight tile is the only large HBM stream.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    M, K = x.shape
+    N = q.shape[0]
+    # decode-sized M: single tile padded to the bf16 sublane multiple
+    block_m = min(block_m, max(16, (M + 15) // 16 * 16))
+    block_n = min(block_n, N)
+    m_pad = (-M) % block_m
+    n_pad = (-N) % block_n
+    if n_pad:
+        q = jnp.pad(q, ((0, n_pad), (0, 0)))
+        s = jnp.pad(s, (0, n_pad))
+    if m_pad:
+        x = jnp.pad(x, ((0, m_pad), (0, 0)))
+    Mp, Np = M + m_pad, N + n_pad
+
+    out = pl.pallas_call(
+        _wi8_kernel,
+        grid=(Mp // block_m, Np // block_n),
+        in_specs=[
+            pl.BlockSpec((block_m, K), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_n, K), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_n,), lambda i, j: (j,), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((block_m, block_n), lambda i, j: (i, j), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Mp, Np), x.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * Mp * K * Np, bytes_accessed=Mp * K * 2 + Np * K + Mp * Np * 2,
+            transcendentals=0,
+        ),
+    )(x, q, s)
+    return out[:M, :N]
+
+
+def _use_pallas() -> bool:
+    """Pallas int8 path is opt-in (OVLA_PALLAS=1): the current axon-tunneled
+    TPU backend hangs in Mosaic compilation; the XLA dequant fallback is
+    correct everywhere and XLA fuses the int8->bf16 convert into the dot on
+    TPU. Flip the default when running on a directly-attached TPU runtime."""
+    import os
+
+    return jax.default_backend() == "tpu" and os.environ.get("OVLA_PALLAS", "0") == "1"
+
+
+def matmul_t(x: jnp.ndarray, w: AnyWeight) -> jnp.ndarray:
+    """x [..., K] @ w[O, K].T -> [..., O]; w may be bf16/f32 or quantized."""
+    if not is_quantized(w):
+        return x @ w.T
+    lead = x.shape[:-1]
+    K = x.shape[-1]
+    x2 = x.reshape(-1, K)
+    if _use_pallas():
+        out = _wi8_matmul_2d(x2, w["q"], w["s"])
+    else:
+        wd = dequantize_weight(w, x.dtype)
+        out = x2 @ wd.T
+    return out.reshape(*lead, -1)
+
+
+# --- pytree-level quantization ----------------------------------------------
+
+_DEFAULT_QUANT_SUFFIXES = (
+    "q_proj", "k_proj", "v_proj", "o_proj", "gate_proj", "up_proj", "down_proj",
+    "lm_head",
+)
+
+
+def quantize_params(
+    params: Any,
+    suffixes: tuple = _DEFAULT_QUANT_SUFFIXES,
+) -> Any:
+    """Quantize matching weight leaves of a param pytree (path-suffix match).
+
+    Default: the Llama trunk + lm_head (the decode bandwidth); embeddings,
+    norms, ViT and projector stay bf16.
+    """
+    def walk(path, leaf):
+        name = path[-1].key if path and hasattr(path[-1], "key") else ""
+        if name in suffixes and np.ndim(leaf) >= 2:
+            return quantize_weight(leaf)
+        return leaf
+
+    flat, treedef = jax.tree_util.tree_flatten_with_path(params)
+    return jax.tree_util.tree_unflatten(
+        treedef, [walk(p, l) for p, l in flat]
+    )

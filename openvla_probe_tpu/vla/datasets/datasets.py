@@ -1,0 +1,200 @@
+"""VLA training datasets: RLDS batch transform, iterable dataset, dummy fixture.
+
+Behavioral re-implementation of prismatic/vla/datasets/datasets.py: the frame
+-> training-example transform (prompt build + tokenize + label masking so loss
+lands only on action tokens (+ stop), :30-67), the interleaved RLDS stream
+(:70-154), episodic variant, and the DummyDataset template (:180-232).
+
+Host tokenization returns numpy; device feeding + fixed-shape padding happens
+in the collator (utils/collators.py).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Dict, Iterator, List, Optional, Tuple, Type
+
+import numpy as np
+
+from ...models.prompting import PromptBuilder, PurePromptBuilder
+from ..action_tokenizer import ActionTokenizer
+
+IGNORE_INDEX = -100
+
+
+@dataclasses.dataclass
+class RLDSBatchTransform:
+    """RLDS frame dict -> {pixel_values, input_ids, labels, dataset_name}."""
+
+    action_tokenizer: ActionTokenizer
+    base_tokenizer: Any                       # .__call__(str) -> ids (with BOS)
+    image_transform: Callable[[np.ndarray], np.ndarray]
+    prompt_builder_fn: Type[PromptBuilder] = PurePromptBuilder
+    predict_stop_token: bool = True
+
+    def __call__(self, rlds_batch: Dict[str, Any]) -> Dict[str, Any]:
+        dataset_name = rlds_batch["dataset_name"]
+        action = np.asarray(rlds_batch["action"][0])       # current-step action chunk head
+        img = np.asarray(rlds_batch["observation"]["image_primary"][0])
+        lang = rlds_batch["task"]["language_instruction"]
+        if isinstance(lang, bytes):
+            lang = lang.decode()
+        lang = lang.lower()
+
+        builder = self.prompt_builder_fn("openvla")
+        builder.add_turn("human", f"What action should the robot take to {lang}?")
+        builder.add_turn("gpt", self.action_tokenizer(action))
+        input_ids = list(self.base_tokenizer.encode(builder.get_prompt()))
+        labels = list(input_ids)
+
+        pixel_values = self.image_transform(img)
+
+        labels = np.asarray(labels, np.int64)
+        labels[: -(len(action) + 1)] = IGNORE_INDEX        # loss only on action (+stop)
+        if not self.predict_stop_token:
+            labels[-1] = IGNORE_INDEX
+        return {
+            "pixel_values": np.asarray(pixel_values),
+            "input_ids": np.asarray(input_ids, np.int64),
+            "labels": labels,
+            "dataset_name": dataset_name,
+        }
+
+
+class RLDSDataset:
+    """Iterable over the interleaved RLDS frame stream (reference :70-154).
+
+    `data_mix` resolves through the OXE mixture registry; per-dataset kwargs
+    come from oxe.materialize. Infinite iterator (tf.data repeats)."""
+
+    def __init__(
+        self,
+        data_root_dir: str,
+        data_mix: str,
+        batch_transform: RLDSBatchTransform,
+        resize_resolution: Tuple[int, int] = (224, 224),
+        shuffle_buffer_size: int = 256_000,
+        train: bool = True,
+        image_aug: bool = False,
+        window_size: int = 1,
+        future_action_window_size: int = 0,
+    ) -> None:
+        from .rlds import dataset as rlds_dataset
+        from .rlds.oxe import materialize as oxe_materialize
+        from .rlds.oxe.mixtures import OXE_NAMED_MIXTURES
+
+        self.batch_transform = batch_transform
+        mixture_spec = OXE_NAMED_MIXTURES.get(data_mix, [(data_mix, 1.0)])
+        per_dataset_kwargs, weights = oxe_materialize.get_oxe_dataset_kwargs_and_weights(
+            data_root_dir, mixture_spec,
+            load_camera_views=("primary",),
+        )
+        frame_tf_kwargs: Dict[str, Any] = {
+            "resize_size": {"primary": tuple(resize_resolution)},
+        }
+        if image_aug:
+            frame_tf_kwargs["image_augment_kwargs"] = {
+                "primary": {
+                    "random_resized_crop": {"scale": [0.9, 0.9], "ratio": [1.0, 1.0]},
+                    "random_brightness": {"max_delta": 0.2},
+                    "random_contrast": {"lower": 0.8, "upper": 1.2},
+                    "random_saturation": {"lower": 0.8, "upper": 1.2},
+                    "random_hue": {"max_delta": 0.05},
+                    "augment_order": [
+                        "random_resized_crop", "random_brightness", "random_contrast",
+                        "random_saturation", "random_hue",
+                    ],
+                }
+            }
+        self.dataset, self.dataset_statistics = rlds_dataset.make_interleaved_dataset(
+            per_dataset_kwargs,
+            weights,
+            train=train,
+            shuffle_buffer_size=shuffle_buffer_size,
+            traj_transform_kwargs={
+                "window_size": window_size,
+                "future_action_window_size": future_action_window_size,
+                "skip_unlabeled": True,
+                "goal_relabeling_strategy": "uniform",
+            },
+            frame_transform_kwargs=frame_tf_kwargs,
+        )
+        self.dataset_length = sum(
+            s["num_transitions"] for s in self.dataset_statistics.values()
+        )
+
+    def __iter__(self) -> Iterator[Dict[str, Any]]:
+        for frame in self.dataset.as_numpy_iterator():
+            yield self.batch_transform(frame)
+
+    def __len__(self) -> int:
+        return self.dataset_length
+
+
+class EpisodicRLDSDataset(RLDSDataset):
+    """Yields FULL trajectories (list of per-step examples) instead of frames."""
+
+    def __init__(self, *args, **kwargs):
+        self._episodic = True
+        super().__init__(*args, **kwargs)
+
+    def __iter__(self) -> Iterator[List[Dict[str, Any]]]:
+        for frame in self.dataset.as_numpy_iterator():
+            T = frame["action"].shape[0]
+            yield [
+                self.batch_transform(
+                    {k: _index_tree(v, t) for k, v in frame.items()}
+                )
+                for t in range(T)
+            ]
+
+
+def _index_tree(v, t):
+    if isinstance(v, dict):
+        return {k: _index_tree(x, t) for k, x in v.items()}
+    return v[t] if hasattr(v, "__getitem__") and not isinstance(v, (str, bytes)) else v
+
+
+class DummyDataset:
+    """Random-data stand-in with the exact training example schema — the
+    drop-in template for custom datasets (reference :180-232)."""
+
+    def __init__(
+        self,
+        action_tokenizer: ActionTokenizer,
+        base_tokenizer: Any,
+        image_transform: Callable[[np.ndarray], np.ndarray],
+        prompt_builder_fn: Type[PromptBuilder] = PurePromptBuilder,
+        length: int = 10000,
+        image_size: Tuple[int, int] = (224, 224),
+    ) -> None:
+        self.action_tokenizer = action_tokenizer
+        self.base_tokenizer = base_tokenizer
+        self.image_transform = image_transform
+        self.prompt_builder_fn = prompt_builder_fn
+        self.length = length
+        self.image_size = image_size
+        self.dataset_statistics = {
+            "dummy_dataset": {
+                "action": {"q01": np.zeros(7, np.float32), "q99": np.ones(7, np.float32)}
+            }
+        }
+
+    def __len__(self) -> int:
+        return self.length
+
+    def __getitem__(self, idx: int) -> Dict[str, Any]:
+        g = np.random.default_rng(idx)
+        image = (g.random((*self.image_size, 3)) * 255.0).astype(np.uint8)
+        action = g.random(7).astype(np.float32)
+        builder = self.prompt_builder_fn("openvla")
+        builder.add_turn("human", "What action should the robot take to do something spectacular?")
+        builder.add_turn("gpt", self.action_tokenizer(action))
+        input_ids = np.asarray(list(self.base_tokenizer.encode(builder.get_prompt())), np.int64)
+        labels = input_ids.copy()
+        labels[: -(len(action) + 1)] = IGNORE_INDEX
+        return {
+            "pixel_values": np.asarray(self.image_transform(image)),
+            "input_ids": input_ids,
+            "labels": labels,
+        }

@@ -1,0 +1,25 @@
+"""Goal relabeling strategies (reference: rlds/utils/goal_relabeling.py)."""
+
+from __future__ import annotations
+
+from typing import Any, Dict
+
+import tensorflow as tf
+
+
+def uniform(traj: Dict[str, Any]) -> Dict[str, Any]:
+    """Relabel each frame's goal with an observation uniformly sampled from
+    its future in the same trajectory (inclusive of the last frame)."""
+    traj_len = tf.shape(traj["action"])[0]
+    rand = tf.random.uniform([traj_len])
+    low = tf.cast(tf.range(traj_len) + 1, tf.float32)
+    high = tf.cast(traj_len, tf.float32)
+    goal_idxs = tf.cast(rand * (high - low) + low, tf.int32)
+    goal_idxs = tf.minimum(goal_idxs, traj_len - 1)
+    goal = tf.nest.map_structure(lambda x: tf.gather(x, goal_idxs), traj["observation"])
+    traj.setdefault("task", {})
+    traj["task"].update({f"image_{k[len('image_'):]}": v for k, v in goal.items() if k.startswith("image_")})
+    return traj
+
+
+GOAL_RELABELING_FUNCTIONS = {"uniform": uniform}

@@ -1,0 +1,72 @@
+"""Weight-only int8 quantization tests (CPU fallback path + semantics)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from openvla_probe_tpu.models import llama
+from openvla_probe_tpu.ops import linear
+
+
+def test_quantize_dequantize_error_bounded(rng):
+    w = jnp.asarray(rng.normal(size=(64, 128)).astype(np.float32))
+    qw = linear.quantize_weight(w)
+    assert qw["q"].dtype == jnp.int8
+    wd = linear.dequantize_weight(qw, jnp.float32)
+    # per-row error <= scale/2 = absmax/254
+    row_max = np.abs(np.asarray(w)).max(axis=1, keepdims=True)
+    assert np.all(np.abs(np.asarray(wd) - np.asarray(w)) <= row_max / 254 + 1e-6)
+
+
+def test_matmul_t_dispatch(rng):
+    x = jnp.asarray(rng.normal(size=(4, 128)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(32, 128)).astype(np.float32))
+    plain = np.asarray(linear.matmul_t(x, w))
+    qout = np.asarray(linear.matmul_t(x, linear.quantize_weight(w)))
+    # int8 relative error ~1/127 per element
+    assert np.abs(qout - plain).max() / (np.abs(plain).max() + 1e-9) < 0.02
+
+
+def test_quantize_params_selectivity():
+    cfg = llama.LlamaConfig.tiny()
+    params = llama.init_params(cfg, jax.random.key(0))
+    qp = linear.quantize_params(params)
+    assert linear.is_quantized(qp["layers"]["q_proj"])
+    assert linear.is_quantized(qp["lm_head"])
+    assert not linear.is_quantized(qp["embed_tokens"])
+    assert not linear.is_quantized(qp["layers"]["input_layernorm"])
+    # stacked layer axes preserved
+    L = cfg.num_hidden_layers
+    assert qp["layers"]["q_proj"]["q"].shape[0] == L
+    assert qp["layers"]["q_proj"]["s"].shape == (L, cfg.hidden_size)
+
+
+def test_quantized_forward_close_to_bf16(rng):
+    """Full decoder forward with int8 trunk stays close; argmax mostly stable."""
+    cfg = llama.LlamaConfig.tiny()
+    params = llama.init_params(cfg, jax.random.key(0))
+    qp = linear.quantize_params(params)
+    ids = jnp.asarray(rng.integers(0, cfg.vocab_size, (1, 12)))
+    mask = jnp.ones((1, 12), jnp.int32)
+    pos = jnp.arange(12)[None]
+    e = llama.embed_tokens(params, ids)
+    want = np.asarray(llama.forward(params, cfg, e, mask, pos)["logits"])
+    got = np.asarray(llama.forward(qp, cfg, e, mask, pos)["logits"])
+    assert got.shape == want.shape
+    rel = np.abs(got - want).max() / (np.abs(want).max() + 1e-9)
+    assert rel < 0.05, rel
+
+
+def test_quantized_kv_cache_decode_runs(rng):
+    cfg = llama.LlamaConfig.tiny()
+    qp = linear.quantize_params(llama.init_params(cfg, jax.random.key(0)))
+    cache = llama.KVCache.zeros(cfg, 1, 16, dtype=jnp.float32)
+    e = llama.embed_tokens(qp, jnp.asarray([[1, 2, 3]]))
+    mask = jnp.zeros((1, 16), jnp.int32).at[:, :3].set(1)
+    out = llama.forward(qp, cfg, e, mask, jnp.arange(3)[None],
+                        cache=cache, cache_index=jnp.int32(0))
+    assert out["logits"].shape == (1, 3, cfg.vocab_size)
+    assert out["cache"].k.shape == (cfg.num_hidden_layers, 1, 16,
+                                    cfg.num_key_value_heads, cfg.head_dim)
