@@ -36,14 +36,16 @@ def main() -> None:
     batch = int(os.environ.get("BENCH_BATCH", "8"))
     quant = os.environ.get("BENCH_QUANT", "int8")
 
+    action_dim = int(os.environ.get("BENCH_ACTION_DIM", "7"))
     if scale == "tiny":
         cfg = vlm.VLMConfig.tiny()
         serving = vla.VLAServingConfig(vlm=cfg, prompt_pad_len=16,
-                                       codec_vocab_size=cfg.llm.vocab_size)
+                                       codec_vocab_size=cfg.llm.vocab_size,
+                                       action_dim=action_dim)
         img_hw = (64, 64)
     else:
         cfg = vlm.VLMConfig.openvla_7b()
-        serving = vla.VLAServingConfig(vlm=cfg, prompt_pad_len=48)
+        serving = vla.VLAServingConfig(vlm=cfg, prompt_pad_len=48, action_dim=action_dim)
         img_hw = (256, 256)
 
     # init weights directly on device (bf16) — value-independent benchmark

@@ -1,0 +1,250 @@
+"""Backbone-id catalog + pretrained-model registry + HF-checkpoint weight import.
+
+Replaces the reference's materialize/registry/load trio
+(prismatic/models/materialize.py:78-130, registry.py, load.py:52-226 and the
+HF key scheme from vla-scripts/extern/convert_openvla_weights_to_hf.py:73-115):
+string ids resolve to JAX configs, and `params_from_hf_checkpoint` maps an
+OpenVLA/Prismatic HF safetensors checkpoint directly onto our stacked pytrees.
+
+HF key layout handled (fused dual backbone):
+  vision_backbone.featurizer.*        timm DINOv2 (LayerScale gamma renamed
+                                      `scale_factor` in the HF export)
+  vision_backbone.fused_featurizer.*  timm SigLIP
+  projector.fc{1,2,3}.{weight,bias}
+  language_model.model.* / language_model.lm_head.weight
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+from typing import Any, Callable, Dict, Optional, Tuple, Union
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.image import (
+    IMAGENET_DEFAULT_MEAN,
+    IMAGENET_DEFAULT_STD,
+    OPENAI_CLIP_MEAN,
+    OPENAI_CLIP_STD,
+    SIGLIP_MEAN,
+    SIGLIP_STD,
+    BackboneTransformSpec,
+    ImageTransformConfig,
+)
+from . import llama, vit, vlm
+from .prompting import (
+    LLaMa2ChatPromptBuilder,
+    MistralInstructPromptBuilder,
+    PhiPromptBuilder,
+    PromptBuilder,
+    PurePromptBuilder,
+    VicunaV15ChatPromptBuilder,
+)
+
+# --- vision backbone catalog (reference models/materialize.py:19-44) --------
+
+def _spec(size, interp, mean, std):
+    return BackboneTransformSpec((size, size), interp, mean, std)
+
+
+VISION_BACKBONES: Dict[str, Dict[str, Any]] = {
+    "clip-vit-l": {"cfgs": [vit.ViTConfig.clip_vit_l(image_size=224)],
+                   "specs": [_spec(224, "bicubic", OPENAI_CLIP_MEAN, OPENAI_CLIP_STD)]},
+    "clip-vit-l-336px": {"cfgs": [vit.ViTConfig.clip_vit_l(image_size=336)],
+                         "specs": [_spec(336, "bicubic", OPENAI_CLIP_MEAN, OPENAI_CLIP_STD)]},
+    "dinov2-vit-l": {"cfgs": [vit.ViTConfig.dinov2_vit_l()],
+                     "specs": [_spec(224, "bicubic", IMAGENET_DEFAULT_MEAN, IMAGENET_DEFAULT_STD)]},
+    "in1k-vit-l": {"cfgs": [vit.ViTConfig.in1k_vit_l()],
+                   "specs": [_spec(224, "bicubic", IMAGENET_DEFAULT_MEAN, IMAGENET_DEFAULT_STD)]},
+    "siglip-vit-so400m": {"cfgs": [vit.ViTConfig.siglip_so400m()],
+                          "specs": [_spec(224, "bicubic", SIGLIP_MEAN, SIGLIP_STD)]},
+    "siglip-vit-so400m-224px": {"cfgs": [vit.ViTConfig.siglip_so400m()],
+                                "specs": [_spec(224, "bicubic", SIGLIP_MEAN, SIGLIP_STD)]},
+    "siglip-vit-so400m-384px": {"cfgs": [vit.ViTConfig.siglip_so400m(image_size=384)],
+                                "specs": [_spec(384, "bicubic", SIGLIP_MEAN, SIGLIP_STD)]},
+    "dinoclip-vit-l-336px": {
+        "cfgs": [vit.ViTConfig.dinov2_vit_l(image_size=336), vit.ViTConfig.clip_vit_l(image_size=336)],
+        "specs": [_spec(336, "bicubic", IMAGENET_DEFAULT_MEAN, IMAGENET_DEFAULT_STD),
+                  _spec(336, "bicubic", OPENAI_CLIP_MEAN, OPENAI_CLIP_STD)],
+        "names": ("dino", "clip"),
+    },
+    "dinosiglip-vit-so-224px": {
+        "cfgs": [vit.ViTConfig.dinov2_vit_l(), vit.ViTConfig.siglip_so400m()],
+        "specs": [_spec(224, "bicubic", IMAGENET_DEFAULT_MEAN, IMAGENET_DEFAULT_STD),
+                  _spec(224, "bicubic", SIGLIP_MEAN, SIGLIP_STD)],
+        "names": ("dino", "siglip"),
+    },
+    "dinosiglip-vit-so-384px": {
+        "cfgs": [vit.ViTConfig.dinov2_vit_l(image_size=384),
+                 vit.ViTConfig.siglip_so400m(image_size=384)],
+        "specs": [_spec(384, "bicubic", IMAGENET_DEFAULT_MEAN, IMAGENET_DEFAULT_STD),
+                  _spec(384, "bicubic", SIGLIP_MEAN, SIGLIP_STD)],
+        "names": ("dino", "siglip"),
+    },
+}
+
+# --- llm backbone catalog (reference models/materialize.py:46-76) -----------
+
+LLM_BACKBONES: Dict[str, Dict[str, Any]] = {
+    "llama2-7b-pure": {"cfg": llama.LlamaConfig.llama2_7b(), "prompt": PurePromptBuilder},
+    "llama2-13b-pure": {"cfg": llama.LlamaConfig(hidden_size=5120, intermediate_size=13824,
+                                                 num_hidden_layers=40, num_attention_heads=40,
+                                                 num_key_value_heads=40),
+                        "prompt": PurePromptBuilder},
+    "llama2-7b-chat": {"cfg": llama.LlamaConfig.llama2_7b(), "prompt": LLaMa2ChatPromptBuilder},
+    "llama2-13b-chat": {"cfg": llama.LlamaConfig(hidden_size=5120, intermediate_size=13824,
+                                                 num_hidden_layers=40, num_attention_heads=40,
+                                                 num_key_value_heads=40),
+                        "prompt": LLaMa2ChatPromptBuilder},
+    "vicuna-v15-7b": {"cfg": llama.LlamaConfig.llama2_7b(), "prompt": VicunaV15ChatPromptBuilder},
+    "vicuna-v15-13b": {"cfg": llama.LlamaConfig(hidden_size=5120, intermediate_size=13824,
+                                                num_hidden_layers=40, num_attention_heads=40,
+                                                num_key_value_heads=40),
+                       "prompt": VicunaV15ChatPromptBuilder},
+    "mistral-v0.1-7b-pure": {"cfg": llama.LlamaConfig(vocab_size=32000, num_key_value_heads=8,
+                                                      intermediate_size=14336, rope_theta=10000.0,
+                                                      max_position_embeddings=4096),
+                             "prompt": PurePromptBuilder},
+    "mistral-v0.1-7b-instruct": {"cfg": llama.LlamaConfig(vocab_size=32000, num_key_value_heads=8,
+                                                          intermediate_size=14336,
+                                                          max_position_embeddings=4096),
+                                 "prompt": MistralInstructPromptBuilder},
+    "phi-2-3b": {"cfg": llama.LlamaConfig(vocab_size=51200, hidden_size=2560,
+                                          intermediate_size=10240, num_hidden_layers=32,
+                                          num_attention_heads=32),
+                 "prompt": PhiPromptBuilder},
+}
+
+
+def get_vision_backbone_and_transform(
+    vision_backbone_id: str, image_resize_strategy: str
+) -> Tuple[Tuple[vit.ViTConfig, ...], Tuple[str, ...], ImageTransformConfig]:
+    entry = VISION_BACKBONES[vision_backbone_id]
+    cfgs = tuple(entry["cfgs"])
+    names = tuple(entry.get("names", ("vision",)[: len(cfgs)]))
+    img_cfg = ImageTransformConfig(specs=tuple(entry["specs"]), resize_strategy=image_resize_strategy)
+    return cfgs, names, img_cfg
+
+
+def get_llm_backbone_and_prompt(llm_backbone_id: str) -> Tuple[llama.LlamaConfig, type]:
+    entry = LLM_BACKBONES[llm_backbone_id]
+    return entry["cfg"], entry["prompt"]
+
+
+def build_vlm_config(
+    vision_backbone_id: str = "dinosiglip-vit-so-224px",
+    llm_backbone_id: str = "llama2-7b-pure",
+    arch_specifier: str = "no-align+fused-gelu-mlp",
+    image_resize_strategy: str = "resize-naive",
+    dtype=jnp.bfloat16,
+) -> Tuple[vlm.VLMConfig, ImageTransformConfig, type]:
+    """Resolve string ids -> (VLMConfig, image transform config, prompt builder)."""
+    import dataclasses
+
+    vcfgs, names, img_cfg = get_vision_backbone_and_transform(
+        vision_backbone_id, image_resize_strategy
+    )
+    lcfg, prompt_cls = get_llm_backbone_and_prompt(llm_backbone_id)
+    vcfgs = tuple(dataclasses.replace(v, dtype=dtype) for v in vcfgs)
+    lcfg = dataclasses.replace(lcfg, dtype=dtype)
+    cfg = vlm.VLMConfig(llm=lcfg, vision=vcfgs, vision_names=names, arch_specifier=arch_specifier)
+    return cfg, img_cfg, prompt_cls
+
+
+# --- pretrained model registry (reference models/registry.py) ---------------
+
+MODEL_REGISTRY: Dict[str, Dict[str, str]] = {
+    "prism-dinosiglip-224px+7b": {
+        "model_id": "prism-dinosiglip-224px+7b",
+        "names": ["Prism-DINOSigLIP 224px 7B"],
+        "description": "DINOv2+SigLIP 224px fused backbone, Llama-2-7b, single-stage (the OpenVLA base VLM)",
+    },
+    "openvla-7b": {
+        "model_id": "openvla-7b",
+        "names": ["OpenVLA 7B"],
+        "description": "OpenVLA 7B policy trained on the Open-X magic-soup++ mixture",
+    },
+    "siglip-224px+7b": {
+        "model_id": "siglip-224px+7b",
+        "names": ["SigLIP 224px 7B"],
+        "description": "SigLIP-only 224px backbone, Vicuña-v1.5-7b",
+    },
+}
+GLOBAL_REGISTRY = MODEL_REGISTRY
+
+
+# --- HF checkpoint import ----------------------------------------------------
+
+def _read_safetensors_dir(path: Path) -> Dict[str, np.ndarray]:
+    from safetensors import safe_open
+
+    state: Dict[str, np.ndarray] = {}
+    files = sorted(path.glob("*.safetensors"))
+    if not files:
+        raise FileNotFoundError(f"No safetensors files under {path}")
+    for f in files:
+        with safe_open(str(f), framework="np") as sf:
+            for k in sf.keys():
+                state[k] = sf.get_tensor(k)
+    return state
+
+
+def _subdict(state: Dict[str, np.ndarray], prefix: str) -> Dict[str, np.ndarray]:
+    return {k[len(prefix):]: v for k, v in state.items() if k.startswith(prefix)}
+
+
+def params_from_hf_state(
+    state: Dict[str, np.ndarray], cfg: vlm.VLMConfig
+) -> Dict[str, Any]:
+    """Full HF-layout state dict -> our param pytree (bf16 per cfg dtypes)."""
+    # the HF export renames dinov2 LayerScale gamma -> scale_factor; undo
+    params: Dict[str, Any] = {"vision": {}}
+    featurizer_prefixes = (
+        [("featurizer.", cfg.vision_names[0])]
+        if len(cfg.vision) == 1
+        else [("featurizer.", cfg.vision_names[0]), ("fused_featurizer.", cfg.vision_names[1])]
+    )
+    for prefix, name in featurizer_prefixes:
+        sub = _subdict(state, f"vision_backbone.{prefix}")
+        vcfg = cfg.vision[cfg.vision_names.index(name)]
+        params["vision"][name] = vit.params_from_timm(sub, vcfg)
+    proj = _subdict(state, "projector.")
+    params["projector"] = {
+        fc: {"w": jnp.asarray(proj[f"{fc}.weight"], cfg.llm.dtype),
+             "b": jnp.asarray(proj[f"{fc}.bias"], cfg.llm.dtype)}
+        for fc in ["fc1", "fc2", "fc3"]
+        if f"{fc}.weight" in proj
+    }
+    llm_state = _subdict(state, "language_model.")
+    params["llm"] = llama.params_from_hf(llm_state, cfg.llm)
+    return params
+
+
+def load_openvla_hf_checkpoint(
+    checkpoint_dir: Union[str, Path],
+    dtype=jnp.bfloat16,
+) -> Dict[str, Any]:
+    """Load an OpenVLA HF checkpoint directory -> (params, cfg, img_cfg,
+    norm_stats). Reads config.json for backbone ids + dataset_statistics."""
+    import dataclasses
+
+    path = Path(checkpoint_dir)
+    with open(path / "config.json") as f:
+        hf_cfg = json.load(f)
+    vision_id = hf_cfg.get("vision_backbone_id", "dinosiglip-vit-so-224px")
+    resize = hf_cfg.get("image_resize_strategy", "resize-naive")
+    llm_id = hf_cfg.get("llm_backbone_id", "llama2-7b-pure")
+    cfg, img_cfg, prompt_cls = build_vlm_config(vision_id, llm_id,
+                                                hf_cfg.get("arch_specifier", "no-align+fused-gelu-mlp"),
+                                                resize, dtype=dtype)
+    # the HF text config carries the padded vocab (32064)
+    text_vocab = hf_cfg.get("text_config", {}).get("vocab_size")
+    if text_vocab:
+        cfg = dataclasses.replace(cfg, llm=dataclasses.replace(cfg.llm, vocab_size=text_vocab))
+    state = _read_safetensors_dir(path)
+    params = params_from_hf_state(state, cfg)
+    norm_stats = hf_cfg.get("norm_stats", {})
+    return {"params": params, "cfg": cfg, "image_cfg": img_cfg,
+            "prompt_builder": prompt_cls, "norm_stats": norm_stats}

@@ -1,0 +1,130 @@
+"""Greedy text generation + candidate-string scoring for the base VLM.
+
+Equivalent of the reference VLM's GenerationMixin surface
+(prismatic/models/vlms/prismatic.py:488-621: generate, generate_batch with
+string-probability scoring). Greedy only (the reference's VLA/eval paths are
+greedy); EOS-terminated; prompts right-padded to a bucket so one compilation
+serves a session.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import llama, vlm
+
+EOS_TOKEN_ID = 2
+
+
+def _bucket(n: int, step: int = 64) -> int:
+    return ((n + step - 1) // step) * step
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "max_new_tokens"))
+def _generate_jit(
+    params, cfg: vlm.VLMConfig,
+    input_ids, prompt_len, pixel_values,
+    max_new_tokens: int,
+):
+    B, P = input_ids.shape
+    prompt_mask = (jnp.arange(P)[None] < prompt_len[:, None]).astype(jnp.int32)
+    if pixel_values is not None:
+        mm = vlm.build_multimodal_inputs(params, cfg, input_ids, prompt_mask, pixel_values)
+        embeds, mask = mm["inputs_embeds"], mm["attn_mask"]
+        N = cfg.num_patches
+    else:
+        embeds = llama.embed_tokens(params["llm"], input_ids)
+        mask, N = prompt_mask, 0
+    T = embeds.shape[1]
+    S = T + max_new_tokens
+    mm_len = N + prompt_len if pixel_values is not None else prompt_len
+
+    cache = llama.KVCache.zeros(cfg.llm, B, S, dtype=cfg.llm.dtype)
+    positions = jnp.broadcast_to(jnp.arange(T), (B, T))
+    out = llama.forward(
+        params["llm"], cfg.llm, embeds, jnp.pad(mask, ((0, 0), (0, S - T))), positions,
+        cache=cache, cache_index=jnp.int32(0), compute_logits=False,
+    )
+    D = out["last_hidden_state"].shape[-1]
+    last_idx = (mm_len - 1)[:, None, None]
+    last_h = jnp.take_along_axis(
+        out["last_hidden_state"], jnp.broadcast_to(last_idx, (B, 1, D)), axis=1
+    )[:, 0]
+    from ..ops.linear import matmul_t
+
+    first = matmul_t(last_h, params["llm"]["lm_head"]).argmax(-1).astype(jnp.int32)
+    slots = jnp.arange(S)[None, :]
+
+    def step(carry, t):
+        cache, tok, done = carry
+        e = llama.embed_tokens(params["llm"], tok[:, None])
+        pos = (mm_len + t)[:, None]
+        valid = (slots < mm_len[:, None]) | ((slots >= T) & (slots <= T + t))
+        o = llama.forward(params["llm"], cfg.llm, e, valid.astype(jnp.int32), pos,
+                          cache=cache, cache_index=jnp.int32(T) + t)
+        nxt = o["logits"][:, -1].argmax(-1).astype(jnp.int32)
+        done = done | (tok == EOS_TOKEN_ID)
+        nxt = jnp.where(done, EOS_TOKEN_ID, nxt)
+        return (o["cache"], nxt, done), nxt
+
+    (_, _, _), toks = jax.lax.scan(
+        step, (out["cache"], first, jnp.zeros((B,), bool)),
+        jnp.arange(max_new_tokens - 1, dtype=jnp.int32),
+    )
+    return jnp.concatenate([first[:, None], toks.T], axis=1)  # [B, max_new_tokens]
+
+
+def generate_greedy(
+    params: Dict[str, Any],
+    cfg: vlm.VLMConfig,
+    tokenizer: Any,
+    prompt_ids: Sequence[int],
+    pixel_values: Optional[jnp.ndarray] = None,
+    max_new_tokens: int = 128,
+) -> str:
+    """Single-prompt greedy generation -> decoded text (EOS-trimmed)."""
+    ids = list(prompt_ids)
+    P = _bucket(len(ids))
+    padded = np.zeros((1, P), np.int32)
+    padded[0, : len(ids)] = ids
+    toks = np.asarray(_generate_jit(
+        params, cfg, jnp.asarray(padded), jnp.asarray([len(ids)], jnp.int32),
+        None if pixel_values is None else jnp.asarray(pixel_values),
+        max_new_tokens,
+    ))[0]
+    out = []
+    for t in toks:
+        if t == EOS_TOKEN_ID:
+            break
+        out.append(int(t))
+    return tokenizer.decode(out, skip_special_tokens=True).strip()
+
+
+def score_candidates(
+    params: Dict[str, Any],
+    cfg: vlm.VLMConfig,
+    prompt_ids: Sequence[int],
+    candidate_ids: List[Sequence[int]],
+    pixel_values: Optional[jnp.ndarray] = None,
+) -> np.ndarray:
+    """Log-probability of each candidate continuation given the prompt — the
+    reference's string-probability scoring (prismatic.py:569-621) used for
+    multiple-choice VQA evals."""
+    scores = []
+    for cand in candidate_ids:
+        full = list(prompt_ids) + list(cand)
+        ids = jnp.asarray([full], jnp.int32)
+        mask = jnp.ones_like(ids)
+        out = vlm.forward(params, cfg, ids, mask, pixel_values)
+        logits = out["logits"][0]
+        # candidate tokens sit at the END of the spliced sequence
+        n = len(cand)
+        logp = jax.nn.log_softmax(logits[-n - 1 : -1].astype(jnp.float32), axis=-1)
+        tok_lp = jnp.take_along_axis(logp, jnp.asarray(cand)[:, None], axis=-1)[:, 0]
+        scores.append(float(tok_lp.sum()))
+    return np.asarray(scores)

@@ -1,0 +1,101 @@
+"""OpenVLA-specific eval helpers: loading, train-matched preprocessing, action query.
+
+Behavioral re-implementation of experiments/robot/openvla_utils.py — with the
+key TPU-native improvement: `get_vla_action(..., return_embeddings=True)`
+costs ONE fused prefill (the reference runs a second full forward just for
+hidden-state capture, openvla_utils.py:188-203).
+"""
+
+from __future__ import annotations
+
+import time
+from pathlib import Path
+from typing import Any, Dict, Optional
+
+import numpy as np
+
+from ..models.load import load_vla
+from ..models.vla import OpenVLA
+from ..overwatch import initialize_overwatch
+from ..vla.norm_stats import load_dataset_statistics
+
+overwatch = initialize_overwatch(__name__)
+
+# constants matching the reference (openvla_utils.py:25-29)
+OPENVLA_IMAGE_SIZE = 224
+
+
+def get_vla(cfg: Any) -> OpenVLA:
+    """Load the serving model from cfg.pretrained_checkpoint (local dir)."""
+    model = load_vla(
+        cfg.pretrained_checkpoint,
+        quantize_int8=getattr(cfg, "load_in_8bit", False),
+    )
+    # optional stats override sidecar next to the checkpoint (reference :60-72)
+    sidecar = Path(cfg.pretrained_checkpoint) / "dataset_statistics.json"
+    if sidecar.exists():
+        model.norm_stats = load_dataset_statistics(sidecar)
+    return model
+
+
+def get_processor(cfg: Any):
+    """The fused model owns preprocessing; exposed for API parity."""
+    return get_vla(cfg) if isinstance(cfg, (str, Path)) else None
+
+
+def crop_and_resize(image: np.ndarray, crop_scale: float, batch_size: int = 1) -> np.ndarray:
+    """Center crop to `crop_scale` of the AREA then resize back — matches the
+    train-time random-crop augmentation at eval (reference :81-124, in TF).
+
+    image: float32 [..., H, W, 3] in [0, 1].
+    """
+    import tensorflow as tf
+
+    img = tf.convert_to_tensor(image)
+    expanded = img.shape.ndims == 3
+    if expanded:
+        img = img[None]
+    new_side = tf.sqrt(crop_scale)
+    y0 = x0 = (1.0 - new_side) / 2.0
+    boxes = tf.tile(tf.stack([[y0, x0, y0 + new_side, x0 + new_side]]), [tf.shape(img)[0], 1])
+    out = tf.image.crop_and_resize(
+        img, boxes, tf.range(tf.shape(img)[0]), (OPENVLA_IMAGE_SIZE, OPENVLA_IMAGE_SIZE)
+    )
+    out = out.numpy()
+    return out[0] if expanded else out
+
+
+def center_crop_image_u8(image: np.ndarray, crop_scale: float = 0.9) -> np.ndarray:
+    """uint8 convenience wrapper around crop_and_resize."""
+    out = crop_and_resize(image.astype(np.float32) / 255.0, crop_scale)
+    return np.clip(np.round(out * 255.0), 0, 255).astype(np.uint8)
+
+
+def pool_tokens(hidden: np.ndarray, mode: str = "mean") -> np.ndarray:
+    """[T, D] -> [D] (reference :126-137; the fused path already pools on
+    device — this exists for external feature streams)."""
+    if mode == "mean":
+        return np.asarray(hidden).mean(axis=-2)
+    if mode == "final":
+        return np.asarray(hidden)[..., -1, :]
+    raise ValueError(f"Unknown pooling mode {mode}")
+
+
+def get_vla_action(
+    vla: OpenVLA,
+    obs: Dict[str, Any],
+    task_label: str,
+    unnorm_key: Optional[str] = None,
+    center_crop: bool = False,
+    return_embeddings: bool = False,
+) -> Dict[str, np.ndarray]:
+    """One control step: observation image + instruction -> 7-DoF action
+    (+ optional 33-layer pooled hidden states, same prefill)."""
+    image = np.asarray(obs["full_image"])
+    if center_crop:
+        image = center_crop_image_u8(image, crop_scale=0.9)
+    prompt = f"In: What action should the robot take to {task_label.lower()}?\nOut:"
+    out = vla.predict_action(
+        image, prompt, unnorm_key=unnorm_key, return_hidden_states=return_embeddings
+    )
+    return out

