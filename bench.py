@@ -37,6 +37,7 @@ def main() -> None:
     quant = os.environ.get("BENCH_QUANT", "int8")
 
     action_dim = int(os.environ.get("BENCH_ACTION_DIM", "7"))
+    prompt_pad = int(os.environ.get("BENCH_PROMPT_PAD", "32"))
     if scale == "tiny":
         cfg = vlm.VLMConfig.tiny()
         serving = vla.VLAServingConfig(vlm=cfg, prompt_pad_len=16,
@@ -44,8 +45,15 @@ def main() -> None:
                                        action_dim=action_dim)
         img_hw = (64, 64)
     else:
+        import dataclasses
+
         cfg = vlm.VLMConfig.openvla_7b()
-        serving = vla.VLAServingConfig(vlm=cfg, prompt_pad_len=48, action_dim=action_dim)
+        if quant == "int8":
+            # turbo mode: bf16 attention scores ride with quantized weights
+            cfg = dataclasses.replace(
+                cfg, llm=dataclasses.replace(cfg.llm, attn_scores_dtype=jnp.bfloat16)
+            )
+        serving = vla.VLAServingConfig(vlm=cfg, prompt_pad_len=prompt_pad, action_dim=action_dim)
         img_hw = (256, 256)
 
     # init weights directly on device (bf16) — value-independent benchmark

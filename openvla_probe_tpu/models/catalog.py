@@ -222,6 +222,66 @@ def params_from_hf_state(
     return params
 
 
+def params_to_hf_state(params: Dict[str, Any], cfg: vlm.VLMConfig) -> Dict[str, np.ndarray]:
+    """Inverse of params_from_hf_state: our pytree -> HF-layout flat state dict
+    (the convert_openvla_weights_to_hf.py export schema), numpy fp32."""
+    state: Dict[str, np.ndarray] = {}
+
+    def put(key, arr):
+        state[key] = np.asarray(arr, np.float32)
+
+    prefixes = (
+        [("featurizer.", cfg.vision_names[0])]
+        if len(cfg.vision) == 1
+        else [("featurizer.", cfg.vision_names[0]), ("fused_featurizer.", cfg.vision_names[1])]
+    )
+    for prefix, name in prefixes:
+        vp = params["vision"][name]
+        vcfg = cfg.vision[cfg.vision_names.index(name)]
+        base = f"vision_backbone.{prefix}"
+        put(f"{base}patch_embed.proj.weight",
+            np.asarray(vp["patch_embed"]["weight"], np.float32).reshape(vcfg.hidden_size, 3, vcfg.patch_size, vcfg.patch_size))
+        if "bias" in vp["patch_embed"]:
+            put(f"{base}patch_embed.proj.bias", vp["patch_embed"]["bias"])
+        put(f"{base}pos_embed", vp["pos_embed"])
+        if "cls_token" in vp:
+            put(f"{base}cls_token", vp["cls_token"])
+        if "reg_token" in vp:
+            put(f"{base}reg_token", vp["reg_token"])
+        if "norm_pre_scale" in vp:
+            put(f"{base}norm_pre.weight", vp["norm_pre_scale"])
+            put(f"{base}norm_pre.bias", vp["norm_pre_bias"])
+        names_map = {
+            "norm1_scale": "norm1.weight", "norm1_bias": "norm1.bias",
+            "qkv_w": "attn.qkv.weight", "qkv_b": "attn.qkv.bias",
+            "proj_w": "attn.proj.weight", "proj_b": "attn.proj.bias",
+            "norm2_scale": "norm2.weight", "norm2_bias": "norm2.bias",
+            "fc1_w": "mlp.fc1.weight", "fc1_b": "mlp.fc1.bias",
+            "fc2_w": "mlp.fc2.weight", "fc2_b": "mlp.fc2.bias",
+            "ls1": "ls1.scale_factor", "ls2": "ls2.scale_factor",
+        }
+        for ours, timm_key in names_map.items():
+            if ours not in vp["blocks"]:
+                continue
+            stacked = np.asarray(vp["blocks"][ours], np.float32)
+            for i in range(vcfg.num_layers):
+                put(f"{base}blocks.{i}.{timm_key}", stacked[i])
+    for fc in ["fc1", "fc2", "fc3"]:
+        if fc in params["projector"]:
+            put(f"projector.{fc}.weight", params["projector"][fc]["w"])
+            put(f"projector.{fc}.bias", params["projector"][fc]["b"])
+    lp = params["llm"]
+    put("language_model.model.embed_tokens.weight", lp["embed_tokens"])
+    put("language_model.model.norm.weight", lp["norm"])
+    put("language_model.lm_head.weight", lp["lm_head"])
+    inv_llm = {v: k for k, v in llama._HF_LAYER_KEYS.items()}
+    for ours, hf_key in inv_llm.items():
+        stacked = np.asarray(lp["layers"][ours], np.float32)
+        for i in range(cfg.llm.num_hidden_layers):
+            put(f"language_model.model.layers.{i}.{hf_key}", stacked[i])
+    return state
+
+
 def load_openvla_hf_checkpoint(
     checkpoint_dir: Union[str, Path],
     dtype=jnp.bfloat16,

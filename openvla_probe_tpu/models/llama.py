@@ -51,6 +51,10 @@ class LlamaConfig:
     rms_norm_eps: float = 1e-5
     rope_theta: float = 10000.0
     dtype: Any = jnp.bfloat16
+    # fp32 is the bit-parity mode (HF softmax convention); bf16 halves the
+    # attention-score HBM traffic (~775 MB/layer at B=16 prefill) for the
+    # turbo serving mode
+    attn_scores_dtype: Any = jnp.float32
 
     @property
     def head_dim(self) -> int:
@@ -129,15 +133,17 @@ def attention(
     k: jnp.ndarray,         # [B, Tk, Hkv, Dh]
     v: jnp.ndarray,         # [B, Tk, Hkv, Dh]
     mask: jnp.ndarray,      # [B, 1, Tq, Tk] additive fp32 (0 / -inf-ish)
+    scores_dtype=jnp.float32,
 ) -> jnp.ndarray:
-    """Masked softmax(QK^T)V with fp32 logits/softmax. XLA path; the Pallas
-    flash kernel in ops/attention.py swaps in behind the same signature."""
+    """Masked softmax(QK^T)V. fp32 scores = parity mode; bf16 = turbo.
+    XLA path; the Pallas flash kernel in ops/attention.py swaps in behind the
+    same signature."""
     n_rep = q.shape[2] // k.shape[2]
     k = _repeat_kv(k, n_rep)
     v = _repeat_kv(v, n_rep)
     scale = 1.0 / np.sqrt(q.shape[-1])
-    scores = jnp.einsum("bthd,bshd->bhts", q, k, preferred_element_type=jnp.float32)
-    scores = scores * scale + mask
+    scores = jnp.einsum("bthd,bshd->bhts", q, k, preferred_element_type=scores_dtype)
+    scores = (scores * scale + mask.astype(scores_dtype)).astype(scores_dtype)
     probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(q.dtype)
     return jnp.einsum("bhts,bshd->bthd", probs, v, preferred_element_type=jnp.float32).astype(q.dtype)
 
@@ -184,7 +190,7 @@ def _layer_forward(
         k, v = ck, cv
         new_cache = (ck, cv)
 
-    attn = attention(q, k, v, mask).reshape(B, T, D)
+    attn = attention(q, k, v, mask, scores_dtype=cfg.attn_scores_dtype).reshape(B, T, D)
     x = x + matmul_t(attn, lp["o_proj"])
 
     h = rms_norm(x, lp["post_attention_layernorm"], cfg.rms_norm_eps)

@@ -116,6 +116,32 @@ def _use_pallas() -> bool:
     return jax.default_backend() == "tpu" and os.environ.get("OVLA_PALLAS", "0") == "1"
 
 
+def _w8a8_matmul(x2: jnp.ndarray, w: QuantWeight) -> jnp.ndarray:
+    """Dynamic per-row activation quant + native int8xint8 MXU dot.
+
+    Avoids the XLA dequant trap: with weight-only int8 under XLA, every use
+    re-materializes bf16 weights to HBM (measured ~32 ms per 7B decode step).
+    int8 dots read the int8 bytes directly. Numerics: ~1/127 relative per
+    operand — the documented turbo mode, not the bit-parity mode.
+    """
+    xf = x2.astype(jnp.float32)
+    s_x = jnp.max(jnp.abs(xf), axis=-1, keepdims=True) / 127.0
+    s_x = jnp.maximum(s_x, 1e-8)
+    x_i8 = jnp.clip(jnp.round(xf / s_x), -127, 127).astype(jnp.int8)
+    acc = jax.lax.dot_general(
+        x_i8, w["q"],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    return (acc.astype(jnp.float32) * s_x * w["s"][None, :]).astype(x2.dtype)
+
+
+def _use_w8a8() -> bool:
+    import os
+
+    return os.environ.get("OVLA_W8A8", "1") == "1"
+
+
 def matmul_t(x: jnp.ndarray, w: AnyWeight) -> jnp.ndarray:
     """x [..., K] @ w[O, K].T -> [..., O]; w may be bf16/f32 or quantized."""
     if not is_quantized(w):
@@ -125,6 +151,8 @@ def matmul_t(x: jnp.ndarray, w: AnyWeight) -> jnp.ndarray:
     x2 = x.reshape(-1, K)
     if _use_pallas():
         out = _wi8_matmul_2d(x2, w["q"], w["s"])
+    elif _use_w8a8():
+        out = _w8a8_matmul(x2, w)
     else:
         wd = dequantize_weight(w, x.dtype)
         out = x2 @ wd.T
