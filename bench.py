@@ -33,7 +33,7 @@ def main() -> None:
 
     scale = os.environ.get("BENCH_SCALE", "full")
     n_calls = int(os.environ.get("BENCH_CALLS", "30"))
-    batch = int(os.environ.get("BENCH_BATCH", "8"))
+    batch = int(os.environ.get("BENCH_BATCH", "16"))
     quant = os.environ.get("BENCH_QUANT", "int8")
 
     action_dim = int(os.environ.get("BENCH_ACTION_DIM", "7"))

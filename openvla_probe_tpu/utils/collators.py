@@ -27,10 +27,9 @@ def _bucket(n: int, buckets: Sequence[int]) -> int:
 
 
 def _pad_stack(rows: List[np.ndarray], length: int, fill: int) -> np.ndarray:
-    out = np.full((len(rows), length), fill, dtype=np.int64)
-    for i, r in enumerate(rows):
-        out[i, : len(r)] = r[:length] if len(r) > length else r
-    return out
+    from .native import pad_stack_i64
+
+    return pad_stack_i64(rows, length, fill)
 
 
 @dataclasses.dataclass
