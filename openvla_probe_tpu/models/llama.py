@@ -55,6 +55,9 @@ class LlamaConfig:
     # attention-score HBM traffic (~775 MB/layer at B=16 prefill) for the
     # turbo serving mode
     attn_scores_dtype: Any = jnp.float32
+    # rematerialize each decoder block in backward (the reference's
+    # non-reentrant activation checkpointing on decoder layers, fsdp.py:170-183)
+    remat: bool = False
 
     @property
     def head_dim(self) -> int:
@@ -238,10 +241,14 @@ def forward(
     layers = params["layers"]
     L = cfg.num_hidden_layers
 
+    layer_fn = _layer_forward
+    if cfg.remat and cache is None:
+        layer_fn = jax.checkpoint(_layer_forward, static_argnums=(0,))
+
     def body(x, inp):
         lp, ck, cv = inp
         cache_kv = None if cache is None else (ck, cv)
-        x_out, new_cache = _layer_forward(cfg, lp, x, mask, cos, sin, cache_kv, cache_index)
+        x_out, new_cache = layer_fn(cfg, lp, x, mask, cos, sin, cache_kv, cache_index)
         ys: Dict[str, Any] = {}
         if cache is not None:
             ys["cache"] = new_cache

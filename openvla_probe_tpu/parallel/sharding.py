@@ -10,6 +10,8 @@ Strategies
   * fsdp  — ZeRO-3: every sizable tensor sharded along one dim over the
             `fsdp` axis (params, grads and optimizer state all inherit it).
             Maps the reference's "fsdp-full-shard".
+  * zero2 — ZeRO-2 ("fsdp-shard-grad-op"): parameters replicated, optimizer
+            state sharded (leaf paths under opt_state/ get the fsdp rules).
   * tp    — megatron-style tensor parallelism for the Llama trunk: qkv/gate/up
             sharded on the output-feature dim, o/down on the input-feature
             dim, embeddings on vocab. Not in the reference (SURVEY.md §2.5:
@@ -126,3 +128,23 @@ def place_params(params: Any, mesh: Mesh, strategy: str = "fsdp") -> Any:
     """device_put the pytree according to the strategy's shardings."""
     shardings = shard_params(params, mesh, strategy)
     return jax.device_put(params, shardings)
+
+
+def shard_train_state(state: Any, mesh: Mesh, strategy: str = "fsdp") -> Any:
+    """Shardings for a TrainState (step, params, opt_state).
+
+    `zero2` (the reference's "fsdp-shard-grad-op"): parameters replicated
+    (optionally tp-sharded with "zero2+tp"), optimizer moments fsdp-sharded —
+    grads reduce-scatter into sharded Adam state while the forward keeps
+    whole parameters resident. Any other strategy applies uniformly.
+    """
+    if "zero2" in strategy:
+        p_strategy = strategy.replace("zero2", "").strip("+") or "none"
+        o_strategy = strategy.replace("zero2", "fsdp")
+    else:
+        p_strategy = o_strategy = strategy
+    return type(state)(
+        step=NamedSharding(mesh, P()),
+        params=shard_params(state.params, mesh, p_strategy),
+        opt_state=shard_params(state.opt_state, mesh, o_strategy),
+    )

@@ -91,20 +91,50 @@ def make_train_step(
     trainable_mask: Optional[Any] = None,   # pytree of bool: False => frozen
     loss_fn: Optional[Callable] = None,
     donate: bool = True,
+    grad_accum_steps: int = 1,
 ) -> Callable[[TrainState, Dict[str, jnp.ndarray]], Tuple[TrainState, Dict[str, jnp.ndarray]]]:
     """Build the jitted (state, batch) -> (state, metrics) step.
 
     `trainable_mask` implements stage freezing (reference
     vlms/prismatic.py:129-241 freeze_backbones): frozen leaves get zero
     gradients, so optimizer momentum never moves them.
+
+    `grad_accum_steps > 1` scans micro-batches (batch leading dim must divide)
+    accumulating mean gradients — the reference's accumulation-normalized VLM
+    loop (base_strategy.py:85,208-221) as one compiled step.
     """
     codec = codec or ActionCodec()
     loss_fn = loss_fn or functools.partial(vla_loss_fn, codec=codec)
 
+    def compute_grads(params, batch):
+        if grad_accum_steps <= 1:
+            return jax.value_and_grad(lambda p: loss_fn(p, cfg, batch), has_aux=True)(params)
+        micro = jax.tree.map(
+            lambda x: x.reshape(grad_accum_steps, x.shape[0] // grad_accum_steps, *x.shape[1:]),
+            batch,
+        )
+
+        def body(carry, mb):
+            g_acc, l_acc, m_acc = carry
+            (loss, metrics), grads = jax.value_and_grad(
+                lambda p: loss_fn(p, cfg, mb), has_aux=True
+            )(params)
+            g_acc = jax.tree.map(lambda a, g: a + g, g_acc, grads)
+            m_acc = jax.tree.map(lambda a, m: a + m, m_acc, metrics)
+            return (g_acc, l_acc + loss, m_acc), ()
+
+        zeros_g = jax.tree.map(lambda p: jnp.zeros(p.shape, jnp.float32), params)
+        sample = jax.tree.map(lambda x: x[0], micro)
+        _, zeros_m = jax.eval_shape(lambda p: loss_fn(p, cfg, sample), params)
+        zeros_m = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), zeros_m)
+        (g, l, m), _ = jax.lax.scan(body, (zeros_g, jnp.float32(0), zeros_m), micro)
+        scale = 1.0 / grad_accum_steps
+        g = jax.tree.map(lambda x: x * scale, g)
+        m = jax.tree.map(lambda x: x * scale, m)
+        return (l * scale, m), g
+
     def step(state: TrainState, batch: Dict[str, jnp.ndarray]):
-        (loss, metrics), grads = jax.value_and_grad(
-            lambda p: loss_fn(p, cfg, batch), has_aux=True
-        )(state.params)
+        (loss, metrics), grads = compute_grads(state.params, batch)
         if trainable_mask is not None:
             grads = jax.tree.map(
                 lambda g, t: g if t else jnp.zeros_like(g), grads, trainable_mask
