@@ -51,7 +51,10 @@ def main() -> None:
         if quant == "int8":
             # turbo mode: bf16 attention scores ride with quantized weights
             cfg = dataclasses.replace(
-                cfg, llm=dataclasses.replace(cfg.llm, attn_scores_dtype=jnp.bfloat16)
+                cfg,
+                llm=dataclasses.replace(cfg.llm, attn_scores_dtype=jnp.bfloat16),
+                vision=tuple(dataclasses.replace(v, attn_scores_dtype=jnp.bfloat16)
+                             for v in cfg.vision),
             )
         serving = vla.VLAServingConfig(vlm=cfg, prompt_pad_len=prompt_pad, action_dim=action_dim)
         img_hw = (256, 256)

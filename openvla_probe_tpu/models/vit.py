@@ -49,6 +49,7 @@ class ViTConfig:
     act: str = "gelu"                # gelu | gelu_tanh | quick_gelu
     layer_norm_eps: float = 1e-6
     dtype: Any = jnp.float32
+    attn_scores_dtype: Any = jnp.float32  # bf16 = turbo serving mode
 
     @property
     def grid(self) -> int:
@@ -164,8 +165,11 @@ def _block(cfg: ViTConfig, bp: Params, x: jnp.ndarray) -> jnp.ndarray:
     q = q.reshape(B, N, H, Dh)
     k = k.reshape(B, N, H, Dh)
     v = v.reshape(B, N, H, Dh)
-    scores = jnp.einsum("bthd,bshd->bhts", q, k, preferred_element_type=jnp.float32)
-    probs = jax.nn.softmax(scores * (1.0 / np.sqrt(Dh)), axis=-1).astype(x.dtype)
+    scores = jnp.einsum("bthd,bshd->bhts", q, k,
+                        preferred_element_type=cfg.attn_scores_dtype)
+    probs = jax.nn.softmax(
+        scores.astype(jnp.float32) * (1.0 / np.sqrt(Dh)), axis=-1
+    ).astype(x.dtype)
     attn = jnp.einsum("bhts,bshd->bthd", probs, v, preferred_element_type=jnp.float32)
     attn = attn.astype(x.dtype).reshape(B, N, D)
     attn = attn @ bp["proj_w"].T + bp["proj_b"]

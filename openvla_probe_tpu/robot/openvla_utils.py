@@ -88,13 +88,21 @@ def get_vla_action(
     unnorm_key: Optional[str] = None,
     center_crop: bool = False,
     return_embeddings: bool = False,
+    base_vlm: str = "openvla-7b",
 ) -> Dict[str, np.ndarray]:
     """One control step: observation image + instruction -> 7-DoF action
-    (+ optional 33-layer pooled hidden states, same prefill)."""
+    (+ optional 33-layer pooled hidden states, same prefill). v01 base models
+    use the chat-style prompt (reference openvla_utils.py:178-183)."""
     image = np.asarray(obs["full_image"])
     if center_crop:
         image = center_crop_image_u8(image, crop_scale=0.9)
-    prompt = f"In: What action should the robot take to {task_label.lower()}?\nOut:"
+    if "v01" in base_vlm:
+        prompt = (
+            "USER: What action should the robot take to "
+            f"{task_label.lower()}? ASSISTANT:"
+        )
+    else:
+        prompt = f"In: What action should the robot take to {task_label.lower()}?\nOut:"
     out = vla.predict_action(
         image, prompt, unnorm_key=unnorm_key, return_hidden_states=return_embeddings
     )
