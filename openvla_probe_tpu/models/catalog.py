@@ -83,6 +83,15 @@ VISION_BACKBONES: Dict[str, Dict[str, Any]] = {
                   _spec(384, "bicubic", SIGLIP_MEAN, SIGLIP_STD)],
         "names": ("dino", "siglip"),
     },
+    # test/smoke-scale fused backbone (28px, patch 14 -> 4 patches per tower)
+    "dinosiglip-tiny-28px": {
+        "cfgs": [vit.ViTConfig.tiny(num_register_tokens=4, no_embed_class=True,
+                                    use_layerscale=True),
+                 vit.ViTConfig.tiny(use_cls_token=False, act="gelu_tanh")],
+        "specs": [_spec(28, "bicubic", IMAGENET_DEFAULT_MEAN, IMAGENET_DEFAULT_STD),
+                  _spec(28, "bicubic", SIGLIP_MEAN, SIGLIP_STD)],
+        "names": ("dino", "siglip"),
+    },
 }
 
 # --- llm backbone catalog (reference models/materialize.py:46-76) -----------
@@ -115,6 +124,8 @@ LLM_BACKBONES: Dict[str, Dict[str, Any]] = {
                                           intermediate_size=10240, num_hidden_layers=32,
                                           num_attention_heads=32),
                  "prompt": PhiPromptBuilder},
+    # test/smoke-scale LLM
+    "llama-tiny": {"cfg": llama.LlamaConfig.tiny(vocab_size=512), "prompt": PurePromptBuilder},
 }
 
 
