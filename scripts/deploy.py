@@ -15,6 +15,9 @@ from typing import Optional
 REPO_ROOT = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO_ROOT))
 
+from openvla_probe_tpu.utils.platform import apply_platform_env
+
+apply_platform_env()
 from openvla_probe_tpu.conf.registry import parse_config
 from openvla_probe_tpu.overwatch import initialize_overwatch
 

@@ -19,6 +19,9 @@ sys.path.insert(0, str(REPO_ROOT))
 
 from openvla_probe_tpu.conf.datasets import DatasetConfig
 from openvla_probe_tpu.conf.models import ModelConfig
+from openvla_probe_tpu.utils.platform import apply_platform_env
+
+apply_platform_env()
 from openvla_probe_tpu.conf.registry import parse_config
 from openvla_probe_tpu.overwatch import initialize_overwatch
 

@@ -24,6 +24,9 @@ from typing import Optional
 REPO_ROOT = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO_ROOT))
 
+from openvla_probe_tpu.utils.platform import apply_platform_env
+
+apply_platform_env()
 from openvla_probe_tpu.conf.registry import ChoiceRegistry, parse_config
 from openvla_probe_tpu.conf.vla import VLAConfig
 from openvla_probe_tpu.overwatch import initialize_overwatch
@@ -139,12 +142,36 @@ def main(cfg: TrainConfig) -> None:
         action_tokenizer, tokenizer,
         image_transform=lambda img: np.asarray(apply_image_transform(img, img_cfg)),
     )
-    dataset = RLDSDataset(
-        cfg.data_root_dir, v.data_mix, batch_transform,
-        resize_resolution=(img_cfg.specs[0].input_size),
-        shuffle_buffer_size=v.shuffle_buffer_size,
-        image_aug=cfg.image_aug or v.image_aug,
-    )
+    if v.data_mix == "dummy":
+        # RLDS/TFDS-free smoke path on the DummyDataset fixture
+        from openvla_probe_tpu.vla.datasets.datasets import DummyDataset
+
+        class _DummyStream:
+            def __init__(self):
+                self.ds = DummyDataset(
+                    action_tokenizer, tokenizer,
+                    image_transform=batch_transform.image_transform,
+                    image_size=img_cfg.specs[0].input_size,
+                )
+                self.dataset_statistics = self.ds.dataset_statistics
+
+            def __iter__(self):
+                i = 0
+                while True:
+                    yield self.ds[i % len(self.ds)]
+                    i += 1
+
+            def __len__(self):
+                return len(self.ds)
+
+        dataset = _DummyStream()
+    else:
+        dataset = RLDSDataset(
+            cfg.data_root_dir, v.data_mix, batch_transform,
+            resize_resolution=(img_cfg.specs[0].input_size),
+            shuffle_buffer_size=v.shuffle_buffer_size,
+            image_aug=cfg.image_aug or v.image_aug,
+        )
     save_dataset_statistics(dataset.dataset_statistics, run_dir)
 
     # --- mesh + optimizer + step ----------------------------------------
