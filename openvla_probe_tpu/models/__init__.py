@@ -6,9 +6,13 @@ from .catalog import (
     params_from_hf_state,
     params_to_hf_state,
 )
-from .load import available_model_names, available_models, get_model_description, load, load_vla
+from .load import available_model_names, available_models, get_model_description, load_vla
 from .vla import OpenVLA, VLAServingConfig
 from .vlm import VLMConfig
+
+# keep the `models.load` attribute bound to the SUBMODULE (the bare `load`
+# function would shadow it); reach the function via models.load.load
+from . import load  # noqa: E402  (must come after the from-imports)
 
 __all__ = [
     "GLOBAL_REGISTRY",
