@@ -164,26 +164,33 @@ def build_vlm_config(
     return cfg, img_cfg, prompt_cls
 
 
-# --- pretrained model registry (reference models/registry.py) ---------------
+# --- pretrained model registry ----------------------------------------------
+# The 49-model catalog (ids, display names, descriptions) is a published fact
+# table of the Prismatic/OpenVLA release — extracted to model_registry.json
+# (reference prismatic/models/registry.py), plus the OpenVLA policy entries.
 
-MODEL_REGISTRY: Dict[str, Dict[str, str]] = {
-    "prism-dinosiglip-224px+7b": {
-        "model_id": "prism-dinosiglip-224px+7b",
-        "names": ["Prism-DINOSigLIP 224px 7B"],
-        "description": "DINOv2+SigLIP 224px fused backbone, Llama-2-7b, single-stage (the OpenVLA base VLM)",
-    },
-    "openvla-7b": {
+def _load_model_registry() -> Dict[str, Dict[str, Any]]:
+    reg_path = Path(__file__).parent / "model_registry.json"
+    registry: Dict[str, Dict[str, Any]] = {}
+    if reg_path.exists():
+        with open(reg_path) as f:
+            registry.update(json.load(f))
+    registry.setdefault("openvla-7b", {
         "model_id": "openvla-7b",
         "names": ["OpenVLA 7B"],
-        "description": "OpenVLA 7B policy trained on the Open-X magic-soup++ mixture",
-    },
-    "siglip-224px+7b": {
-        "model_id": "siglip-224px+7b",
-        "names": ["SigLIP 224px 7B"],
-        "description": "SigLIP-only 224px backbone, Vicuña-v1.5-7b",
-    },
+        "description": {
+            "name": "OpenVLA 7B",
+            "description": "OpenVLA 7B policy (prism-dinosiglip-224px backbone) "
+                           "trained on the Open-X magic-soup++ mixture",
+        },
+    })
+    return registry
+
+
+MODEL_REGISTRY: Dict[str, Dict[str, Any]] = _load_model_registry()
+GLOBAL_REGISTRY: Dict[str, Dict[str, Any]] = {
+    name: v for v in MODEL_REGISTRY.values() for name in [v["model_id"], *v.get("names", [])]
 }
-GLOBAL_REGISTRY = MODEL_REGISTRY
 
 
 # --- HF checkpoint import ----------------------------------------------------

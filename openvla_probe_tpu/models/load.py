@@ -32,10 +32,13 @@ def available_model_names() -> List[str]:
 
 
 def get_model_description(model_id_or_name: str) -> str:
-    for mid, meta in catalog.GLOBAL_REGISTRY.items():
-        if model_id_or_name == mid or model_id_or_name in meta["names"]:
-            return meta["description"]
-    raise ValueError(f"Unknown model `{model_id_or_name}`; have {available_models()}")
+    meta = catalog.GLOBAL_REGISTRY.get(model_id_or_name)
+    if meta is None:
+        raise ValueError(f"Unknown model `{model_id_or_name}`; have {available_models()}")
+    desc = meta["description"]
+    if isinstance(desc, dict):
+        return json.dumps(desc, indent=2)
+    return str(desc)
 
 
 def load(
