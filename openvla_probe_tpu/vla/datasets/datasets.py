@@ -131,28 +131,82 @@ class RLDSDataset:
         return self.dataset_length
 
 
-class EpisodicRLDSDataset(RLDSDataset):
-    """Yields FULL trajectories (list of per-step examples) instead of frames."""
+class EpisodicRLDSDataset:
+    """Yields FULL trajectories (list of per-step examples) instead of frames.
 
-    def __init__(self, *args, **kwargs):
-        self._episodic = True
-        super().__init__(*args, **kwargs)
+    Like the reference's episodic variant, only SINGLE datasets are supported
+    (mixtures interleave at the frame level). Images are decoded host-side per
+    step; traj-level transforms (chunking, normalization) run in tf.data.
+    """
+
+    def __init__(
+        self,
+        data_root_dir: str,
+        data_mix: str,
+        batch_transform: RLDSBatchTransform,
+        resize_resolution: Tuple[int, int] = (224, 224),
+        shuffle_buffer_size: int = 256_000,   # unused (trajectory-level API)
+        train: bool = True,
+        image_aug: bool = False,
+        window_size: int = 1,
+        future_action_window_size: int = 0,
+    ) -> None:
+        from .rlds import dataset as rlds_dataset
+        from .rlds.oxe import materialize as oxe_materialize
+        from .rlds.oxe.mixtures import OXE_NAMED_MIXTURES
+
+        mixture_spec = OXE_NAMED_MIXTURES.get(data_mix, [(data_mix, 1.0)])
+        assert len(mixture_spec) == 1, "EpisodicRLDSDataset supports single datasets only"
+        per_dataset_kwargs, _ = oxe_materialize.get_oxe_dataset_kwargs_and_weights(
+            data_root_dir, mixture_spec, load_camera_views=("primary",),
+        )
+        self.batch_transform = batch_transform
+        self._resize = tuple(resize_resolution)
+        ds, stats = rlds_dataset.make_dataset_from_rlds(**per_dataset_kwargs[0], train=train)
+        ds = rlds_dataset.apply_trajectory_transforms(
+            ds, train=train, window_size=window_size,
+            future_action_window_size=future_action_window_size,
+        )
+        self.dataset = ds
+        self.dataset_statistics = {per_dataset_kwargs[0]["name"]: stats}
+        self.dataset_length = stats["num_transitions"]
+
+    def _decode_image(self, raw) -> np.ndarray:
+        import tensorflow as tf
+
+        if isinstance(raw, bytes):
+            if not raw:
+                return np.zeros((*self._resize, 3), np.uint8)
+            img = tf.io.decode_image(raw, expand_animations=False, dtype=tf.uint8)
+            from .rlds.obs_transforms import resize_image
+
+            return resize_image(img, self._resize).numpy()
+        return np.asarray(raw)
 
     def __iter__(self) -> Iterator[List[Dict[str, Any]]]:
-        for frame in self.dataset.as_numpy_iterator():
-            T = frame["action"].shape[0]
-            yield [
-                self.batch_transform(
-                    {k: _index_tree(v, t) for k, v in frame.items()}
-                )
-                for t in range(T)
-            ]
+        for traj in self.dataset.as_numpy_iterator():
+            T = traj["action"].shape[0]
+            steps = []
+            for t in range(T):
+                frame = {
+                    "dataset_name": traj["dataset_name"][t],
+                    "action": traj["action"][t],              # [W(+F), A]
+                    "observation": {
+                        "image_primary": np.stack([
+                            self._decode_image(raw)
+                            for raw in np.atleast_1d(traj["observation"]["image_primary"][t])
+                        ]),
+                    },
+                    "task": {
+                        "language_instruction": traj["task"]["language_instruction"][t]
+                        if "language_instruction" in traj.get("task", {}) else b"",
+                    },
+                }
+                steps.append(self.batch_transform(frame))
+            yield steps
 
-
-def _index_tree(v, t):
-    if isinstance(v, dict):
-        return {k: _index_tree(x, t) for k, x in v.items()}
-    return v[t] if hasattr(v, "__getitem__") and not isinstance(v, (str, bytes)) else v
+    def __len__(self) -> int:
+        return self.dataset_length
 
 
 class DummyDataset:
