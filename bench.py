@@ -60,13 +60,17 @@ def main() -> None:
         img_hw = (256, 256)
 
     # init weights directly on device (bf16) — value-independent benchmark
+    llm_suffixes = ("q_proj", "k_proj", "v_proj", "o_proj",
+                    "gate_proj", "up_proj", "down_proj", "lm_head")
+    vit_suffixes = ("qkv_w", "proj_w", "fc1_w", "fc2_w")
     if quant == "int8":
         from openvla_probe_tpu.ops.linear import quantize_params
 
+        suffixes = llm_suffixes
+        if os.environ.get("BENCH_QUANT_VIT", "1") == "1":
+            suffixes = llm_suffixes + vit_suffixes
         init = jax.jit(lambda key: quantize_params(
-            {**vlm.init_params(cfg, key)},
-            suffixes=("q_proj", "k_proj", "v_proj", "o_proj",
-                      "gate_proj", "up_proj", "down_proj", "lm_head"),
+            {**vlm.init_params(cfg, key)}, suffixes=suffixes,
         ))
     else:
         init = jax.jit(lambda key: vlm.init_params(cfg, key))

@@ -29,6 +29,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..ops.linear import matmul_t
+
 Params = Dict[str, Any]
 
 
@@ -160,7 +162,7 @@ def _block(cfg: ViTConfig, bp: Params, x: jnp.ndarray) -> jnp.ndarray:
     H, Dh = cfg.num_heads, cfg.head_dim
 
     h = layer_norm(x, bp["norm1_scale"], bp["norm1_bias"], cfg.layer_norm_eps)
-    qkv = h @ bp["qkv_w"].T + bp["qkv_b"]         # [B, N, 3D]
+    qkv = matmul_t(h, bp["qkv_w"]) + bp["qkv_b"]  # [B, N, 3D]
     q, k, v = jnp.split(qkv, 3, axis=-1)
     q = q.reshape(B, N, H, Dh)
     k = k.reshape(B, N, H, Dh)
@@ -172,14 +174,14 @@ def _block(cfg: ViTConfig, bp: Params, x: jnp.ndarray) -> jnp.ndarray:
     ).astype(x.dtype)
     attn = jnp.einsum("bhts,bshd->bthd", probs, v, preferred_element_type=jnp.float32)
     attn = attn.astype(x.dtype).reshape(B, N, D)
-    attn = attn @ bp["proj_w"].T + bp["proj_b"]
+    attn = matmul_t(attn, bp["proj_w"]) + bp["proj_b"]
     if cfg.use_layerscale:
         attn = attn * bp["ls1"]
     x = x + attn
 
     h = layer_norm(x, bp["norm2_scale"], bp["norm2_bias"], cfg.layer_norm_eps)
-    h = _act(h @ bp["fc1_w"].T + bp["fc1_b"], cfg.act)
-    h = h @ bp["fc2_w"].T + bp["fc2_b"]
+    h = _act(matmul_t(h, bp["fc1_w"]) + bp["fc1_b"], cfg.act)
+    h = matmul_t(h, bp["fc2_w"]) + bp["fc2_b"]
     if cfg.use_layerscale:
         h = h * bp["ls2"]
     return x + h

@@ -96,8 +96,8 @@ def main(cfg: PretrainConfig) -> None:
         mask["llm"] = jax.tree.map(lambda _: False, params["llm"])
 
     stage_components = (
-        m_components := (cfg.dataset.align_stage_components if cfg.stage == "align"
-                         else cfg.dataset.finetune_stage_components)
+        cfg.dataset.align_stage_components if cfg.stage == "align"
+        else cfg.dataset.finetune_stage_components
     )
     root = Path(cfg.dataset.dataset_root_dir)
     dataset, collator = get_dataset_and_collator(
