@@ -139,11 +139,21 @@ def attention(
     scores_dtype=jnp.float32,
 ) -> jnp.ndarray:
     """Masked softmax(QK^T)V. fp32 scores = parity mode; bf16 = turbo.
-    XLA path; the Pallas flash kernel in ops/attention.py swaps in behind the
-    same signature."""
+    XLA path by default; with OVLA_PALLAS=1 prefill-sized calls route to the
+    Pallas flash kernel (ops/attention.py) — scores never touch HBM."""
     n_rep = q.shape[2] // k.shape[2]
     k = _repeat_kv(k, n_rep)
     v = _repeat_kv(v, n_rep)
+    import os
+
+    if (
+        os.environ.get("OVLA_PALLAS", "0") == "1"
+        and jax.default_backend() == "tpu"
+        and q.shape[1] > 1          # prefill-sized; decode stays on XLA
+    ):
+        from ..ops.attention import flash_attention
+
+        return flash_attention(q, k, v, mask)
     scale = 1.0 / np.sqrt(q.shape[-1])
     scores = jnp.einsum("bthd,bshd->bhts", q, k, preferred_element_type=scores_dtype)
     scores = (scores * scale + mask.astype(scores_dtype)).astype(scores_dtype)
@@ -173,8 +183,12 @@ def _layer_forward(
     mask: jnp.ndarray,        # [B, 1, T, Tk]
     cos: jnp.ndarray,
     sin: jnp.ndarray,
-    cache_kv: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,   # ([B,S,Hkv,Dh], [B,S,Hkv,Dh])
-    cache_index: Optional[jnp.ndarray] = None,
+    cache_ref: Optional[Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]] = None,
+    # cache_ref = (k_all [L,B,S,Hkv,Dh], v_all, layer_idx, cache_index):
+    # the FULL stacked cache rides the scan carry; only the new tokens are
+    # written (a [1,B,T,Hkv,Dh] dynamic_update_slice XLA keeps in place) —
+    # stacking per-layer cache outputs through scan ys re-materializes the
+    # whole multi-GB cache every decode step.
 ) -> Tuple[jnp.ndarray, Optional[Tuple[jnp.ndarray, jnp.ndarray]]]:
     B, T, D = x.shape
     H, Hkv, Dh = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
@@ -186,12 +200,13 @@ def _layer_forward(
     q, k = apply_rope(q, k, cos, sin)
 
     new_cache = None
-    if cache_kv is not None:
-        ck, cv = cache_kv
-        ck = jax.lax.dynamic_update_slice(ck, k, (0, cache_index, 0, 0))
-        cv = jax.lax.dynamic_update_slice(cv, v, (0, cache_index, 0, 0))
-        k, v = ck, cv
-        new_cache = (ck, cv)
+    if cache_ref is not None:
+        k_all, v_all, li, cache_index = cache_ref
+        k_all = jax.lax.dynamic_update_slice(k_all, k[None], (li, 0, cache_index, 0, 0))
+        v_all = jax.lax.dynamic_update_slice(v_all, v[None], (li, 0, cache_index, 0, 0))
+        k = jax.lax.dynamic_index_in_dim(k_all, li, 0, keepdims=False)
+        v = jax.lax.dynamic_index_in_dim(v_all, li, 0, keepdims=False)
+        new_cache = (k_all, v_all)
 
     attn = attention(q, k, v, mask, scores_dtype=cfg.attn_scores_dtype).reshape(B, T, D)
     x = x + matmul_t(attn, lp["o_proj"])
@@ -245,27 +260,31 @@ def forward(
     if cfg.remat and cache is None:
         layer_fn = jax.checkpoint(_layer_forward, static_argnums=(0,))
 
-    def body(x, inp):
-        lp, ck, cv = inp
-        cache_kv = None if cache is None else (ck, cv)
-        x_out, new_cache = layer_fn(cfg, lp, x, mask, cos, sin, cache_kv, cache_index)
-        ys: Dict[str, Any] = {}
-        if cache is not None:
-            ys["cache"] = new_cache
-        if collect_hidden_states:
-            ys["pooled"] = pool(x_out)
-        return x_out, ys
-
-    if cache is not None:
-        xs = (layers, cache.k, cache.v)
-    else:
-        dummy = jnp.zeros((L, 1))
-        xs = (layers, dummy, dummy)
-    x, scan_out = jax.lax.scan(body, x, xs)
-
     out: Dict[str, Any] = {}
     if cache is not None:
-        out["cache"] = KVCache(scan_out["cache"][0], scan_out["cache"][1])
+        # cache rides the CARRY: per-layer writes stay in place instead of
+        # re-stacking the multi-GB cache through scan outputs each step
+        def body_cached(carry, inp):
+            x, k_all, v_all = carry
+            lp, li = inp
+            x_out, (k_all, v_all) = layer_fn(
+                cfg, lp, x, mask, cos, sin, (k_all, v_all, li, cache_index)
+            )
+            ys = {"pooled": pool(x_out)} if collect_hidden_states else {}
+            return (x_out, k_all, v_all), ys
+
+        (x, k_all, v_all), scan_out = jax.lax.scan(
+            body_cached, (x, cache.k, cache.v),
+            (layers, jnp.arange(L, dtype=jnp.int32)),
+        )
+        out["cache"] = KVCache(k_all, v_all)
+    else:
+        def body(x, lp):
+            x_out, _ = layer_fn(cfg, lp, x, mask, cos, sin, None)
+            ys = {"pooled": pool(x_out)} if collect_hidden_states else {}
+            return x_out, ys
+
+        x, scan_out = jax.lax.scan(body, x, layers)
 
     x = rms_norm(x, params["norm"], cfg.rms_norm_eps)
     if collect_hidden_states:
