@@ -12,7 +12,7 @@ the build target at >=30 calls/s/chip on one v5e; `vs_baseline` is measured
 against that target.
 
 Env knobs: BENCH_SCALE=tiny for a smoke run; BENCH_CALLS=N (default 30);
-BENCH_BATCH=N (default 8) batched serving; BENCH_QUANT=int8|bf16 (default
+BENCH_BATCH=N (default 24) batched serving; BENCH_QUANT=int8|bf16 (default
 int8) — int8 is the turbo serving mode (weight-only quantized Llama trunk via
 the Pallas kernel); bf16 is the bit-parity mode.
 """
@@ -33,7 +33,7 @@ def main() -> None:
 
     scale = os.environ.get("BENCH_SCALE", "full")
     n_calls = int(os.environ.get("BENCH_CALLS", "30"))
-    batch = int(os.environ.get("BENCH_BATCH", "16"))
+    batch = int(os.environ.get("BENCH_BATCH", "24"))
     quant = os.environ.get("BENCH_QUANT", "int8")
 
     action_dim = int(os.environ.get("BENCH_ACTION_DIM", "7"))
