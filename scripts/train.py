@@ -115,7 +115,7 @@ def main(cfg: TrainConfig) -> None:
             vocab_size = model_cfg.llm.vocab_size
 
             def encode(self, s):
-                return [1] + [(hash(w) % 31000) + 100 for w in s.split()]
+                return [1] + [(hash(w) % max(self.vocab_size - 100, 100)) + 100 for w in s.split()]
 
             def decode(self, ids):
                 return " ".join(map(str, ids))
