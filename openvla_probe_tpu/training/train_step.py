@@ -30,6 +30,18 @@ from .train_state import TrainState
 IGNORE_INDEX = -100
 
 
+def _apply_mask(g: jnp.ndarray, t) -> jnp.ndarray:
+    """Zero gradients where the trainable mask is False. Masks may be python
+    bools (whole-leaf freezing) or arrays broadcastable against the leaf —
+    e.g. a [L, 1, 1] layer mask over stacked decoder weights implements the
+    reference's unfreeze_last_llm_layer."""
+    if isinstance(t, bool):
+        return g if t else jnp.zeros_like(g)
+    t = jnp.asarray(t)
+    shaped = t.reshape(t.shape + (1,) * (g.ndim - t.ndim))
+    return g * shaped.astype(g.dtype)
+
+
 def cross_entropy_loss(
     logits: jnp.ndarray,    # [B, T, V]
     labels: jnp.ndarray,    # [B, T] with IGNORE_INDEX
@@ -136,10 +148,12 @@ def make_train_step(
     def step(state: TrainState, batch: Dict[str, jnp.ndarray]):
         (loss, metrics), grads = compute_grads(state.params, batch)
         if trainable_mask is not None:
-            grads = jax.tree.map(
-                lambda g, t: g if t else jnp.zeros_like(g), grads, trainable_mask
-            )
+            grads = jax.tree.map(_apply_mask, grads, trainable_mask)
         updates, new_opt = optimizer.update(grads, state.opt_state, state.params)
+        if trainable_mask is not None:
+            # also mask the updates: AdamW's decoupled weight decay would
+            # otherwise move frozen parameters despite zero gradients
+            updates = jax.tree.map(_apply_mask, updates, trainable_mask)
         new_params = jax.tree.map(
             lambda p, u: (p.astype(jnp.float32) + u.astype(jnp.float32)).astype(p.dtype),
             state.params, updates,
@@ -165,12 +179,6 @@ def make_sharded_train_step(
     """pjit variant: state/batch shardings pin the fsdp/tp/dp layout; XLA
     inserts the all-gather / reduce-scatter collectives (the entire FSDP
     machinery of the reference, fsdp.py:40-270, reduces to these specs)."""
-    inner = make_train_step(
-        cfg, optimizer, codec=codec, trainable_mask=trainable_mask,
-        loss_fn=loss_fn, donate=False,
-    )
-
-    # re-wrap un-jitted logic with explicit shardings
     codec = codec or ActionCodec()
     loss_fn = loss_fn or functools.partial(vla_loss_fn, codec=codec)
 
@@ -179,10 +187,12 @@ def make_sharded_train_step(
             lambda p: loss_fn(p, cfg, batch), has_aux=True
         )(state.params)
         if trainable_mask is not None:
-            grads = jax.tree.map(
-                lambda g, t: g if t else jnp.zeros_like(g), grads, trainable_mask
-            )
+            grads = jax.tree.map(_apply_mask, grads, trainable_mask)
         updates, new_opt = optimizer.update(grads, state.opt_state, state.params)
+        if trainable_mask is not None:
+            # also mask the updates: AdamW's decoupled weight decay would
+            # otherwise move frozen parameters despite zero gradients
+            updates = jax.tree.map(_apply_mask, updates, trainable_mask)
         new_params = jax.tree.map(
             lambda p, u: (p.astype(jnp.float32) + u.astype(jnp.float32)).astype(p.dtype),
             state.params, updates,

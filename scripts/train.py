@@ -129,9 +129,15 @@ def main(cfg: TrainConfig) -> None:
     if v.freeze_llm_backbone:
         mask["llm"] = jax.tree.map(lambda _: False, params["llm"])
         if v.unfreeze_last_llm_layer:
-            # stacked layout: unfreeze via per-layer mask is structural; the
-            # last block is sliced inside the step — approximate by unfreezing
-            # the final norm + lm head (documented deviation)
+            # per-layer array mask over the stacked decoder weights: only the
+            # final block (plus final norm / head) receives gradients
+            import jax.numpy as jnp
+
+            L = model_cfg.llm.num_hidden_layers
+            last_only = jnp.arange(L) == L - 1
+            mask["llm"]["layers"] = jax.tree.map(
+                lambda _: last_only, params["llm"]["layers"]
+            )
             mask["llm"]["norm"] = True
             mask["llm"]["lm_head"] = True
 
