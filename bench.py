@@ -95,11 +95,12 @@ def main() -> None:
     image = rng.integers(0, 256, size=(batch, *img_hw, 3), dtype=np.uint8)
     # "In: What action should the robot take to {instr}?\nOut:" ~= 25 tokens
     P = serving.prompt_pad_len
-    prompt_len = 26
+    prompt_len = min(26, P - 2)
     ids = np.zeros((batch, P), np.int32)
     ids[:, 0] = 1
-    ids[:, 1:prompt_len - 1] = rng.integers(1000, 20000, (batch, prompt_len - 2))
-    ids[:, prompt_len - 1] = vla.EMPTY_TOKEN_ID
+    hi = min(20000, cfg.llm.vocab_size - 1)
+    ids[:, 1:prompt_len - 1] = rng.integers(min(1000, hi - 1), hi, (batch, prompt_len - 2))
+    ids[:, prompt_len - 1] = vla.EMPTY_TOKEN_ID % cfg.llm.vocab_size
 
     q01 = -np.ones(7, np.float32)
     q99 = np.ones(7, np.float32)
