@@ -113,3 +113,25 @@ def test_download_registry_shape():
 
     assert "llava-laion-cc-sbu-558k" in DATASET_COMPONENTS
     assert all("url" in c and "name" in c for comps in DATASET_COMPONENTS.values() for c in comps)
+
+
+def test_seeding_utils():
+    from openvla_probe_tpu.utils.seeding import (
+        check_bfloat16_supported,
+        set_global_seed,
+        worker_init_function,
+    )
+
+    fn = set_global_seed(1234, get_worker_init_fn=True)
+    assert fn is worker_init_function
+    a = np.random.random()
+    set_global_seed(1234)
+    assert np.random.random() == a
+    # distinct, reproducible worker streams
+    worker_init_function(0, base_seed=7)
+    x0 = np.random.random()
+    worker_init_function(1, base_seed=7)
+    x1 = np.random.random()
+    worker_init_function(0, base_seed=7)
+    assert np.random.random() == x0 and x0 != x1
+    assert check_bfloat16_supported()
