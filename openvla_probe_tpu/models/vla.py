@@ -131,8 +131,20 @@ def predict_action_core(
         nxt = step_out["logits"][:, -1].argmax(-1).astype(jnp.int32)
         return (step_out["cache"], nxt), nxt
 
-    # A-1 decode steps: the prefill already produced token 1 of A
-    (_, _), toks = jax.lax.scan(step, (cache, first_tok), jnp.arange(A - 1, dtype=jnp.int32))
+    # A-1 decode steps: the prefill already produced token 1 of A.
+    # OVLA_UNROLL_DECODE=1 unrolls the loop (A is tiny; XLA can alias the
+    # cache chain across steps more aggressively than through a scan carry).
+    import os
+
+    if os.environ.get("OVLA_UNROLL_DECODE", "0") == "1":
+        carry = (cache, first_tok)
+        toks_list = []
+        for t in range(A - 1):
+            carry, nxt = step(carry, jnp.int32(t))
+            toks_list.append(nxt)
+        toks = jnp.stack(toks_list) if toks_list else jnp.zeros((0, B), jnp.int32)
+    else:
+        (_, _), toks = jax.lax.scan(step, (cache, first_tok), jnp.arange(A - 1, dtype=jnp.int32))
     action_tokens = jnp.concatenate([first_tok[:, None], toks.T], axis=1)  # [B, A]
 
     # --- de-tokenize + un-normalize (fused) -------------------------------
