@@ -94,26 +94,25 @@ def invert_gripper_actions(actions: tf.Tensor) -> tf.Tensor:
 
 
 def rel2abs_gripper_actions(actions: tf.Tensor) -> tf.Tensor:
-    """Relative (-1 close / +1 open / 0 no-op) -> absolute {0, 1} gripper:
-    carry the last decisive command through no-ops; leading no-ops default
-    open (=1)."""
-    opening = actions > 0.1
-    closing = actions < -0.1
+    """Relative gripper commands (+1 = closing, -1 = opening, ~0 = no-op) ->
+    absolute state (0 = closed, 1 = open).
 
-    # +1 open, -1 close, 0 no-op
-    thresholded = tf.where(opening, tf.ones_like(actions), tf.where(closing, -tf.ones_like(actions), tf.zeros_like(actions)))
+    The state BEFORE the first decisive command is its opposite (a close
+    command implies the gripper started open); no decisive command at all
+    means open throughout. Reference: rlds/utils/data_utils.py:141-162.
+    """
+    opening_mask = actions < -0.1
+    closing_mask = actions > 0.1
+    # internal convention: +1 open, -1 closed
+    thresholded = tf.where(opening_mask, 1, tf.where(closing_mask, -1, 0))
 
     def scan_fn(carry, i):
         return tf.cond(thresholded[i] == 0, lambda: carry, lambda: thresholded[i])
 
-    # seed with the first decisive action to resolve leading no-ops
-    start = tf.cond(
-        tf.reduce_any(thresholded != 0),
-        lambda: thresholded[tf.argmax(tf.cast(thresholded != 0, tf.int32))],
-        lambda: tf.constant(1.0),
-    )
+    start = -1 * thresholded[tf.argmax(thresholded != 0, axis=0)]
+    start = tf.cond(start == 0, lambda: 1, lambda: start)
     carried = tf.scan(scan_fn, tf.range(tf.shape(actions)[0]), start)
-    return tf.cast(carried == 1.0, tf.float32)
+    return tf.cast(carried, tf.float32) / 2.0 + 0.5
 
 
 def relabel_bridge_actions(traj: Dict[str, Any]) -> Dict[str, Any]:

@@ -62,10 +62,11 @@ def test_binarize_gripper():
 
 
 def test_rel2abs_gripper():
+    # raw: -0.9 = opening command, +0.9 = closing command
     a = tf.constant([0.0, 0.0, -0.9, 0.0, 0.0, 0.9, 0.0], tf.float32)
     out = data_utils.rel2abs_gripper_actions(a).numpy()
-    # leading no-ops resolve to the first decisive action (close); then open
-    np.testing.assert_allclose(out, [0, 0, 0, 0, 0, 1, 1])
+    # started closed (first decisive is an open), open from t=2, closed at t=5
+    np.testing.assert_allclose(out, [0, 0, 1, 1, 1, 0, 0])
 
 
 def test_quat_to_euler_identity():
