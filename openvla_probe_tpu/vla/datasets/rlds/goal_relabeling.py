@@ -16,9 +16,12 @@ def uniform(traj: Dict[str, Any]) -> Dict[str, Any]:
     high = tf.cast(traj_len, tf.float32)
     goal_idxs = tf.cast(rand * (high - low) + low, tf.int32)
     goal_idxs = tf.minimum(goal_idxs, traj_len - 1)
+    # the task dict mirrors ALL observation keys of the sampled goal
+    # (incl. `timestep`, which chunk_act_obs uses as the neutral-action bound)
     goal = tf.nest.map_structure(lambda x: tf.gather(x, goal_idxs), traj["observation"])
-    traj.setdefault("task", {})
-    traj["task"].update({f"image_{k[len('image_'):]}": v for k, v in goal.items() if k.startswith("image_")})
+    task = dict(traj.get("task", {}))
+    task.update(goal)
+    traj["task"] = task
     return traj
 
 

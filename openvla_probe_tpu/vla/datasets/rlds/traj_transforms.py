@@ -18,30 +18,42 @@ def chunk_act_obs(
 ) -> Dict[str, Any]:
     """Window observations [T, W, ...] and actions [T, W + F, dim].
 
-    Per frame t: obs window covers [t-W+1, t] (clamped at 0, with
-    timestep_pad_mask marking pre-start padding); the action chunk covers
-    [t-W+1, t+F]. Actions indexed past the goal timestep are frozen at the
-    final action (neutral continuation), matching the reference.
+    Per frame t: obs window covers [t-W+1, t] (floored at 0, with
+    observation["pad_mask"] marking pre-start padding); the action chunk
+    covers [t-W+1, t+F], clamped at the goal timestep (task["timestep"] when
+    goal-relabeled, else the last frame). Chunk entries past the goal become
+    NEUTRAL actions: absolute dims (absolute_action_mask) keep the clamped
+    repeat, relative dims are zeroed. Reference: traj_transforms.py:14-71.
     """
     traj_len = tf.shape(traj["action"])[0]
+    action_dim = traj["action"].shape[-1]
     W, F = window_size, future_action_window_size
 
     history_indices = tf.range(traj_len)[:, None] + tf.range(-W + 1, 1)[None, :]
-    timestep_pad_mask = history_indices >= 0
-    history_indices = tf.maximum(history_indices, 0)
+    pad_mask = history_indices >= 0
     traj["observation"] = tf.nest.map_structure(
-        lambda x: tf.gather(x, history_indices), traj["observation"]
+        lambda x: tf.gather(x, tf.maximum(history_indices, 0)), traj["observation"]
     )
-    traj["observation"]["timestep_pad_mask"] = timestep_pad_mask
+    traj["observation"]["pad_mask"] = pad_mask
 
     action_indices = tf.range(traj_len)[:, None] + tf.range(-W + 1, 1 + F)[None, :]
-    action_past_goal = action_indices > traj_len - 1
-    action_indices = tf.clip_by_value(action_indices, 0, traj_len - 1)
-    traj["action"] = tf.gather(traj["action"], action_indices)
+    if "timestep" in traj.get("task", {}):
+        goal_timestep = traj["task"]["timestep"]
+    else:
+        goal_timestep = tf.fill([traj_len], traj_len - 1)
+    floored = tf.minimum(tf.maximum(action_indices, 0), goal_timestep[:, None])
+    traj["action"] = tf.gather(traj["action"], floored)
 
-    # freeze actions past the end of the trajectory at the final action
-    final_action = traj["action"][-1:, -1:, :]
-    traj["action"] = tf.where(action_past_goal[:, :, None], final_action, traj["action"])
+    absolute_action_mask = traj.get(
+        "absolute_action_mask", tf.zeros([traj_len, action_dim], dtype=tf.bool)
+    )
+    neutral_actions = tf.where(
+        absolute_action_mask[:, None, :],
+        traj["action"],                      # absolute dims: clamped repeat
+        tf.zeros_like(traj["action"]),       # relative dims: zeroed
+    )
+    action_past_goal = action_indices > goal_timestep[:, None]
+    traj["action"] = tf.where(action_past_goal[:, :, None], neutral_actions, traj["action"])
     return traj
 
 

@@ -93,12 +93,29 @@ def _toy_traj(T=6, act_dim=7):
 def test_chunk_act_obs_windows():
     traj = traj_transforms.chunk_act_obs(_toy_traj(), window_size=2, future_action_window_size=1)
     assert traj["action"].shape == (6, 3, 7)  # W + F = 3
-    assert traj["observation"]["timestep_pad_mask"].numpy()[0].tolist() == [False, True]
+    assert traj["observation"]["pad_mask"].numpy()[0].tolist() == [False, True]
     # frame 0's window: [t-1 (padded -> clamped to 0), t0]
     np.testing.assert_array_equal(traj["action"][0, 1].numpy(), np.arange(7))
-    # actions past the end freeze at the final action
-    final = traj["action"][-1, -1].numpy()
-    np.testing.assert_array_equal(traj["action"][5, 2].numpy(), final)
+    # actions past the goal become neutral: relative dims (no absolute mask) zeroed
+    np.testing.assert_array_equal(traj["action"][5, 2].numpy(), np.zeros(7))
+
+
+def test_chunk_act_obs_absolute_mask_and_goal_timestep():
+    traj = _toy_traj()
+    T = 6
+    traj["absolute_action_mask"] = tf.tile(
+        tf.constant([[False] * 6 + [True]]), [T, 1]
+    )
+    traj["task"]["timestep"] = tf.fill([T], 3)  # goal at t=3
+    out = traj_transforms.chunk_act_obs(traj, window_size=1, future_action_window_size=2)
+    a = out["action"].numpy()
+    # frame 3's future entries index past the goal: relative dims zeroed,
+    # absolute dim (gripper) repeats the clamped goal action
+    goal_action = np.arange(3 * 7, 4 * 7)
+    np.testing.assert_array_equal(a[3, 1, :6], np.zeros(6))
+    assert a[3, 1, 6] == goal_action[6]
+    # frame 1's future entries (t=2, t=3) are within the goal: untouched
+    np.testing.assert_array_equal(a[1, 1], np.arange(2 * 7, 3 * 7))
 
 
 def test_normalization_bounds_q99_in_graph():
