@@ -18,9 +18,16 @@ def uniform(traj: Dict[str, Any]) -> Dict[str, Any]:
     goal_idxs = tf.minimum(goal_idxs, traj_len - 1)
     # the task dict mirrors ALL observation keys of the sampled goal
     # (incl. `timestep`, which chunk_act_obs uses as the neutral-action bound)
-    goal = tf.nest.map_structure(lambda x: tf.gather(x, goal_idxs), traj["observation"])
+    goal = dict(tf.nest.map_structure(lambda x: tf.gather(x, goal_idxs), traj["observation"]))
     task = dict(traj.get("task", {}))
+    # deep-merge pad_mask_dict (a plain update would clobber e.g. the
+    # language_instruction mask with the goal observation's dict)
+    goal_pad = goal.pop("pad_mask_dict", {})
+    task_pad = dict(task.get("pad_mask_dict", {}))
+    task_pad.update(goal_pad)
     task.update(goal)
+    if task_pad:
+        task["pad_mask_dict"] = task_pad
     traj["task"] = task
     return traj
 

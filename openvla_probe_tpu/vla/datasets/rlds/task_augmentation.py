@@ -1,4 +1,4 @@
-"""Task-conditioning augmentation (reference: rlds/utils/task_augmentation.py)."""
+"""Task-conditioning augmentation (reference: rlds/utils/task_augmentation.py:14-57)."""
 
 from __future__ import annotations
 
@@ -6,28 +6,42 @@ from typing import Any, Dict
 
 import tensorflow as tf
 
+from .utils.data_utils import to_padding
+
 
 def delete_task_conditioning(traj: Dict[str, Any], keep_image_prob: float) -> Dict[str, Any]:
-    """Randomly keep EITHER the goal image OR the language instruction per
-    trajectory (never both), with P(keep image) = keep_image_prob."""
+    """Per-frame, keep EITHER the goal images OR the language instruction
+    (never both): P(keep images) = keep_image_prob; frames whose language is
+    already padding always keep images. Dropped keys become padding with
+    their pad_mask_dict zeroed, and frames without goal images fall back to
+    the final timestep as the goal bound."""
     if "language_instruction" not in traj.get("task", {}):
         return traj
-    image_keys = [k for k in traj["task"] if k.startswith("image_")]
+    image_keys = {
+        k for k in traj["task"] if k.startswith("image_") or k.startswith("depth_")
+    }
     if not image_keys:
         return traj
-    keep_image = tf.random.uniform([]) < keep_image_prob
-    task = dict(traj["task"])
-    for k in image_keys:
-        task[k] = tf.cond(
-            keep_image, lambda k=k: task[k],
-            lambda k=k: tf.zeros_like(task[k]) if task[k].dtype != tf.string else tf.fill(tf.shape(task[k]), ""),
+
+    traj_len = tf.shape(traj["action"])[0]
+    should_keep_images = tf.random.uniform([traj_len]) < keep_image_prob
+    should_keep_images |= ~traj["task"]["pad_mask_dict"]["language_instruction"]
+
+    for key in image_keys | {"language_instruction"}:
+        should_keep = should_keep_images if key in image_keys else ~should_keep_images
+        traj["task"][key] = tf.where(
+            should_keep, traj["task"][key], to_padding(traj["task"][key])
         )
-    task["language_instruction"] = tf.cond(
-        keep_image,
-        lambda: tf.fill(tf.shape(task["language_instruction"]), ""),
-        lambda: task["language_instruction"],
-    )
-    traj["task"] = task
+        traj["task"]["pad_mask_dict"][key] = tf.where(
+            should_keep,
+            traj["task"]["pad_mask_dict"][key],
+            tf.zeros_like(traj["task"]["pad_mask_dict"][key]),
+        )
+
+    if "timestep" in traj["task"]:
+        traj["task"]["timestep"] = tf.where(
+            should_keep_images, traj["task"]["timestep"], traj_len - 1
+        )
     return traj
 
 

@@ -83,7 +83,8 @@ def test_quat_to_euler_identity():
 def _toy_traj(T=6, act_dim=7):
     return {
         "observation": {"image_primary": tf.constant([f"im{t}" for t in range(T)]),
-                        "proprio": tf.random.normal((T, 8))},
+                        "proprio": tf.random.normal((T, 8)),
+                        "timestep": tf.range(T)},
         "task": {"language_instruction": tf.constant(["do it"] * T)},
         "action": tf.cast(tf.reshape(tf.range(T * act_dim), (T, act_dim)), tf.float32),
         "dataset_name": tf.constant(["toy"] * T),
@@ -288,3 +289,29 @@ def test_lm_collator_multimodal_indices():
     np.testing.assert_array_equal(batch["multimodal_indices"], [0])
     assert batch["pixel_values"].shape == (2, 6, 4, 4)
     assert (batch["pixel_values"][1] == 0).all()
+
+
+def test_goal_relabel_then_task_augmentation():
+    from openvla_probe_tpu.vla.datasets.rlds import goal_relabeling as gr
+    from openvla_probe_tpu.vla.datasets.rlds import task_augmentation as ta
+
+    traj = _toy_traj()
+    traj = traj_transforms.add_pad_mask_dict(traj)
+    traj = gr.uniform(traj)
+    # goal obs keys mirrored into task; language mask preserved in merged dict
+    assert "image_primary" in traj["task"]
+    assert "timestep" in traj["task"]
+    assert "language_instruction" in traj["task"]["pad_mask_dict"]
+    assert "image_primary" in traj["task"]["pad_mask_dict"]
+
+    out = ta.delete_task_conditioning(traj, keep_image_prob=1.0)
+    # all frames keep images -> language padded everywhere
+    assert (out["task"]["language_instruction"].numpy() == b"").all()
+    assert not out["task"]["pad_mask_dict"]["language_instruction"].numpy().any()
+
+    traj2 = traj_transforms.add_pad_mask_dict(_toy_traj())
+    traj2 = gr.uniform(traj2)
+    out2 = ta.delete_task_conditioning(traj2, keep_image_prob=0.0)
+    # all frames keep language -> goal images padded, timestep falls back to T-1
+    assert (out2["task"]["image_primary"].numpy() == b"").all()
+    np.testing.assert_array_equal(out2["task"]["timestep"].numpy(), np.full(6, 5))
