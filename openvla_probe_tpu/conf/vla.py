@@ -93,6 +93,66 @@ class Exp_DinoSigLIP_224px_OXE_Magic_Soup_Plus(VLAConfig):
     shuffle_buffer_size: int = 250_000
 
 
+# === TDROID fine-tuning configs (reference conf/vla.py:144-190) ===
+
+@VLAConfig.register_subclass("siglip-224px+mx-tdroid_carrot_in_bowl")
+@dataclass(frozen=True)
+class Exp_SigLIP_224px_TDROID_CarrotInBowl(Exp_SigLIP_224px_Bridge):
+    vla_id: str = "siglip-224px+mx-tdroid_carrot_in_bowl"
+    base_vlm: str = "siglip-224px+7b"
+    data_mix: str = "tdroid_carrot_in_bowl"
+
+
+@VLAConfig.register_subclass("siglip-224px+mx-tdroid_pour_corn_in_pot")
+@dataclass(frozen=True)
+class Exp_SigLIP_224px_TDROID_PourCornInPot(Exp_SigLIP_224px_Bridge):
+    vla_id: str = "siglip-224px+mx-tdroid_pour_corn_in_pot"
+    base_vlm: str = "siglip-224px+7b"
+    data_mix: str = "tdroid_pour_corn_in_pot"
+
+
+@VLAConfig.register_subclass("siglip-224px-icy+mx-tdroid_carrot_in_bowl")
+@dataclass(frozen=True)
+class Exp_SigLIP_224px_Icy_TDROID_CarrotInBowl(Exp_SigLIP_224px_Bridge):
+    vla_id: str = "siglip-224px-icy+mx-tdroid_carrot_in_bowl"
+    base_vlm: str = "siglip-224px+7b"
+    freeze_vision_backbone: bool = True
+    freeze_llm_backbone: bool = False
+    data_mix: str = "tdroid_carrot_in_bowl"
+
+
+@VLAConfig.register_subclass("siglip-224px-last_layer+mx-tdroid_carrot_in_bowl")
+@dataclass(frozen=True)
+class Exp_SigLIP_224px_LastLayer_TDROID_CarrotInBowl(Exp_SigLIP_224px_Bridge):
+    vla_id: str = "siglip-224px-last_layer+mx-tdroid_carrot_in_bowl"
+    base_vlm: str = "siglip-224px+7b"
+    freeze_vision_backbone: bool = True
+    freeze_llm_backbone: bool = True
+    unfreeze_last_llm_layer: bool = True
+    data_mix: str = "tdroid_carrot_in_bowl"
+
+
+@VLAConfig.register_subclass("siglip-224px-sandwich+mx-tdroid_carrot_in_bowl")
+@dataclass(frozen=True)
+class Exp_SigLIP_224px_Sandwich_TDROID_CarrotInBowl(Exp_SigLIP_224px_Bridge):
+    vla_id: str = "siglip-224px-sandwich+mx-tdroid_carrot_in_bowl"
+    base_vlm: str = "siglip-224px+7b"
+    freeze_vision_backbone: bool = False
+    freeze_llm_backbone: bool = True
+    unfreeze_last_llm_layer: bool = True
+    data_mix: str = "tdroid_carrot_in_bowl"
+
+
+# === DROID fine-tuning configs (reference conf/vla.py:193-199) ===
+
+@VLAConfig.register_subclass("siglip-224px+mx-droid_wipe")
+@dataclass(frozen=True)
+class Exp_SigLIP_224px_Droid_Wipe(Exp_SigLIP_224px_Bridge):
+    vla_id: str = "siglip-224px+mx-droid_wipe"
+    base_vlm: str = "siglip-224px+7b"
+    data_mix: str = "droid_wipe"
+
+
 @VLAConfig.register_subclass("prism-qwen25-dinosiglip-224px+0_5b+mx-bridge")
 @dataclass(frozen=True)
 class Exp_DinoSigLIP_224px_Bridge_Qwen(VLAConfig):

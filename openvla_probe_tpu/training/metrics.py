@@ -184,6 +184,18 @@ class VLAMetrics(Metrics):
             if k in dt:
                 dt[k].append(float(np.asarray(v)))
 
+    def commit_per_dataset_from_batch(self, dataset_names, per_example: Dict[str, Any]) -> None:
+        """Group [B]-shaped per-example metrics by dataset_name and commit the
+        per-dataset means — the reference's per-dataset tracker update
+        (base_strategy.py:334-356) driven from on-device per-example arrays."""
+        names = [n.decode() if isinstance(n, bytes) else str(n) for n in dataset_names]
+        arrays = {k: np.asarray(v) for k, v in per_example.items()}
+        for name in sorted(set(names)):
+            idx = [i for i, nm in enumerate(names) if nm == name]
+            self.commit_for_dataset(
+                name, **{k: a[idx].mean() for k, a in arrays.items()}
+            )
+
     def push(self) -> str:
         loss = float(np.mean(self.state["loss"])) if self.state["loss"] else float("nan")
         l1 = float(np.mean(self.state["l1_loss"])) if self.state["l1_loss"] else 0.0

@@ -77,11 +77,39 @@ def action_metrics(
     return {"action_accuracy": acc, "l1_loss": l1}
 
 
+def per_example_metrics(
+    logits: jnp.ndarray,
+    labels: jnp.ndarray,
+    codec: ActionCodec,
+) -> Dict[str, jnp.ndarray]:
+    """[B]-shaped loss/accuracy/L1 per example — the host groups these by
+    dataset_name for the reference's per-dataset trackers
+    (base_strategy.py:334-356, metrics.py:208-348). XLA CSEs the shared
+    subexpressions with the batch-level reductions in the same jit."""
+    shift_logits = logits[:, :-1]
+    shift_labels = labels[:, 1:]
+    valid = shift_labels != IGNORE_INDEX
+    safe_labels = jnp.where(valid, shift_labels, 0)
+    logp = jax.nn.log_softmax(shift_logits.astype(jnp.float32), axis=-1)
+    nll = -jnp.take_along_axis(logp, safe_labels[..., None], axis=-1)[..., 0]
+    loss = jnp.sum(jnp.where(valid, nll, 0.0), axis=1) / jnp.maximum(valid.sum(axis=1), 1)
+
+    preds = shift_logits.argmax(-1)
+    mask = shift_labels > codec.action_token_begin_idx
+    n = jnp.maximum(mask.sum(axis=1), 1)
+    acc = jnp.sum((preds == shift_labels) & mask, axis=1) / n
+    cont_pred = codec.decode(jnp.where(mask, preds, codec.vocab_size - 1))
+    cont_tgt = codec.decode(jnp.where(mask, shift_labels, codec.vocab_size - 1))
+    l1 = jnp.sum(jnp.where(mask, jnp.abs(cont_pred - cont_tgt), 0.0), axis=1) / n
+    return {"loss": loss, "action_accuracy": acc, "l1_loss": l1}
+
+
 def vla_loss_fn(
     params: Any,
     cfg: vlm.VLMConfig,
     batch: Dict[str, jnp.ndarray],
     codec: ActionCodec,
+    with_per_example: bool = True,
 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
     out = vlm.forward(
         params, cfg,
@@ -93,6 +121,8 @@ def vla_loss_fn(
     logits, labels = out["logits"], out["labels"]
     loss = cross_entropy_loss(logits, labels)
     metrics = {"loss": loss, **action_metrics(logits, labels, codec)}
+    if with_per_example:
+        metrics["per_example"] = per_example_metrics(logits, labels, codec)
     return loss, metrics
 
 
@@ -131,6 +161,9 @@ def make_train_step(
             (loss, metrics), grads = jax.value_and_grad(
                 lambda p: loss_fn(p, cfg, mb), has_aux=True
             )(params)
+            # per-example arrays can't be meaningfully summed across
+            # micro-batches (different examples share a slot); drop them here
+            metrics = {k: v for k, v in metrics.items() if k != "per_example"}
             g_acc = jax.tree.map(lambda a, g: a + g, g_acc, grads)
             m_acc = jax.tree.map(lambda a, m: a + m, m_acc, metrics)
             return (g_acc, l_acc + loss, m_acc), ()
@@ -138,6 +171,7 @@ def make_train_step(
         zeros_g = jax.tree.map(lambda p: jnp.zeros(p.shape, jnp.float32), params)
         sample = jax.tree.map(lambda x: x[0], micro)
         _, zeros_m = jax.eval_shape(lambda p: loss_fn(p, cfg, sample), params)
+        zeros_m = {k: v for k, v in zeros_m.items() if k != "per_example"}
         zeros_m = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), zeros_m)
         (g, l, m), _ = jax.lax.scan(body, (zeros_g, jnp.float32(0), zeros_m), micro)
         scale = 1.0 / grad_accum_steps

@@ -85,12 +85,17 @@ class RLDSDataset:
 
         self.batch_transform = batch_transform
         mixture_spec = OXE_NAMED_MIXTURES.get(data_mix, [(data_mix, 1.0)])
+        # match the reference's rlds_config exactly (datasets.py:92-118):
+        # camera-only loading (no depth/proprio), q99 bounds normalization.
         per_dataset_kwargs, weights = oxe_materialize.get_oxe_dataset_kwargs_and_weights(
             data_root_dir, mixture_spec,
             load_camera_views=("primary",),
+            load_depth=False,
+            load_proprio=False,
         )
         frame_tf_kwargs: Dict[str, Any] = {
             "resize_size": {"primary": tuple(resize_resolution)},
+            "num_parallel_calls": 16,
         }
         if image_aug:
             frame_tf_kwargs["image_augment_kwargs"] = {
@@ -106,11 +111,17 @@ class RLDSDataset:
                     ],
                 }
             }
-        self.dataset, self.dataset_statistics = rlds_dataset.make_interleaved_dataset(
+        # balance_weights=True is hardcoded in the reference's rlds_config
+        # (datasets.py:115): sampling probability = weight x frame count, and
+        # __len__ is the expected-epoch length over primary datasets.
+        self.dataset, self.dataset_length, self.dataset_statistics = rlds_dataset.make_interleaved_dataset(
             per_dataset_kwargs,
             weights,
             train=train,
             shuffle_buffer_size=shuffle_buffer_size,
+            balance_weights=True,
+            traj_transform_threads=len(mixture_spec),
+            traj_read_threads=len(mixture_spec),
             traj_transform_kwargs={
                 "window_size": window_size,
                 "future_action_window_size": future_action_window_size,
@@ -118,9 +129,6 @@ class RLDSDataset:
                 "goal_relabeling_strategy": "uniform",
             },
             frame_transform_kwargs=frame_tf_kwargs,
-        )
-        self.dataset_length = sum(
-            s["num_transitions"] for s in self.dataset_statistics.values()
         )
 
     def __iter__(self) -> Iterator[Dict[str, Any]]:
@@ -159,6 +167,7 @@ class EpisodicRLDSDataset:
         assert len(mixture_spec) == 1, "EpisodicRLDSDataset supports single datasets only"
         per_dataset_kwargs, _ = oxe_materialize.get_oxe_dataset_kwargs_and_weights(
             data_root_dir, mixture_spec, load_camera_views=("primary",),
+            load_depth=False, load_proprio=False,
         )
         self.batch_transform = batch_transform
         self._resize = tuple(resize_resolution)

@@ -132,7 +132,18 @@ def make_dataset_from_rlds(
         ds = trajectory_dataset_fn(split)
         full_ds_for_stats = trajectory_dataset_fn(split)
     else:
-        split = "train" if train else ("val" if "val" in _tfds_splits(name, data_dir) else "train[:5%]")
+        if train:
+            split = "train"
+        elif "val" in _tfds_splits(name, data_dir):
+            split = "val"
+        else:
+            # NOT silent: validation metrics computed on a training slice are
+            # misleading (the reference fails loudly on a missing split).
+            split = "train[:5%]"
+            overwatch.warning(
+                f"Dataset `{name}` has no 'val' split; substituting {split!r} — "
+                "validation metrics will be computed on TRAINING data."
+            )
         ds, _ = _tfds_trajectory_dataset(name, data_dir, split, num_parallel_reads)
         full_ds_for_stats, _ = _tfds_trajectory_dataset(name, data_dir, "all", num_parallel_reads)
 
@@ -294,6 +305,11 @@ def apply_frame_transforms(
             seed = tf.random.uniform([2], maxval=2**31 - 1, dtype=tf.int32)
             aug = partial(obs_transforms.augment, seed=seed, augment_kwargs=image_augment_kwargs)
             frame["observation"] = _map_window(aug, frame["observation"])
+            # goal (task) images get the SAME seeded augmentation — the
+            # reference's apply_obs_transform covers task too (dataset.py:401-403,
+            # 417-424); matters for goal-image-conditioned training.
+            if frame.get("task"):
+                frame["task"] = aug(dict(frame["task"]))
             return frame
 
         ds = ds.map(aug_frame, num_parallel_calls=num_parallel_calls)
@@ -358,11 +374,16 @@ def make_interleaved_dataset(
     balance_weights: bool = False,
     traj_transform_threads: Optional[int] = None,
     traj_read_threads: Optional[int] = None,
-) -> Tuple[tf.data.Dataset, Dict[str, Dict[str, Any]]]:
+) -> Tuple[tf.data.Dataset, int, Dict[str, Dict[str, Any]]]:
     """Weighted mixture of datasets -> one shuffled frame stream
     (reference dataset.py:457-588): per-dataset threads allocated
     proportionally to weights; optional balance by frame counts; sample ->
     shuffle -> frame transforms -> (batch).
+
+    Returns (dataset, dataset_len, statistics) like the reference (:588):
+    dataset_len is the expected-epoch length — samples until each *primary*
+    dataset (raw sample_weight == 1.0) completes one epoch in expectation
+    (reference :515,525).
     """
     if sample_weights is None:
         sample_weights = [1.0] * len(dataset_kwargs_list)
@@ -374,14 +395,20 @@ def make_interleaved_dataset(
         _, stats = make_dataset_from_rlds(**kwargs, train=train)
         all_stats[kwargs["name"]] = stats
 
+    frame_counts = np.asarray(
+        [all_stats[kw["name"]]["num_transitions"] for kw in dataset_kwargs_list],
+        np.float64,
+    )
+    # primary datasets identified on the RAW weights, before balancing (:515)
+    primary = np.asarray([w == 1.0 for w in sample_weights], bool)
     weights = np.asarray(sample_weights, np.float64)
     if balance_weights:
-        frame_counts = np.asarray(
-            [all_stats[kw["name"]]["num_transitions"] for kw in dataset_kwargs_list],
-            np.float64,
-        )
         weights = weights * frame_counts
     weights = weights / weights.sum()
+    if primary.any():
+        dataset_len = int((frame_counts / weights)[primary].max())
+    else:
+        dataset_len = int(frame_counts.sum())
     pprint_weights = {kw["name"]: round(float(w), 4) for kw, w in zip(dataset_kwargs_list, weights)}
     overwatch.info(f"Dataset sampling weights: {pprint_weights}")
 
@@ -409,7 +436,7 @@ def make_interleaved_dataset(
         dataset = dataset.batch(batch_size, drop_remainder=True)
     dataset = dataset.prefetch(tf.data.AUTOTUNE)
     dataset = dataset.with_options(_ram_budget_options())
-    return dataset, all_stats
+    return dataset, dataset_len, all_stats
 
 
 def _jsonable(stats):

@@ -655,7 +655,7 @@ OXE_STANDARDIZATION_TRANSFORMS: Dict[str, Transform] = {
     "fmb_dataset": fmb,
     "dobbe": dobbe,
     "roboset": roboset,
-    "rh20t_rlds": rh20t,
+    "rh20t": rh20t,  # config key is "rh20t" (reference configs.py:582)
     "tdroid_carrot_in_bowl": tdroid,
     "tdroid_pour_corn_in_pot": tdroid,
     "tdroid_flip_pot_upright": tdroid,

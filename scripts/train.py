@@ -67,7 +67,9 @@ def main(cfg: TrainConfig) -> None:
     from openvla_probe_tpu.parallel.sharding import shard_params
     from openvla_probe_tpu.training import checkpointing as ckpt
     from openvla_probe_tpu.training.metrics import VLAMetrics
-    from openvla_probe_tpu.training.train_state import OptimizerConfig, TrainState, make_optimizer
+    from openvla_probe_tpu.training.train_state import (
+        OptimizerConfig, TrainState, make_optimizer, make_schedule,
+    )
     from openvla_probe_tpu.training.train_step import make_sharded_train_step
     from openvla_probe_tpu.utils.collators import PaddedCollatorForActionPrediction
     from openvla_probe_tpu.vla.action_tokenizer import ActionCodec, ActionTokenizer
@@ -108,7 +110,21 @@ def main(cfg: TrainConfig) -> None:
         tokenizer = load_tokenizer(cfg.checkpoint_path)
     else:
         overwatch.warning("No --checkpoint_path: training from random init")
-        model_cfg, img_cfg, _ = catalog.build_vlm_config()
+        # resolve the VLA's base_vlm id through the model registry (reference
+        # train.py materializes backbones from the ModelConfig variant)
+        from openvla_probe_tpu.conf.models import ModelConfig
+
+        try:
+            mc = ModelConfig.get_choice_class(v.base_vlm)()
+            model_cfg, img_cfg, _ = catalog.build_vlm_config(
+                vision_backbone_id=mc.vision_backbone_id,
+                llm_backbone_id=mc.llm_backbone_id,
+                arch_specifier=mc.arch_specifier,
+                image_resize_strategy=mc.image_resize_strategy,
+            )
+        except KeyError:
+            overwatch.warning(f"base_vlm `{v.base_vlm}` not in model registry; using defaults")
+            model_cfg, img_cfg, _ = catalog.build_vlm_config()
         params = vlm.init_params(model_cfg, jax.random.key(cfg.seed))
 
         class _Tok:  # random-init smoke runs only
@@ -217,7 +233,7 @@ def main(cfg: TrainConfig) -> None:
     global_bs = v.global_batch_size
     it = iter(dataset)
     buf = []
-    schedule = None
+    schedule = make_schedule(opt_cfg)
     max_steps = v.max_steps or (v.epochs * max(1, len(dataset) // global_bs))
     overwatch.info(f"Training `{run_id}` for {max_steps} steps on mesh {dict(mesh.shape)}")
     while int(jax.device_get(state.step)) < max_steps:
@@ -228,9 +244,16 @@ def main(cfg: TrainConfig) -> None:
         dataset_names = batch.pop("dataset_names", None)
         state, m = step_fn(state, {k: jax.numpy.asarray(v_) for k, v_ in batch.items()})
         step = int(jax.device_get(state.step))
-        metrics.commit(global_step=step, loss=m["loss"], lr=opt_cfg.learning_rate,
+        # LR actually applied this step: optax's schedule is indexed by the
+        # pre-update count (step-1) — NOT the constant peak LR
+        metrics.commit(global_step=step, loss=m["loss"], lr=float(schedule(step - 1)),
                        update_step_time=True,
                        action_accuracy=m["action_accuracy"], l1_loss=m["l1_loss"])
+        # per-dataset splits (reference base_strategy.py:334-356): group the
+        # on-device per-example metrics by dataset_name on host
+        per_ex = m.get("per_example")
+        if dataset_names is not None and per_ex is not None:
+            metrics.commit_per_dataset_from_batch(dataset_names, jax.device_get(per_ex))
         if step % 10 == 0:
             overwatch.info(metrics.push())
         if step % cfg.save_interval == 0 or step >= max_steps:

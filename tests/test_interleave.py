@@ -46,7 +46,7 @@ def _kwargs(name, tag, n_traj, T):
 
 
 def test_interleaved_mixture_weights_and_schema():
-    ds, stats = rd.make_interleaved_dataset(
+    ds, ds_len, stats = rd.make_interleaved_dataset(
         [_kwargs("ds_a", b"task a", 6, 10), _kwargs("ds_b", b"task b", 3, 10)],
         sample_weights=[3.0, 1.0],
         shuffle_buffer_size=64,
@@ -72,7 +72,7 @@ def test_interleaved_mixture_weights_and_schema():
 
 
 def test_balance_weights_by_frame_count():
-    ds, stats = rd.make_interleaved_dataset(
+    ds, ds_len, stats = rd.make_interleaved_dataset(
         [_kwargs("ds_a", b"task a", 8, 10), _kwargs("ds_b", b"task b", 2, 10)],
         sample_weights=[1.0, 1.0],
         balance_weights=True,
