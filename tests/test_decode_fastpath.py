@@ -1,0 +1,138 @@
+"""Serving fast path (prefill-KV + split-attention decode) vs legacy cache.
+
+The round-2 decode redesign (llama.prefill/greedy_decode) must produce
+token-identical results to the round-1 stacked-cache path and to a direct
+no-cache full forward. Covers GQA (Mistral-style) and hidden-state taps.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from openvla_probe_tpu.models import llama, vla, vlm
+
+
+def _tiny_cfg(**kw):
+    return llama.LlamaConfig.tiny(**kw)
+
+
+def _serving(llm_cfg, key=0):
+    cfg = vlm.VLMConfig(
+        llm=llm_cfg,
+        vision=(
+            # single tiny ViT tower
+            __import__("openvla_probe_tpu.models.vit", fromlist=["ViTConfig"]).ViTConfig.tiny(
+                num_register_tokens=4, no_embed_class=True
+            ),
+            __import__("openvla_probe_tpu.models.vit", fromlist=["ViTConfig"]).ViTConfig.tiny(),
+        ),
+        vision_names=("dino", "siglip"),
+        arch_specifier="no-align+fused-gelu-mlp",
+    )
+    serving = vla.VLAServingConfig(vlm=cfg, action_dim=5, prompt_pad_len=12,
+                                   codec_vocab_size=llm_cfg.vocab_size)
+    params = vlm.init_params(cfg, jax.random.key(key))
+    return cfg, serving, params
+
+
+def _example(serving, seed=0, B=2):
+    r = np.random.default_rng(seed)
+    S = serving.vlm.vision[0].image_size
+    pixels = r.normal(size=(B, 6, S, S)).astype(np.float32)
+    P = serving.prompt_pad_len
+    ids = np.zeros((B, P), np.int32)
+    lens = []
+    for b in range(B):
+        n = int(r.integers(4, P - 1))
+        ids[b, :n] = np.concatenate([[1], r.integers(3, 400, n - 1)])
+        lens.append(n)
+    q01 = -np.ones(5, np.float32)
+    q99 = np.ones(5, np.float32)
+    mask = np.array([True] * 4 + [False])
+    return (jnp.asarray(pixels), jnp.asarray(ids), jnp.asarray(lens, jnp.int32),
+            jnp.asarray(q01), jnp.asarray(q99), jnp.asarray(mask))
+
+
+def _run(params, serving, ex, collect=False):
+    return vla.predict_action_core(params, serving, *ex, collect_hidden_states=collect)
+
+
+@pytest.mark.parametrize("kv_heads", [4, 2])  # MHA and GQA
+def test_fastpath_matches_legacy(kv_heads, monkeypatch):
+    llm_cfg = _tiny_cfg(num_key_value_heads=kv_heads)
+    cfg, serving, params = _serving(llm_cfg)
+    ex = _example(serving)
+
+    monkeypatch.setenv("OVLA_LEGACY_DECODE", "1")
+    legacy = _run(params, serving, ex, collect=True)
+    monkeypatch.setenv("OVLA_LEGACY_DECODE", "0")
+    fast = _run(params, serving, ex, collect=True)
+
+    np.testing.assert_array_equal(
+        np.asarray(legacy["action_tokens"]), np.asarray(fast["action_tokens"])
+    )
+    np.testing.assert_allclose(
+        np.asarray(legacy["actions"]), np.asarray(fast["actions"]), atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(legacy["hidden_pooled"]), np.asarray(fast["hidden_pooled"]),
+        atol=1e-5,
+    )
+
+
+def test_greedy_decode_matches_full_forward():
+    """Split-attention decode == running the growing sequence through the
+    plain no-cache forward each step (the ground-truth incremental contract)."""
+    cfg = _tiny_cfg()
+    params = llama.init_params(cfg, jax.random.key(1))
+    r = np.random.default_rng(7)
+    B, T = 2, 9
+    ids = jnp.asarray(r.integers(3, 500, (B, T)), jnp.int32)
+    embeds = llama.embed_tokens(params, ids)
+    mask = jnp.ones((B, T), jnp.int32)
+    pos = jnp.broadcast_to(jnp.arange(T), (B, T))
+
+    pf = llama.prefill(params, cfg, embeds, mask, pos)
+    from openvla_probe_tpu.ops.linear import matmul_t
+
+    first = matmul_t(pf["last_hidden_state"][:, -1], params["lm_head"]).argmax(-1).astype(jnp.int32)
+    n_steps = 4
+    toks = llama.greedy_decode(
+        params, cfg, pf["kv"], mask,
+        first_token=first, start_pos=jnp.full((B,), T, jnp.int32), n_steps=n_steps,
+    )
+    got = np.concatenate([np.asarray(first)[:, None], np.asarray(toks)], axis=1)
+
+    # ground truth: re-run the full growing sequence without any cache
+    cur = np.asarray(ids)
+    want = []
+    for _ in range(n_steps + 1):
+        e = llama.embed_tokens(params, jnp.asarray(cur))
+        m = jnp.ones(cur.shape, jnp.int32)
+        p = jnp.broadcast_to(jnp.arange(cur.shape[1]), cur.shape)
+        out = llama.forward(params, cfg, e, m, p)
+        nxt = np.asarray(out["logits"][:, -1].argmax(-1)).astype(np.int32)
+        want.append(nxt)
+        cur = np.concatenate([cur, nxt[:, None]], axis=1)
+    np.testing.assert_array_equal(got, np.stack(want, 1)[:, : n_steps + 1])
+
+
+def test_prefill_taps_match_forward_taps():
+    cfg = _tiny_cfg()
+    params = llama.init_params(cfg, jax.random.key(2))
+    r = np.random.default_rng(11)
+    B, T = 2, 7
+    ids = jnp.asarray(r.integers(3, 500, (B, T)), jnp.int32)
+    embeds = llama.embed_tokens(params, ids)
+    mask = jnp.asarray([[1] * 7, [1] * 5 + [0] * 2], jnp.int32)
+    pos = jnp.broadcast_to(jnp.arange(T), (B, T))
+
+    a = llama.prefill(params, cfg, embeds, mask, pos, collect_hidden_states=True)
+    b = llama.forward(params, cfg, embeds, mask, pos, collect_hidden_states=True)
+    np.testing.assert_allclose(
+        np.asarray(a["hidden_pooled"]), np.asarray(b["hidden_pooled"]), atol=1e-5
+    )
