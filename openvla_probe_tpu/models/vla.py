@@ -97,11 +97,14 @@ def predict_action_core(
         # appended trailing 29871 (reference forward #1 runs without it)
         pool_mask = (jnp.arange(T)[None, :] < (mm_len - 1)[:, None]).astype(jnp.int32)
 
-    legacy = os.environ.get("OVLA_LEGACY_DECODE", "0") == "1"
+    # A/B-measured on 1x v5e (int8, this round): the stacked-cache scan is the
+    # FASTEST decode (B=24: 613 ms vs 641 unrolled / 654 scan-xs split-KV;
+    # B=16: 434 vs 450) — XLA fuses the carry's dynamic_index into attention,
+    # so the split-prefill-KV redesign buys nothing under XLA. It stays
+    # env-gated (OVLA_LEGACY_DECODE=0) as the structural basis for a future
+    # Pallas decode kernel (which needs the frozen-KV layout).
+    legacy = os.environ.get("OVLA_LEGACY_DECODE", "1") == "1"
     if legacy:
-        # round-1 path: stacked S-slot cache threaded through the layer scan
-        # (kept for A/B measurement; ~4.5 ms/token slower at B=16 from the
-        # per-layer dynamic_index cache copy)
         S = cfg.cache_len
         cache = llama.KVCache.zeros(c.llm, B, S, dtype=c.llm.dtype)
         attn_mask_S = jnp.pad(mm_mask, ((0, 0), (0, S - T)))

@@ -2,15 +2,29 @@
 """Token-agreement harness: bf16 parity mode vs int8 turbo serving mode.
 
 Greedy action tokens are the serving contract (SURVEY.md §7: argmax-token
-equality, not float equality). This script runs N random (or directory-sourced)
-images through BOTH modes of a checkpoint and reports exact-token agreement
-per dimension — the quantization-drift check that gates enabling the turbo
-mode in deployment.
+equality, not float equality). This script runs N images through BOTH modes
+of a model and reports exact-token agreement per dimension — the
+quantization-drift check that gates enabling the turbo mode in deployment.
+
+Modes
+  --checkpoint <dir>   real HF-layout checkpoint (run wherever weights exist)
+  --scale full         full OpenVLA-7B architecture, random weights (seeded:
+                       both modes quantize the SAME weights). Random weights
+                       are the conservative case for agreement: logit gaps
+                       between adjacent bins are much smaller than with
+                       trained weights.
+  (default)            tiny random model (CI smoke)
+
+Image corpus: structured frames (gradients, checkerboards, blobs, solids)
+plus uniform noise — `--image_dir` supplies real frames when available.
+Writes a markdown certificate to --report (e.g. PARITY_r02.md).
 """
 
 from __future__ import annotations
 
+import json
 import sys
+import time
 from dataclasses import dataclass
 from pathlib import Path
 from typing import Optional
@@ -29,11 +43,98 @@ overwatch = initialize_overwatch(__name__)
 
 @dataclass(frozen=True)
 class ParityConfig:
-    checkpoint: Optional[str] = None     # local HF-layout dir; None = tiny random
-    n_images: int = 32
+    checkpoint: Optional[str] = None     # local HF-layout dir; None = random
+    scale: str = "tiny"                  # tiny | full (random weights)
+    n_images: int = 128
+    batch: int = 8                       # bf16-mode batch (HBM-bound)
+    turbo_batch: int = 16
     image_dir: Optional[str] = None      # real frames if available
     instruction: str = "put spoon on towel"
     unnorm_key: Optional[str] = None
+    quant_vit: bool = False              # also quantize the ViT towers (BENCH_QUANT_VIT)
+    report: Optional[str] = None         # markdown artifact path
+
+
+def make_image_corpus(n: int, hw=(224, 224), image_dir: Optional[str] = None):
+    """Structured frames + noise: gradients, checkerboards, gaussian blobs,
+    solid colors — exercises the preprocessing + ViT paths with non-noise
+    statistics (noise-only corpora underestimate logit-gap sensitivity)."""
+    import numpy as np
+
+    if image_dir:
+        from PIL import Image
+
+        paths = sorted(Path(image_dir).glob("*.jpg")) + sorted(Path(image_dir).glob("*.png"))
+        return [np.asarray(Image.open(p).convert("RGB").resize(hw)) for p in paths[:n]]
+
+    g = np.random.default_rng(0)
+    H, W = hw
+    yy, xx = np.mgrid[0:H, 0:W].astype(np.float32)
+    images = []
+    for i in range(n):
+        kind = i % 5
+        if kind == 0:    # linear gradient, random direction/colors
+            a, b = g.random(3), g.random(3)
+            t = ((xx * g.normal() + yy * g.normal()) / (H + W))
+            t = (t - t.min()) / max(float(np.ptp(t)), 1e-6)
+            img = (a[None, None] * t[..., None] + b[None, None] * (1 - t[..., None]))
+        elif kind == 1:  # checkerboard at random scale
+            s = int(g.integers(4, 40))
+            chk = ((xx // s + yy // s) % 2)[..., None]
+            c1, c2 = g.random(3), g.random(3)
+            img = chk * c1[None, None] + (1 - chk) * c2[None, None]
+        elif kind == 2:  # gaussian blobs on a solid background
+            img = np.tile(g.random(3)[None, None], (H, W, 1))
+            for _ in range(int(g.integers(1, 6))):
+                cy, cx = g.integers(0, H), g.integers(0, W)
+                sig = float(g.uniform(8, 50))
+                blob = np.exp(-((yy - cy) ** 2 + (xx - cx) ** 2) / (2 * sig**2))
+                img = img + blob[..., None] * (g.random(3) - 0.5)[None, None]
+        elif kind == 3:  # solid color
+            img = np.tile(g.random(3)[None, None], (H, W, 1))
+        else:            # uniform noise
+            img = g.random((H, W, 3))
+        images.append((np.clip(img, 0, 1) * 255).astype(np.uint8))
+    return images
+
+
+def _full_model(quant: bool, quant_vit: bool):
+    import numpy as np
+
+    import jax
+    import jax.numpy as jnp
+
+    from openvla_probe_tpu.models import vla, vlm
+    from openvla_probe_tpu.ops.image import ImageTransformConfig
+
+    cfg = vlm.VLMConfig.openvla_7b()
+    if quant:
+        from openvla_probe_tpu.ops.linear import quantize_params
+
+        llm_suffixes = ("q_proj", "k_proj", "v_proj", "o_proj",
+                        "gate_proj", "up_proj", "down_proj", "lm_head")
+        vit_suffixes = ("qkv_w", "proj_w", "fc1_w", "fc2_w")
+        suffixes = llm_suffixes + (vit_suffixes if quant_vit else ())
+        init = jax.jit(lambda key: quantize_params(
+            vlm.init_params(cfg, key), suffixes=suffixes))
+    else:
+        init = jax.jit(lambda key: vlm.init_params(cfg, key))
+    params = init(jax.random.key(0))   # SAME seed both modes
+    jax.block_until_ready(params)
+
+    serving = vla.VLAServingConfig(vlm=cfg, prompt_pad_len=32)
+
+    class _Tok:
+        def encode(self, t):
+            # deterministic pseudo-tokenizer (no tokenizer download in env)
+            return [1] + [(hash(w) % 30000) + 1000 for w in t.split()]
+
+    stats = {"bridge_orig": {"action": {
+        "q01": -np.ones(7, np.float32), "q99": np.ones(7, np.float32),
+        "mask": np.array([True] * 6 + [False]),
+    }}}
+    return vla.OpenVLA(params, serving, _Tok(), stats,
+                       ImageTransformConfig.dinosiglip_224())
 
 
 def _tiny_model(quant: bool):
@@ -65,45 +166,85 @@ def _tiny_model(quant: bool):
     return vla.OpenVLA(params, serving, _Tok(), stats, img_cfg)
 
 
-def main(cfg: ParityConfig) -> None:
+def _run_mode(model, images, prompt: str, unnorm: Optional[str], batch: int):
+    """Tokens for every image, batched."""
     import numpy as np
 
-    if cfg.checkpoint:
-        from openvla_probe_tpu.models.load import load_vla
+    toks = []
+    for i in range(0, len(images), batch):
+        chunk = np.stack(images[i:i + batch])
+        out = model.predict_action(chunk, prompt, unnorm_key=unnorm)
+        toks.append(out["action_tokens"])
+    return np.concatenate(toks, axis=0)
 
-        model_ref = load_vla(cfg.checkpoint, quantize_int8=False)
-        model_turbo = load_vla(cfg.checkpoint, quantize_int8=True)
-        unnorm = cfg.unnorm_key
-    else:
-        overwatch.info("No checkpoint given; running the tiny random model")
-        model_ref = _tiny_model(False)
-        model_turbo = _tiny_model(True)
-        unnorm = "bridge_orig"
 
-    g = np.random.default_rng(0)
-    if cfg.image_dir:
-        from PIL import Image
+def main(cfg: ParityConfig) -> None:
+    import gc
 
-        paths = sorted(Path(cfg.image_dir).glob("*.jpg")) + sorted(Path(cfg.image_dir).glob("*.png"))
-        images = [np.asarray(Image.open(p).convert("RGB")) for p in paths[: cfg.n_images]]
-    else:
-        images = [g.integers(0, 256, (224, 224, 3), dtype=np.uint8) for _ in range(cfg.n_images)]
+    import numpy as np
 
+    hw = (224, 224) if (cfg.scale == "full" or cfg.checkpoint) else (64, 64)
+    images = make_image_corpus(cfg.n_images, hw=hw, image_dir=cfg.image_dir)
     prompt = f"In: What action should the robot take to {cfg.instruction.lower()}?\nOut:"
-    agree = np.zeros(7, np.int64)
-    total = 0
-    max_bin_diff = 0
-    for img in images:
-        t_ref = model_ref.predict_action(img, prompt, unnorm_key=unnorm)["action_tokens"]
-        t_turbo = model_turbo.predict_action(img, prompt, unnorm_key=unnorm)["action_tokens"]
-        agree += (t_ref == t_turbo).astype(np.int64)
-        max_bin_diff = max(max_bin_diff, int(np.abs(
-            t_ref.astype(np.int64) - t_turbo.astype(np.int64)).max()))
-        total += 1
-    rates = agree / total
+
+    def build(quant: bool):
+        if cfg.checkpoint:
+            from openvla_probe_tpu.models.load import load_vla
+
+            return load_vla(cfg.checkpoint, quantize_int8=quant), cfg.unnorm_key
+        if cfg.scale == "full":
+            return _full_model(quant, cfg.quant_vit), "bridge_orig"
+        return _tiny_model(quant), "bridge_orig"
+
+    # run the two modes SEQUENTIALLY — 7B bf16 + int8 don't fit HBM together
+    overwatch.info("mode 1/2: bf16 (bit-parity)")
+    model, unnorm = build(False)
+    t0 = time.time()
+    ref_toks = _run_mode(model, images, prompt, unnorm, cfg.batch)
+    bf16_s = time.time() - t0
+    del model
+    gc.collect()
+
+    overwatch.info("mode 2/2: int8 (turbo)")
+    model, unnorm = build(True)
+    t0 = time.time()
+    turbo_toks = _run_mode(model, images, prompt, unnorm, cfg.turbo_batch)
+    turbo_s = time.time() - t0
+    del model
+    gc.collect()
+
+    total = ref_toks.shape[0]
+    eq = ref_toks == turbo_toks
+    rates = eq.mean(axis=0)
+    bin_diff = np.abs(ref_toks.astype(np.int64) - turbo_toks.astype(np.int64))
     overwatch.info(f"per-dim exact-token agreement over {total} images: "
                    + " ".join(f"{r:.3f}" for r in rates))
-    overwatch.info(f"overall agreement: {rates.mean():.4f}; max bin drift: {max_bin_diff}")
+    overwatch.info(f"overall agreement: {rates.mean():.4f}; "
+                   f"max bin drift: {int(bin_diff.max())}; "
+                   f"mean bin drift: {float(bin_diff.mean()):.4f}")
+
+    if cfg.report:
+        import jax
+
+        payload = {
+            "scale": cfg.scale if not cfg.checkpoint else f"checkpoint:{cfg.checkpoint}",
+            "backend": jax.default_backend(),
+            "n_images": int(total),
+            "quant_vit": cfg.quant_vit,
+            "per_dim_agreement": [round(float(r), 4) for r in rates],
+            "overall_agreement": round(float(rates.mean()), 4),
+            "max_bin_drift": int(bin_diff.max()),
+            "mean_bin_drift": round(float(bin_diff.mean()), 4),
+            "p99_bin_drift": int(np.quantile(bin_diff, 0.99)),
+            "bf16_wall_s": round(bf16_s, 1),
+            "int8_wall_s": round(turbo_s, 1),
+        }
+        line = json.dumps(payload)
+        with open(cfg.report, "a") as f:
+            f.write(line + "\n")
+        overwatch.info(f"appended certificate line to {cfg.report}")
+    print(json.dumps({"overall_agreement": round(float(rates.mean()), 4),
+                      "max_bin_drift": int(bin_diff.max())}))
 
 
 if __name__ == "__main__":
