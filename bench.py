@@ -108,14 +108,35 @@ def main() -> None:
 
     import functools
 
-    fn = jax.jit(functools.partial(
-        vla.predict_action_from_image, cfg=serving, image_cfg=img_cfg))
+    speculative = os.environ.get("BENCH_SPECULATIVE", "0") == "1"
+    if speculative:
+        # robot-control-loop steady state: the previous step's tokens are the
+        # draft; identical frames => full acceptance => the sequential decode
+        # while_loop runs ZERO iterations (token-exact by construction)
+        from openvla_probe_tpu.ops.image import apply_image_transform
+
+        def spec_fn(params, image_u8, input_ids, prompt_len, draft_tokens,
+                    q01, q99, action_mask):
+            pixels = apply_image_transform(image_u8, img_cfg).astype(cfg.llm.dtype)
+            return vla.predict_action_speculative_core(
+                params, serving, pixels, input_ids, prompt_len, draft_tokens,
+                q01, q99, action_mask)
+
+        fn = jax.jit(spec_fn)
+    else:
+        fn = jax.jit(functools.partial(
+            vla.predict_action_from_image, cfg=serving, image_cfg=img_cfg))
     args = dict(
         image_u8=jnp.asarray(image),
         input_ids=jnp.asarray(ids),
         prompt_len=jnp.full((batch,), prompt_len, jnp.int32),
         q01=jnp.asarray(q01), q99=jnp.asarray(q99), action_mask=jnp.asarray(mask),
     )
+    if speculative:
+        base = jax.jit(functools.partial(
+            vla.predict_action_from_image, cfg=serving, image_cfg=img_cfg))
+        true_toks = base(params, **args)["action_tokens"]
+        args["draft_tokens"] = jnp.asarray(np.asarray(true_toks), jnp.int32)
 
     # NOTE: fetch real values (np.asarray), not just block_until_ready — on
     # tunneled backends only a host transfer reliably waits for execution.
@@ -146,6 +167,8 @@ def main() -> None:
         "compile_s": round(compile_s, 1),
         "scale": scale,
         "backend": jax.default_backend(),
+        **({"speculative": True,
+            "n_accepted": int(np.asarray(out["n_accepted"])[0])} if speculative else {}),
     }))
 
 

@@ -1,0 +1,131 @@
+"""Verified speculative action decoding: token-exactness + acceptance logic.
+
+predict_action_speculative_core must produce IDENTICAL greedy tokens to
+predict_action_core for any draft (correct, wrong, partially correct) — the
+draft only changes how much sequential decode runs, never the result.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from openvla_probe_tpu.models import vla, vlm
+from openvla_probe_tpu.models.llama import LlamaConfig
+from openvla_probe_tpu.models.vit import ViTConfig
+
+
+@pytest.fixture(scope="module")
+def model():
+    cfg = vlm.VLMConfig(
+        llm=LlamaConfig.tiny(),
+        vision=(ViTConfig.tiny(num_register_tokens=4, no_embed_class=True), ViTConfig.tiny()),
+        vision_names=("dino", "siglip"),
+        arch_specifier="no-align+fused-gelu-mlp",
+    )
+    serving = vla.VLAServingConfig(vlm=cfg, action_dim=6, prompt_pad_len=12,
+                                   codec_vocab_size=cfg.llm.vocab_size)
+    params = vlm.init_params(cfg, jax.random.key(0))
+
+    r = np.random.default_rng(0)
+    B = 3
+    S = cfg.vision[0].image_size
+    pixels = jnp.asarray(r.normal(size=(B, 6, S, S)).astype(np.float32))
+    ids = np.zeros((B, serving.prompt_pad_len), np.int32)
+    lens = []
+    for b in range(B):
+        n = int(r.integers(4, 10))
+        ids[b, :n] = np.concatenate([[1], r.integers(3, 400, n - 1)])
+        lens.append(n)
+    args = (pixels, jnp.asarray(ids), jnp.asarray(lens, jnp.int32),
+            jnp.asarray(-np.ones(6, np.float32)), jnp.asarray(np.ones(6, np.float32)),
+            jnp.asarray(np.array([True] * 5 + [False])))
+    want = vla.predict_action_core(params, serving, *args)
+    return serving, params, args, np.asarray(want["action_tokens"])
+
+
+def _spec(params, serving, args, draft):
+    return vla.predict_action_speculative_core(
+        params, serving, args[0], args[1], args[2],
+        jnp.asarray(draft, jnp.int32), args[3], args[4], args[5],
+    )
+
+
+def test_correct_draft_full_acceptance(model):
+    serving, params, args, want = model
+    out = _spec(params, serving, args, want)      # draft == true tokens
+    np.testing.assert_array_equal(np.asarray(out["action_tokens"]), want)
+    A = want.shape[1]
+    # every draft token accepted
+    np.testing.assert_array_equal(np.asarray(out["n_accepted"]), np.full(want.shape[0], A))
+
+
+def test_wrong_draft_still_exact(model):
+    serving, params, args, want = model
+    wrong = (want + 1) % serving.codec_vocab_size  # every position mismatches
+    out = _spec(params, serving, args, wrong)
+    np.testing.assert_array_equal(np.asarray(out["action_tokens"]), want)
+    np.testing.assert_array_equal(np.asarray(out["n_accepted"]), np.zeros(want.shape[0]))
+
+
+def test_partial_draft_still_exact(model):
+    serving, params, args, want = model
+    A = want.shape[1]
+    partial = want.copy()
+    partial[:, 3:] = (partial[:, 3:] + 7) % serving.codec_vocab_size  # first 3 right
+    out = _spec(params, serving, args, partial)
+    np.testing.assert_array_equal(np.asarray(out["action_tokens"]), want)
+    np.testing.assert_array_equal(np.asarray(out["n_accepted"]), np.full(want.shape[0], 3))
+
+
+def test_mixed_acceptance_across_batch(model):
+    serving, params, args, want = model
+    draft = want.copy()
+    draft[0] = (draft[0] + 1) % serving.codec_vocab_size   # row 0 all wrong
+    draft[1, 4:] = (draft[1, 4:] + 3) % serving.codec_vocab_size  # row 1: 4 right
+    # row 2: fully right
+    out = _spec(params, serving, args, draft)
+    np.testing.assert_array_equal(np.asarray(out["action_tokens"]), want)
+    np.testing.assert_array_equal(np.asarray(out["n_accepted"]),
+                                  np.array([0, 4, want.shape[1]]))
+
+
+def test_capture_matches_core(model):
+    serving, params, args, want = model
+    core = vla.predict_action_core(params, serving, *args, collect_hidden_states=True)
+    out = vla.predict_action_speculative_core(
+        params, serving, args[0], args[1], args[2],
+        jnp.asarray(want, jnp.int32), args[3], args[4], args[5],
+        collect_hidden_states=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out["hidden_pooled"]), np.asarray(core["hidden_pooled"]), atol=1e-5
+    )
+
+
+def test_openvla_wrapper_draft_roundtrip(model):
+    """The robot-loop usage: feed the previous call's tokens as the draft."""
+    serving, params, args, want = model
+
+    class _Tok:
+        def encode(self, t):
+            return [1] + [(hash(w) % 400) + 3 for w in t.split()]
+
+    from openvla_probe_tpu.ops.image import BackboneTransformSpec, ImageTransformConfig
+
+    s = serving.vlm.vision[0].image_size
+    img_cfg = ImageTransformConfig(specs=(
+        BackboneTransformSpec((s, s), "bicubic", (0.485, 0.456, 0.406), (0.229, 0.224, 0.225)),
+        BackboneTransformSpec((s, s), "bicubic", (0.5, 0.5, 0.5), (0.5, 0.5, 0.5)),
+    ))
+    stats = {"x": {"action": {"q01": -np.ones(6, np.float32),
+                              "q99": np.ones(6, np.float32)}}}
+    m = vla.OpenVLA(params, serving, _Tok(), stats, img_cfg)
+    r = np.random.default_rng(1)
+    img = r.integers(0, 256, (s + 10, s + 10, 3), dtype=np.uint8)
+    base = m.predict_action(img, "pick up the mug", unnorm_key="x")
+    spec = m.predict_action(img, "pick up the mug", unnorm_key="x",
+                            draft_tokens=base["action_tokens"])
+    np.testing.assert_array_equal(spec["action_tokens"], base["action_tokens"])
+    assert int(spec["n_accepted"]) == serving.action_dim
