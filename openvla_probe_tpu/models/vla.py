@@ -74,6 +74,7 @@ def predict_action_core(
     q99: jnp.ndarray,
     action_mask: jnp.ndarray,     # [B, A] or [A] bool; False dims pass through
     collect_hidden_states: bool = False,
+    return_first_logits: bool = False,
 ) -> Dict[str, jnp.ndarray]:
     import os
 
@@ -134,6 +135,8 @@ def predict_action_core(
 
     last_logits = matmul_t(last_hidden, params["llm"]["lm_head"]).astype(jnp.float32)
     first_tok = last_logits.argmax(-1).astype(jnp.int32)              # [B]
+    top2_0 = jax.lax.top_k(last_logits, 2)[0]                         # [B, 2]
+    margin0 = top2_0[:, 0] - top2_0[:, 1]                             # argmax robustness
 
     # --- greedy decode of the remaining A-1 tokens -------------------------
     if legacy:
@@ -150,16 +153,21 @@ def predict_action_core(
                 params["llm"], c.llm, e, valid.astype(jnp.int32), pos,
                 cache=cache, cache_index=jnp.int32(slot0) + t,
             )
-            nxt = step_out["logits"][:, -1].argmax(-1).astype(jnp.int32)
-            return (step_out["cache"], nxt), nxt
+            lg = step_out["logits"][:, -1]
+            nxt = lg.argmax(-1).astype(jnp.int32)
+            t2 = jax.lax.top_k(lg, 2)[0]
+            return (step_out["cache"], nxt), (nxt, t2[:, 0] - t2[:, 1])
 
-        (_, _), toks = jax.lax.scan(step, (cache, first_tok), jnp.arange(A - 1, dtype=jnp.int32))
+        (_, _), (toks, step_margins) = jax.lax.scan(
+            step, (cache, first_tok), jnp.arange(A - 1, dtype=jnp.int32))
         toks = toks.T
+        margins = jnp.concatenate([margin0[:, None], step_margins.T], axis=1)
     else:
         toks = llama.greedy_decode(
             params["llm"], c.llm, out["kv"], mm_mask,
             first_token=first_tok, start_pos=mm_len, n_steps=A - 1,
         )
+        margins = jnp.broadcast_to(margin0[:, None], (B, A))  # first-token only
     action_tokens = jnp.concatenate([first_tok[:, None], toks], axis=1)  # [B, A]
 
     # --- de-tokenize + un-normalize (fused) -------------------------------
@@ -170,7 +178,15 @@ def predict_action_core(
         "actions": actions,
         "action_tokens": action_tokens,
         "normalized_actions": norm_actions,
+        # top1-top2 logit gap per generated token: an argmax flip under a
+        # numeric perturbation requires |perturbation| >= margin/2 — the
+        # quantization-safety statistic PARITY_r02.md certifies against
+        "logit_margins": margins,
     }
+    if return_first_logits:
+        # full first-position logits: identically conditioned across serving
+        # modes, so the cross-mode delta is a clean perturbation measurement
+        result["first_logits"] = last_logits
     if collect_hidden_states:
         result["hidden_pooled"] = out["hidden_pooled"]                # [B, L+1, D]
     return result
@@ -187,12 +203,13 @@ def predict_action_from_image(
     q99: jnp.ndarray,
     action_mask: jnp.ndarray,
     collect_hidden_states: bool = False,
+    return_first_logits: bool = False,
 ) -> Dict[str, jnp.ndarray]:
     """Raw-uint8 entry: fuses the preprocessing graph into the same jit."""
     pixels = apply_image_transform(image_u8, image_cfg).astype(cfg.vlm.llm.dtype)
     return predict_action_core(
         params, cfg, pixels, input_ids, prompt_len, q01, q99, action_mask,
-        collect_hidden_states,
+        collect_hidden_states, return_first_logits,
     )
 
 
@@ -439,8 +456,8 @@ class OpenVLA:
         out[: len(ids)] = ids
         return out, len(ids)
 
-    def _get_jit(self, collect: bool):
-        key = collect
+    def _get_jit(self, collect: bool, first_logits: bool = False):
+        key = (collect, first_logits)
         if key not in self._jit_cache:
             self._jit_cache[key] = jax.jit(
                 functools.partial(
@@ -448,6 +465,7 @@ class OpenVLA:
                     cfg=self.cfg,
                     image_cfg=self.image_cfg,
                     collect_hidden_states=collect,
+                    return_first_logits=first_logits,
                 ),
                 static_argnames=(),
             )
@@ -475,6 +493,7 @@ class OpenVLA:
         prompt: str,
         unnorm_key: Optional[str] = None,
         return_hidden_states: bool = False,
+        return_first_logits: bool = False,
         draft_tokens: Optional[np.ndarray] = None,  # [A] or [B, A]: verified
         # speculation — pass the PREVIOUS control step's action_tokens; greedy
         # outputs are identical, a fully-accepted draft skips the sequential
@@ -505,7 +524,8 @@ class OpenVLA:
                 self.params, draft_tokens=jnp.asarray(draft), **common,
             )
         else:
-            out = self._get_jit(return_hidden_states)(self.params, **common)
+            out = self._get_jit(return_hidden_states, return_first_logits)(
+                self.params, **common)
         result = {k: np.asarray(v) for k, v in out.items()}
         if squeeze:
             result = {k: v[0] for k, v in result.items()}

@@ -167,15 +167,19 @@ def _tiny_model(quant: bool):
 
 
 def _run_mode(model, images, prompt: str, unnorm: Optional[str], batch: int):
-    """Tokens for every image, batched."""
+    """(tokens, logit margins, first-position logits) for every image."""
     import numpy as np
 
-    toks = []
+    toks, margins, first_logits = [], [], []
     for i in range(0, len(images), batch):
         chunk = np.stack(images[i:i + batch])
-        out = model.predict_action(chunk, prompt, unnorm_key=unnorm)
+        out = model.predict_action(chunk, prompt, unnorm_key=unnorm,
+                                   return_first_logits=True)
         toks.append(out["action_tokens"])
-    return np.concatenate(toks, axis=0)
+        margins.append(out["logit_margins"])
+        first_logits.append(out["first_logits"])
+    return (np.concatenate(toks, axis=0), np.concatenate(margins, axis=0),
+            np.concatenate(first_logits, axis=0))
 
 
 def main(cfg: ParityConfig) -> None:
@@ -200,7 +204,7 @@ def main(cfg: ParityConfig) -> None:
     overwatch.info("mode 1/2: bf16 (bit-parity)")
     model, unnorm = build(False)
     t0 = time.time()
-    ref_toks = _run_mode(model, images, prompt, unnorm, cfg.batch)
+    ref_toks, ref_margins, ref_fl = _run_mode(model, images, prompt, unnorm, cfg.batch)
     bf16_s = time.time() - t0
     del model
     gc.collect()
@@ -208,7 +212,7 @@ def main(cfg: ParityConfig) -> None:
     overwatch.info("mode 2/2: int8 (turbo)")
     model, unnorm = build(True)
     t0 = time.time()
-    turbo_toks = _run_mode(model, images, prompt, unnorm, cfg.turbo_batch)
+    turbo_toks, _, turbo_fl = _run_mode(model, images, prompt, unnorm, cfg.turbo_batch)
     turbo_s = time.time() - t0
     del model
     gc.collect()
@@ -223,6 +227,23 @@ def main(cfg: ParityConfig) -> None:
                    f"max bin drift: {int(bin_diff.max())}; "
                    f"mean bin drift: {float(bin_diff.mean()):.4f}")
 
+    # margin-vs-perturbation certificate: an argmax flip requires the int8
+    # logit perturbation to reach HALF the bf16 top1-top2 margin. The
+    # first-position logits are identically conditioned in both modes, so
+    # their delta is a clean perturbation measurement; margins come from the
+    # bf16 (ground-truth) pass. With trained weights margins are large; with
+    # random weights they are ~0, which is why random-weight agreement is a
+    # LOWER bound, not a verdict on the turbo mode.
+    delta = np.abs(ref_fl.astype(np.float64) - turbo_fl.astype(np.float64))
+    delta_inf = delta.max(axis=1)                        # [N] per-image L_inf
+    m = ref_margins.astype(np.float64)
+    overwatch.info(
+        "bf16 top1-top2 margin percentiles (p1/p50/p99): "
+        f"{np.quantile(m, 0.01):.4f}/{np.quantile(m, 0.5):.4f}/{np.quantile(m, 0.99):.4f}; "
+        f"int8 first-logit L_inf perturbation p50/p99/max: "
+        f"{np.quantile(delta_inf, 0.5):.4f}/{np.quantile(delta_inf, 0.99):.4f}/{delta_inf.max():.4f}"
+    )
+
     if cfg.report:
         import jax
 
@@ -236,6 +257,12 @@ def main(cfg: ParityConfig) -> None:
             "max_bin_drift": int(bin_diff.max()),
             "mean_bin_drift": round(float(bin_diff.mean()), 4),
             "p99_bin_drift": int(np.quantile(bin_diff, 0.99)),
+            "bf16_margin_p1": round(float(np.quantile(m, 0.01)), 4),
+            "bf16_margin_p50": round(float(np.quantile(m, 0.5)), 4),
+            "bf16_margin_p99": round(float(np.quantile(m, 0.99)), 4),
+            "int8_perturb_linf_p50": round(float(np.quantile(delta_inf, 0.5)), 4),
+            "int8_perturb_linf_p99": round(float(np.quantile(delta_inf, 0.99)), 4),
+            "int8_perturb_linf_max": round(float(delta_inf.max()), 4),
             "bf16_wall_s": round(bf16_s, 1),
             "int8_wall_s": round(turbo_s, 1),
         }

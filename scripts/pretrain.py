@@ -106,6 +106,10 @@ def main(cfg: PretrainConfig) -> None:
         image_transform=lambda img: np.asarray(apply_image_transform(jnp.asarray(img), img_cfg)),
         tokenizer=tokenizer,
         prompt_builder_fn=prompt_cls,
+        # dummy pixels for unimodal examples must match the REAL stacked shape
+        # (3*n_backbones channels at the model's resolution), not 224px
+        default_image_resolution=(3 * len(img_cfg.specs), *img_cfg.specs[0].input_size),
+        pad_token_id=min(32000, model_cfg.llm.vocab_size - 1),
     )
 
     stage_prefix = "align" if cfg.stage == "align" else "finetune"
@@ -141,19 +145,41 @@ def main(cfg: PretrainConfig) -> None:
 
     metrics = Metrics(("jsonl", "wandb") if cfg.wandb else ("jsonl",),
                       run_id=run_id, run_dir=run_dir, stage=cfg.stage)
-    sampler = SplitModalitySampler(dataset.get_modality_lengths(), global_bs)
+    # per-process sharded sampling (the reference's distributed
+    # SplitModalitySampler semantics, batching_utils.py:23-212): every process
+    # generates the SAME deterministic global batch order and takes its own
+    # length-contiguous slice; each host materializes only its shard
+    n_proc, proc_id = jax.process_count(), jax.process_index()
+    sampler = SplitModalitySampler(
+        dataset.get_modality_lengths(), global_bs,
+        num_replicas=n_proc, rank=proc_id,
+    )
+    per_host_bs = global_bs // n_proc
+
+    def to_global(local_batch):
+        """Host-local arrays -> global sharded arrays (multi-host only)."""
+        if n_proc == 1:
+            return {k: jnp.asarray(v) for k, v in local_batch.items()}
+        return {
+            k: jax.make_array_from_process_local_data(batch_sharding, np.asarray(v))
+            for k, v in local_batch.items()
+        }
+
+    from openvla_probe_tpu.training.train_state import make_schedule
+
+    schedule = make_schedule(opt_cfg)
     epochs = getattr(m, f"{stage_prefix}_epochs")
     step = 0
     for epoch in range(epochs):
         sampler.set_epoch(epoch)
         idxs = list(sampler)
-        for s in range(0, len(idxs) - global_bs + 1, global_bs):
-            batch = collator([dataset[i] for i in idxs[s : s + global_bs]])
+        for s in range(0, len(idxs) - per_host_bs + 1, per_host_bs):
+            batch = collator([dataset[i] for i in idxs[s : s + per_host_bs]])
             batch.pop("multimodal_indices", None)
-            state, mtr = step_fn(state, {k: jnp.asarray(v) for k, v in batch.items()})
+            state, mtr = step_fn(state, to_global(batch))
             step = int(jax.device_get(state.step))
             metrics.commit(global_step=step, loss=mtr["loss"],
-                           lr=opt_cfg.learning_rate, update_step_time=True)
+                           lr=float(schedule(step - 1)), update_step_time=True)
             if step % 10 == 0:
                 overwatch.info(metrics.push())
             if step >= opt_cfg.max_steps:
