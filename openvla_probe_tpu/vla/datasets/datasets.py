@@ -131,9 +131,44 @@ class RLDSDataset:
             frame_transform_kwargs=frame_tf_kwargs,
         )
 
+        self._pipeline_spec = {
+            "data_mix": data_mix,
+            "resize_resolution": list(resize_resolution),
+            "shuffle_buffer_size": shuffle_buffer_size,
+            "train": train,
+            "image_aug": bool(image_aug),
+            "window_size": window_size,
+            "future_action_window_size": future_action_window_size,
+        }
+
     def __iter__(self) -> Iterator[Dict[str, Any]]:
         for frame in self.dataset.as_numpy_iterator():
             yield self.batch_transform(frame)
+
+    def checkpointable_iterator(self, ckpt_dir):
+        """Data-order-checkpointable stream (beyond the reference, which
+        restarts RLDS from scratch on resume — SURVEY.md §5). Returns an
+        iterator with .save(step)/.restore_latest() that yields the same
+        transformed examples as __iter__."""
+        from .data_checkpoint import CheckpointableIterator
+
+        inner = CheckpointableIterator(
+            self.dataset, ckpt_dir, pipeline_spec=self._pipeline_spec
+        )
+
+        class _Stream:
+            def __init__(s):
+                s.save = inner.save
+                s.restore = inner.restore
+                s.restore_latest = inner.restore_latest
+
+            def __iter__(s):
+                return s
+
+            def __next__(s, _bt=self.batch_transform):
+                return _bt(next(inner))
+
+        return _Stream()
 
     def __len__(self) -> int:
         return self.dataset_length

@@ -231,7 +231,16 @@ def main(cfg: TrainConfig) -> None:
 
     # --- loop (infinite RLDS iterator; step-bounded) ---------------------
     global_bs = v.global_batch_size
-    it = iter(dataset)
+    data_it = None
+    if hasattr(dataset, "checkpointable_iterator"):
+        # data-order checkpointing (beyond the reference): the stream resumes
+        # where it left off instead of restarting + re-shuffling from scratch
+        data_it = dataset.checkpointable_iterator(run_dir / "data_ckpt")
+        if resume_path is not None:
+            data_it.restore_latest()
+        it = iter(data_it)
+    else:
+        it = iter(dataset)
     buf = []
     schedule = make_schedule(opt_cfg)
     max_steps = v.max_steps or (v.epochs * max(1, len(dataset) // global_bs))
@@ -259,6 +268,8 @@ def main(cfg: TrainConfig) -> None:
         if step % cfg.save_interval == 0 or step >= max_steps:
             ckpt.save_checkpoint(run_dir, state, step=step, epoch=metrics.epoch,
                                  loss=float(jax.device_get(m["loss"])))
+            if data_it is not None:
+                data_it.save(step)
     metrics.finalize()
     overwatch.info("Training complete")
 
