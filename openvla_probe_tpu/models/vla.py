@@ -530,3 +530,50 @@ class OpenVLA:
         if squeeze:
             result = {k: v[0] for k, v in result.items()}
         return result
+
+    def predict_action_batch(
+        self,
+        images: np.ndarray,                 # [B, H, W, 3] uint8 (same shape)
+        prompts: Sequence[str],             # B prompts (lengths may differ)
+        unnorm_keys: Optional[Sequence[Optional[str]]] = None,
+        batch_buckets: Tuple[int, ...] = (1, 2, 4, 8, 16, 24, 32),
+    ) -> List[Dict[str, np.ndarray]]:
+        """Heterogeneous-request batch: per-row prompts and per-row norm
+        stats in ONE device call (the reference is bs=1-only). The batch pads
+        up to a fixed bucket (rows replicated) so XLA never sees a new shape.
+        Returns one result dict per request."""
+        images = np.asarray(images)
+        B = len(prompts)
+        assert images.shape[0] == B, "one image per prompt"
+        if unnorm_keys is None:
+            unnorm_keys = [None] * B
+        rows = [self.prepare_ids(p) for p in prompts]
+        ids = np.stack([r[0] for r in rows])
+        lens = np.asarray([r[1] for r in rows], np.int32)
+        stats = [self.get_action_stats(k) for k in unnorm_keys]
+        A = len(stats[0]["q01"])
+        q01 = np.stack([np.asarray(s["q01"], np.float32) for s in stats])
+        q99 = np.stack([np.asarray(s["q99"], np.float32) for s in stats])
+        mask = np.stack([
+            np.asarray(s.get("mask", np.ones(A, bool)), bool) for s in stats
+        ])
+
+        bucket = next((b for b in batch_buckets if b >= B), None)
+        if bucket is None:
+            raise ValueError(f"Batch {B} exceeds largest bucket {batch_buckets[-1]}")
+        pad = bucket - B
+
+        def pad_rows(x):
+            return np.concatenate([x, np.repeat(x[:1], pad, axis=0)]) if pad else x
+
+        out = self._get_jit(False)(
+            self.params,
+            image_u8=jnp.asarray(pad_rows(images)),
+            input_ids=jnp.asarray(pad_rows(ids)),
+            prompt_len=jnp.asarray(pad_rows(lens)),
+            q01=jnp.asarray(pad_rows(q01)),
+            q99=jnp.asarray(pad_rows(q99)),
+            action_mask=jnp.asarray(pad_rows(mask)),
+        )
+        host = {k: np.asarray(v) for k, v in out.items()}
+        return [{k: v[i] for k, v in host.items()} for i in range(B)]

@@ -61,12 +61,29 @@ def get_openvla_prompt(instruction: str, base_vlm: str = "openvla-7b") -> str:
 
 class OpenVLAServer:
     """Serve `model.predict_action` over HTTP. `model` is any object with
-    predict_action(image, prompt, unnorm_key) -> {"actions": ...}."""
+    predict_action(image, prompt, unnorm_key) -> {"actions": ...}.
 
-    def __init__(self, model: Any, base_vlm: str = "openvla-7b") -> None:
+    With `dynamic_batching=True` (and a model exposing predict_action_batch),
+    concurrent requests micro-batch into one device call (serving/batcher.py)
+    — the reference server is strictly bs=1 (deploy.py:91-109)."""
+
+    def __init__(
+        self,
+        model: Any,
+        base_vlm: str = "openvla-7b",
+        dynamic_batching: bool = False,
+        max_batch: int = 24,
+        max_wait_ms: float = 8.0,
+    ) -> None:
         self.model = model
         self.base_vlm = base_vlm
         self._httpd: Optional[ThreadingHTTPServer] = None
+        self.batcher = None
+        if dynamic_batching and hasattr(model, "predict_action_batch"):
+            from .batcher import DynamicBatcher
+
+            self.batcher = DynamicBatcher(model, max_batch=max_batch,
+                                          max_wait_ms=max_wait_ms)
 
     def predict_action(self, payload: Dict[str, Any]) -> Dict[str, Any]:
         if "instruction" not in payload or "image" not in payload:
@@ -76,9 +93,14 @@ class OpenVLAServer:
             )
         image = np.asarray(payload["image"], dtype=np.uint8)
         prompt = get_openvla_prompt(str(payload["instruction"]), self.base_vlm)
-        out = self.model.predict_action(
-            image, prompt, unnorm_key=payload.get("unnorm_key")
-        )
+        if self.batcher is not None:
+            out = self.batcher.predict_action(
+                image, prompt, unnorm_key=payload.get("unnorm_key")
+            )
+        else:
+            out = self.model.predict_action(
+                image, prompt, unnorm_key=payload.get("unnorm_key")
+            )
         return {"action": out["actions"]}
 
     def _make_handler(server_self):  # noqa: N805

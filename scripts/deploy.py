@@ -31,6 +31,9 @@ class DeployConfig:
     port: int = 8000
     quantize_int8: bool = False            # turbo serving mode (non-bit-parity)
     prompt_pad_len: int = 48
+    dynamic_batching: bool = False         # micro-batch concurrent requests
+    max_batch: int = 24
+    max_wait_ms: float = 8.0
 
 
 def main(cfg: DeployConfig) -> None:
@@ -42,7 +45,11 @@ def main(cfg: DeployConfig) -> None:
         cfg.openvla_path, prompt_pad_len=cfg.prompt_pad_len,
         quantize_int8=cfg.quantize_int8,
     )
-    server = OpenVLAServer(model, base_vlm=Path(cfg.openvla_path).name)
+    server = OpenVLAServer(
+        model, base_vlm=Path(cfg.openvla_path).name,
+        dynamic_batching=cfg.dynamic_batching,
+        max_batch=cfg.max_batch, max_wait_ms=cfg.max_wait_ms,
+    )
     overwatch.info(f"Serving POST /act on {cfg.host}:{cfg.port}")
     server.run(cfg.host, cfg.port)
 

@@ -87,3 +87,46 @@ def test_health(server):
 
 def test_v01_prompt():
     assert get_openvla_prompt("Do X", "prism-qwen25-v01").startswith("USER:")
+
+
+class BatchStubModel:
+    """Stub exposing predict_action_batch — counts batch sizes."""
+
+    def __init__(self):
+        self.batch_sizes = []
+
+    def predict_action_batch(self, images, prompts, unnorm_keys=None):
+        self.batch_sizes.append(len(prompts))
+        return [{"actions": np.full(7, float(len(p)), np.float32)} for p in prompts]
+
+
+def test_server_dynamic_batching_round_trip():
+    import threading
+
+    stub = BatchStubModel()
+    srv = OpenVLAServer(stub, dynamic_batching=True, max_batch=8, max_wait_ms=50.0)
+    assert srv.batcher is not None
+    srv.run(host="127.0.0.1", port=0, background=True)
+    try:
+        img = np.zeros((32, 32, 3), np.uint8)
+        outs = [None] * 4
+        prompts = ["a" * (i + 1) for i in range(4)]
+
+        def call(i):
+            outs[i] = _post(srv.port, "/act", {"image": img, "instruction": prompts[i]})
+
+        ts = [threading.Thread(target=call, args=(i,)) for i in range(4)]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join(timeout=60)
+        for i in range(4):
+            status, out = outs[i]
+            assert status == 200
+            # each request got ITS OWN result (value encodes the prompt length)
+            want = len(get_openvla_prompt(prompts[i]))
+            np.testing.assert_allclose(out["action"], np.full(7, want))
+        assert max(stub.batch_sizes) >= 2  # requests actually batched
+    finally:
+        srv.shutdown()
+        srv.batcher.shutdown()
