@@ -81,6 +81,32 @@ def pool_tokens(hidden: np.ndarray, mode: str = "mean") -> np.ndarray:
     raise ValueError(f"Unknown pooling mode {mode}")
 
 
+class SpeculativeActionState:
+    """Per-episode draft state for verified speculative serving: the previous
+    control step's action tokens are the draft for the next step (robot
+    actions change slowly, so acceptance is high and decode collapses toward
+    a single prefill — token-exact either way). Reset at episode boundaries."""
+
+    def __init__(self) -> None:
+        self.last_tokens: Optional[np.ndarray] = None
+        self.accepted_total = 0
+        self.steps = 0
+
+    def reset(self) -> None:
+        self.last_tokens = None
+
+    def observe(self, out: Dict[str, np.ndarray]) -> None:
+        self.last_tokens = np.asarray(out["action_tokens"])
+        if "n_accepted" in out:
+            self.accepted_total += int(np.asarray(out["n_accepted"]).sum())
+        self.steps += 1
+
+    @property
+    def acceptance_rate(self) -> float:
+        a = self.last_tokens.shape[-1] if self.last_tokens is not None else 1
+        return self.accepted_total / max(self.steps * a, 1)
+
+
 def get_vla_action(
     vla: OpenVLA,
     obs: Dict[str, Any],
@@ -89,10 +115,14 @@ def get_vla_action(
     center_crop: bool = False,
     return_embeddings: bool = False,
     base_vlm: str = "openvla-7b",
+    spec_state: Optional[SpeculativeActionState] = None,
 ) -> Dict[str, np.ndarray]:
     """One control step: observation image + instruction -> 7-DoF action
     (+ optional 33-layer pooled hidden states, same prefill). v01 base models
-    use the chat-style prompt (reference openvla_utils.py:178-183)."""
+    use the chat-style prompt (reference openvla_utils.py:178-183).
+
+    Pass a `SpeculativeActionState` to run verified speculative decode across
+    the control loop (greedy tokens identical; latency drops with acceptance)."""
     image = np.asarray(obs["full_image"])
     if center_crop:
         image = center_crop_image_u8(image, crop_scale=0.9)
@@ -103,7 +133,12 @@ def get_vla_action(
         )
     else:
         prompt = f"In: What action should the robot take to {task_label.lower()}?\nOut:"
+    draft = spec_state.last_tokens if spec_state is not None else None
     out = vla.predict_action(
-        image, prompt, unnorm_key=unnorm_key, return_hidden_states=return_embeddings
+        image, prompt, unnorm_key=unnorm_key,
+        return_hidden_states=return_embeddings,
+        draft_tokens=draft,
     )
+    if spec_state is not None:
+        spec_state.observe(out)
     return out

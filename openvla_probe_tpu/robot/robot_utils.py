@@ -44,8 +44,10 @@ def get_action(
     processor: Any = None,
     return_embeddings: bool = False,
     layer_indices: Optional[list] = None,
+    spec_state: Any = None,
 ):
-    """Query the policy for one action (optionally with hidden-state capture)."""
+    """Query the policy for one action (optionally with hidden-state capture
+    and/or verified speculative decode via `spec_state`)."""
     if cfg.model_family == "openvla":
         from .openvla_utils import get_vla_action
 
@@ -54,6 +56,7 @@ def get_action(
             unnorm_key=getattr(cfg, "unnorm_key", None),
             center_crop=getattr(cfg, "center_crop", False),
             return_embeddings=return_embeddings,
+            spec_state=spec_state,
         )
     raise ValueError(f"Unexpected `model_family` = {cfg.model_family}")
 

@@ -56,6 +56,8 @@ class GenerateConfig:
     save_videos: bool = True
     seed: int = 7
     load_in_8bit: bool = False
+    speculative_decode: bool = True          # draft = previous step's tokens
+                                             # (token-exact; big latency win)
 
 
 def load_label_keys(task_suite_name: str):
@@ -70,6 +72,7 @@ def main(cfg: GenerateConfig) -> None:
 
     from openvla_probe_tpu.probe.episodes import EpisodeWriter
     from openvla_probe_tpu.robot import libero_utils, robot_utils
+    from openvla_probe_tpu.robot.openvla_utils import SpeculativeActionState
     from openvla_probe_tpu.robot.robot_utils import get_action, get_model
 
     assert cfg.pretrained_checkpoint, "--pretrained_checkpoint is required"
@@ -106,6 +109,10 @@ def main(cfg: GenerateConfig) -> None:
         for ep in range(cfg.num_trials_per_task):
             env.reset()
             obs = env.set_init_state(init_states[ep % len(init_states)])
+            # verified speculative decode across the control loop: previous
+            # step's tokens draft the next (token-exact; latency drops with
+            # acceptance). Reset at the episode boundary.
+            spec_state = SpeculativeActionState() if cfg.speculative_decode else None
             frames = []
             success = False
             t = 0
@@ -118,7 +125,7 @@ def main(cfg: GenerateConfig) -> None:
                 frames.append(image)
                 out = get_action(
                     cfg, model, {"full_image": image}, task_description,
-                    return_embeddings=True,
+                    return_embeddings=True, spec_state=spec_state,
                 )
                 labels = detector.detect_binary_states()
                 writer.append(
@@ -139,7 +146,7 @@ def main(cfg: GenerateConfig) -> None:
                 for _ in range(cfg.post_success_steps):
                     image = libero_utils.get_libero_image(obs)
                     out = get_action(cfg, model, {"full_image": image}, task_description,
-                                     return_embeddings=True)
+                                     return_embeddings=True, spec_state=spec_state)
                     labels = detector.detect_binary_states()
                     writer.append(
                         out["hidden_pooled"],

@@ -135,3 +135,45 @@ def test_seeding_utils():
     worker_init_function(0, base_seed=7)
     assert np.random.random() == x0 and x0 != x1
     assert check_bfloat16_supported()
+
+
+def test_get_vla_action_speculative_state():
+    """spec_state feeds the previous step's tokens as the draft and tracks
+    acceptance (the LIBERO control-loop wiring)."""
+    import numpy as np
+
+    from openvla_probe_tpu.robot.openvla_utils import (
+        SpeculativeActionState,
+        get_vla_action,
+    )
+
+    class StubVLA:
+        def __init__(self):
+            self.drafts = []
+
+        def predict_action(self, image, prompt, unnorm_key=None,
+                           return_hidden_states=False, draft_tokens=None):
+            self.drafts.append(None if draft_tokens is None
+                               else np.asarray(draft_tokens).copy())
+            out = {"actions": np.zeros(7), "action_tokens": np.arange(7) + len(self.drafts)}
+            if draft_tokens is not None:
+                out["n_accepted"] = np.asarray(5)
+            if return_hidden_states:
+                out["hidden_pooled"] = np.zeros((4, 8))
+            return out
+
+    vla = StubVLA()
+    st = SpeculativeActionState()
+    obs = {"full_image": np.zeros((224, 224, 3), np.uint8)}
+
+    out1 = get_vla_action(vla, obs, "Pick Up", spec_state=st)
+    assert vla.drafts[0] is None                       # step 1: no draft yet
+    out2 = get_vla_action(vla, obs, "Pick Up", spec_state=st)
+    np.testing.assert_array_equal(vla.drafts[1], out1["action_tokens"])
+    out3 = get_vla_action(vla, obs, "Pick Up", spec_state=st)
+    np.testing.assert_array_equal(vla.drafts[2], out2["action_tokens"])
+    assert 0.0 < st.acceptance_rate <= 1.0
+
+    st.reset()
+    get_vla_action(vla, obs, "Pick Up", spec_state=st)
+    assert vla.drafts[3] is None                       # episode boundary reset
