@@ -88,9 +88,12 @@ def per_label_metrics(
                 continue
             y = (targets[m, k] == 1).astype(int)
             p = probs[m, k]
+            name = label_names[k] if label_names is not None else k
             row = {
                 "layer": layer,
-                "label": label_names[k] if label_names is not None else k,
+                "label_idx": k,
+                "label": name,
+                "family": label_family(str(name)),
                 **_binary_metrics(y, (p > threshold).astype(int), p),
             }
             rows.append(row)
@@ -149,6 +152,51 @@ def family_auprc(
             "n_pos": int(y.sum()),
         })
     return rows
+
+
+# --- reference CSV schemas (drop-in artifact compatibility) -------------------
+# Column names/order exactly as the reference's published artifacts
+# (experiment_images/*.csv, analysis/family_auprc.csv) so downstream tooling
+# written against those files consumes ours unchanged.
+
+REFERENCE_CSV_SCHEMAS: Dict[str, List[str]] = {
+    # experiment_images/probe_metrics_clean.csv
+    "binary": ["layer", "val_acc", "val_f1"],
+    # experiment_images/probe_metrics_dual_head_final.csv
+    "dual": ["layer", "pres_acc_va", "truth_acc_va", "pres_f1_va", "truth_f1_va", "status"],
+    # experiment_images/probe_metrics_3class_direct.csv
+    "3class": ["layer", "val_acc", "val_f1", "status"],
+    # experiment_images/per_label_metrics.csv & analysis/per_label_metrics.csv
+    "per_label": ["layer", "label_idx", "label", "family",
+                  "prec", "recall", "f1", "mcc", "bal_acc"],
+    # analysis/family_auprc.csv
+    "family_auprc": ["family", "prior", "auprc", "lift"],
+}
+
+_REFERENCE_KEY_MAP = {
+    "dual": {"pres_acc_va": "presence_acc", "truth_acc_va": "truth_acc",
+             "pres_f1_va": "presence_f1", "truth_f1_va": "truth_f1"},
+    "per_label": {"prec": "precision", "bal_acc": "balanced_acc"},
+}
+
+
+def write_reference_csv(kind: str, rows: List[Dict[str, Any]], path) -> "Path":
+    """Write `rows` (our record dicts) as the reference's exact CSV layout."""
+    import csv
+    from pathlib import Path as _P
+
+    cols = REFERENCE_CSV_SCHEMAS[kind]
+    remap = _REFERENCE_KEY_MAP.get(kind, {})
+    path = _P(path)
+    with open(path, "w", newline="") as f:
+        wr = csv.writer(f)
+        wr.writerow(cols)
+        for r in rows:
+            wr.writerow([
+                "completed" if c == "status" else r.get(remap.get(c, c), "")
+                for c in cols
+            ])
+    return path
 
 
 def metric_histogram(rows: List[Dict[str, Any]], metric: str = "f1", bins: int = 20) -> Dict[str, np.ndarray]:

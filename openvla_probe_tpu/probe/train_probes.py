@@ -293,11 +293,14 @@ def evaluate_probes(
             pres_pred = (pres > cfg.threshold).astype(int)
             pres_f1 = f1_score(mask.astype(int).ravel(), pres_pred.ravel(),
                                average="macro", zero_division=0)
+            pres_acc = float((pres_pred == mask.astype(int)).mean())
             tr_pred = (truth > cfg.threshold).astype(int)
             tr_f1 = (f1_score(tgt[mask], tr_pred[mask], average="macro", zero_division=0)
                      if mask.any() else 0.0)
-            records.append({"layer": layer, "presence_f1": float(pres_f1),
-                            "truth_f1": float(tr_f1)})
+            tr_acc = float((tr_pred == tgt)[mask].mean()) if mask.any() else 0.0
+            records.append({"layer": layer,
+                            "presence_acc": pres_acc, "truth_acc": tr_acc,
+                            "presence_f1": float(pres_f1), "truth_f1": float(tr_f1)})
         else:  # 3class
             lg = logits.reshape(-1, K, 3)
             pred = lg.argmax(-1) - 1

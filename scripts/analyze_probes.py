@@ -63,10 +63,14 @@ def main(cfg: AnalyzeConfig) -> None:
 
     out = Path(cfg.out_dir)
     out.mkdir(parents=True, exist_ok=True)
+    from openvla_probe_tpu.probe.analysis import write_reference_csv
+
+    write_reference_csv("per_label", rows, out / "per_label_metrics_reference_schema.csv")
     with open(out / "per_label_metrics.csv", "w", newline="") as f:
         w = csv.DictWriter(f, fieldnames=list(rows[0].keys()))
         w.writeheader()
         w.writerows(rows)
+    write_reference_csv("family_auprc", fams, out / "family_auprc_reference_schema.csv")
     with open(out / "family_auprc.csv", "w", newline="") as f:
         w = csv.DictWriter(f, fieldnames=list(fams[0].keys()))
         w.writeheader()

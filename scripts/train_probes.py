@@ -69,6 +69,12 @@ def main(cfg: ProbeCLIConfig) -> None:
     out.mkdir(parents=True, exist_ok=True)
     bank_path = result["bank"].save(out / f"probe_bank_{cfg.suite}_{cfg.head}.npz")
     csv_path = save_metrics_csv(result["records"], out / f"probe_metrics_{cfg.suite}.csv")
+    # also emit the reference's exact column layout (drop-in artifact compat)
+    from openvla_probe_tpu.probe.analysis import write_reference_csv
+
+    kind = {"binary": "binary", "dual": "dual", "3class": "3class"}[cfg.head]
+    write_reference_csv(kind, result["records"],
+                        out / f"probe_metrics_{cfg.suite}_reference_schema.csv")
     overwatch.info(f"baseline: {result['baseline']}")
     for r in result["records"]:
         overwatch.info("  " + "  ".join(f"{k}={v:.3f}" if isinstance(v, float) else f"{k}={v}"

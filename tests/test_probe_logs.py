@@ -52,3 +52,40 @@ def test_single_label_f1(rng):
     logits = np.where(targets == 1, 3.0, -3.0) + rng.normal(scale=0.1, size=(50, 3))
     collected = {5: {"logits": logits, "targets": targets}}
     assert logs.single_label_f1(collected, 1, 5) == 1.0
+
+
+def test_reference_csv_schemas(tmp_path):
+    """Emitted CSVs match the reference artifacts' exact column layouts
+    (experiment_images/*.csv, analysis/family_auprc.csv) for drop-in
+    downstream-tooling compatibility."""
+    import csv as _csv
+
+    from openvla_probe_tpu.probe.analysis import (
+        REFERENCE_CSV_SCHEMAS,
+        write_reference_csv,
+    )
+
+    rows_binary = [{"layer": 0, "val_acc": 0.5, "val_f1": 0.4, "val_ap": 0.3}]
+    rows_dual = [{"layer": 1, "presence_acc": 0.9, "truth_acc": 0.8,
+                  "presence_f1": 0.7, "truth_f1": 0.6}]
+    rows_lab = [{"layer": 2, "label_idx": 3, "label": "behind a b", "family": "behind",
+                 "precision": 1.0, "recall": 0.5, "f1": 0.66, "mcc": 0.1,
+                 "balanced_acc": 0.7, "auprc": 0.9, "support": 4}]
+    rows_fam = [{"family": "inside", "prior": 0.02, "auprc": 0.74, "lift": 29.9,
+                 "n": 100, "n_pos": 2}]
+
+    for kind, rows, want_header in [
+        ("binary", rows_binary, "layer,val_acc,val_f1"),
+        ("dual", rows_dual, "layer,pres_acc_va,truth_acc_va,pres_f1_va,truth_f1_va,status"),
+        ("3class", rows_binary, "layer,val_acc,val_f1,status"),
+        ("per_label", rows_lab, "layer,label_idx,label,family,prec,recall,f1,mcc,bal_acc"),
+        ("family_auprc", rows_fam, "family,prior,auprc,lift"),
+    ]:
+        p = write_reference_csv(kind, rows, tmp_path / f"{kind}.csv")
+        lines = p.read_text().strip().split("\n")
+        assert lines[0] == want_header, (kind, lines[0])
+        parsed = list(_csv.DictReader(open(p)))
+        assert len(parsed) == len(rows)
+        assert list(parsed[0].keys()) == REFERENCE_CSV_SCHEMAS[kind]
+    # dual/3class rows carry the reference's status column
+    assert "completed" in (tmp_path / "dual.csv").read_text()
