@@ -273,13 +273,24 @@ def forward(
 
     out: Dict[str, Any] = {}
     if cache is not None:
+        # cached PREFILL (T>1) at a statically-zero offset may still use the
+        # flash kernel: causal-by-slot + the padded validity row are exactly
+        # its in-kernel rule. Decode (T=1) and traced/nonzero offsets fall
+        # back to the XLA path (the kernel's offset is compile-time).
+        try:
+            offset_static: Optional[int] = int(cache_index)  # raises on tracers
+        except Exception:
+            offset_static = None
+        cached_kv_valid = attn_mask if (offset_static == 0 and T > 1) else None
+
         # cache rides the CARRY: per-layer writes stay in place instead of
         # re-stacking the multi-GB cache through scan outputs each step
         def body_cached(carry, inp):
             x, k_all, v_all = carry
             lp, li = inp
             x_out, (k_all, v_all) = layer_fn(
-                cfg, lp, x, mask, cos, sin, (k_all, v_all, li, cache_index)
+                cfg, lp, x, mask, cos, sin, (k_all, v_all, li, cache_index),
+                cached_kv_valid,
             )
             ys = {"pooled": pool(x_out)} if collect_hidden_states else {}
             return (x_out, k_all, v_all), ys
@@ -522,8 +533,9 @@ def greedy_decode(
     first_token: jnp.ndarray,  # [B] int32 (from the prefill logits)
     start_pos: jnp.ndarray,    # [B] absolute position of first_token
     n_steps: int,              # number of ADDITIONAL tokens to generate
-) -> jnp.ndarray:
-    """Greedy-decode `n_steps` tokens after `first_token`. Returns [B, n_steps]."""
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Greedy-decode `n_steps` tokens after `first_token`.
+    Returns (tokens [B, n_steps], top1-top2 logit margins [B, n_steps])."""
     B = first_token.shape[0]
     L, Hkv, Dh = cfg.num_hidden_layers, cfg.num_key_value_heads, cfg.head_dim
     A = max(n_steps, 1)
@@ -539,14 +551,15 @@ def greedy_decode(
         )
         logits = matmul_t(hidden, params["lm_head"]).astype(jnp.float32)
         nxt = logits.argmax(-1).astype(jnp.int32)
-        return (dec_k, dec_v, nxt), nxt
+        t2 = jax.lax.top_k(logits, 2)[0]
+        return (dec_k, dec_v, nxt), (nxt, t2[:, 0] - t2[:, 1])
 
     if n_steps == 0:
-        return jnp.zeros((B, 0), jnp.int32)
-    (_, _, _), toks = jax.lax.scan(
+        return jnp.zeros((B, 0), jnp.int32), jnp.zeros((B, 0), jnp.float32)
+    (_, _, _), (toks, margins) = jax.lax.scan(
         step, (dec_k, dec_v, first_token), jnp.arange(n_steps, dtype=jnp.int32)
     )
-    return toks.T
+    return toks.T, margins.T
 
 
 # --- init + HF weight import ------------------------------------------------

@@ -163,11 +163,11 @@ def predict_action_core(
         toks = toks.T
         margins = jnp.concatenate([margin0[:, None], step_margins.T], axis=1)
     else:
-        toks = llama.greedy_decode(
+        toks, step_margins = llama.greedy_decode(
             params["llm"], c.llm, out["kv"], mm_mask,
             first_token=first_tok, start_pos=mm_len, n_steps=A - 1,
         )
-        margins = jnp.broadcast_to(margin0[:, None], (B, A))  # first-token only
+        margins = jnp.concatenate([margin0[:, None], step_margins], axis=1)
     action_tokens = jnp.concatenate([first_tok[:, None], toks], axis=1)  # [B, A]
 
     # --- de-tokenize + un-normalize (fused) -------------------------------
@@ -312,7 +312,10 @@ def predict_action_speculative_core(
         i, tokens, cache = carry
         tok = jnp.take_along_axis(tokens, (i - 1)[None, None].repeat(B, 0), axis=1)[:, 0]
         e = llama.embed_tokens(params["llm"], tok[:, None])
-        pos = (mm_len + i)[:, None]
+        # the INPUT token has index i-1, so its RoPE position is mm_len+i-1
+        # (generated token j sits at absolute position mm_len+j — same
+        # convention as the verify pass and the sequential decode)
+        pos = (mm_len + i - 1)[:, None]
         valid = (
             (slots < mm_len[:, None])
             # accepted draft K/V: i0 = min(accept_len)+1, so accepted slots
@@ -517,6 +520,12 @@ class OpenVLA:
             ),
         )
         if draft_tokens is not None:
+            if return_first_logits:
+                raise ValueError(
+                    "return_first_logits is not supported with draft_tokens "
+                    "(the speculative core does not compute first_logits); "
+                    "run without a draft for the parity-certificate outputs"
+                )
             draft = np.asarray(draft_tokens, np.int32)
             if draft.ndim == 1:
                 draft = np.broadcast_to(draft, (B, draft.shape[0]))

@@ -59,6 +59,8 @@ class DynamicBatcher:
         self, image: np.ndarray, prompt: str, unnorm_key: Optional[str] = None,
         timeout: float = 60.0,
     ) -> Dict[str, np.ndarray]:
+        if self._stop.is_set():
+            raise RuntimeError("DynamicBatcher is shut down")
         p = _Pending(np.asarray(image, np.uint8), prompt, unnorm_key)
         self._q.put(p)
         if not p.event.wait(timeout):
@@ -116,3 +118,12 @@ class DynamicBatcher:
     def shutdown(self) -> None:
         self._stop.set()
         self._worker.join(timeout=2.0)
+        # fail anything still queued so callers error immediately instead of
+        # blocking for their full timeout
+        while True:
+            try:
+                p = self._q.get_nowait()
+            except queue.Empty:
+                break
+            p.error = RuntimeError("DynamicBatcher shut down before serving request")
+            p.event.set()

@@ -96,9 +96,13 @@ class CheckpointableIterator:
         return path
 
     def _available_steps(self):
+        # strict parse: a glob like data-step-*-0.index would ALSO match
+        # data-step-<s>-10.index ('*' absorbs '<s>-1'), crossing process
+        # boundaries at >=10 hosts
+        pat = re.compile(rf"^data-step-(\d+)-{self.process_index}\.index$")
         steps = []
-        for p in self.ckpt_dir.glob(f"data-step-*-{self.process_index}.index"):
-            m = re.match(r"data-step-(\d+)-\d+\.index$", p.name)
+        for p in self.ckpt_dir.iterdir():
+            m = pat.match(p.name)
             if m:
                 steps.append(int(m.group(1)))
         return sorted(set(steps))

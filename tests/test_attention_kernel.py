@@ -13,6 +13,27 @@ from openvla_probe_tpu.models import llama
 from openvla_probe_tpu.ops.attention import flash_attention
 
 
+def test_flash_cached_prefill_geometry(rng):
+    """The legacy serving prefill writes into an S-slot padded cache and
+    attends with offset 0 over Tk=S > Tq (future slots invalid) — the exact
+    geometry attention() now routes to the kernel under OVLA_PALLAS=1."""
+    B, H, Dh, Tq, S = 2, 2, 8, 16, 24
+    q = jnp.asarray(rng.normal(size=(B, Tq, H, Dh)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(B, S, H, Dh)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(B, S, H, Dh)).astype(np.float32))
+    am = np.zeros((B, S), np.int64)
+    am[0, :Tq] = 1
+    am[1, :Tq - 3] = 1   # right-padded prompt
+    mask = llama.make_causal_mask(jnp.asarray(am), Tq, S, offset=0)
+
+    want = np.asarray(llama.attention(q, k, v, mask))
+    got = np.asarray(flash_attention(
+        q, k, v, jnp.asarray(am), offset=0,
+        block_q=8, block_k=8, interpret=True,
+    ))
+    np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-4)
+
+
 @pytest.mark.parametrize("tq,tk", [(16, 16), (33, 47)])
 def test_flash_matches_reference_attention(tq, tk, rng):
     B, H, Dh = 2, 3, 8

@@ -101,10 +101,11 @@ def test_greedy_decode_matches_full_forward():
 
     first = matmul_t(pf["last_hidden_state"][:, -1], params["lm_head"]).argmax(-1).astype(jnp.int32)
     n_steps = 4
-    toks = llama.greedy_decode(
+    toks, margins = llama.greedy_decode(
         params, cfg, pf["kv"], mask,
         first_token=first, start_pos=jnp.full((B,), T, jnp.int32), n_steps=n_steps,
     )
+    assert margins.shape == (B, n_steps) and bool((np.asarray(margins) >= 0).all())
     got = np.concatenate([np.asarray(first)[:, None], np.asarray(toks)], axis=1)
 
     # ground truth: re-run the full growing sequence without any cache

@@ -104,6 +104,37 @@ def test_capture_matches_core(model):
     )
 
 
+def test_position_convention_under_extreme_rope():
+    """Regression for the continuation RoPE off-by-one: with rope_theta ~1
+    adjacent positions produce wildly different rotations, so ANY position
+    error in the rejected-tail decode flips tokens deterministically (the
+    default-theta tiny model can absorb a one-position error in argmax)."""
+    cfg = vlm.VLMConfig(
+        llm=LlamaConfig.tiny(rope_theta=1.05),
+        vision=(ViTConfig.tiny(num_register_tokens=4, no_embed_class=True), ViTConfig.tiny()),
+        vision_names=("dino", "siglip"),
+        arch_specifier="no-align+fused-gelu-mlp",
+    )
+    serving = vla.VLAServingConfig(vlm=cfg, action_dim=6, prompt_pad_len=12,
+                                   codec_vocab_size=cfg.llm.vocab_size)
+    for seed in range(3):
+        params = vlm.init_params(cfg, jax.random.key(seed))
+        r = np.random.default_rng(seed)
+        B, S = 2, cfg.vision[0].image_size
+        pixels = jnp.asarray(r.normal(size=(B, 6, S, S)).astype(np.float32))
+        ids = np.zeros((B, serving.prompt_pad_len), np.int32)
+        ids[:, 0] = 1
+        ids[:, 1:7] = r.integers(3, 400, (B, 6))
+        args = (pixels, jnp.asarray(ids), jnp.full((B,), 7, jnp.int32),
+                jnp.asarray(-np.ones(6, np.float32)), jnp.asarray(np.ones(6, np.float32)),
+                jnp.asarray(np.array([True] * 5 + [False])))
+        want = np.asarray(vla.predict_action_core(params, serving, *args)["action_tokens"])
+        wrong = (want + 11) % serving.codec_vocab_size
+        out = _spec(params, serving, args, wrong)
+        np.testing.assert_array_equal(np.asarray(out["action_tokens"]), want,
+                                      err_msg=f"seed {seed}")
+
+
 def test_openvla_wrapper_draft_roundtrip(model):
     """The robot-loop usage: feed the previous call's tokens as the draft."""
     serving, params, args, want = model
