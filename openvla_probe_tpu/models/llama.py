@@ -417,12 +417,25 @@ def _split_attention(
     add_pre: jnp.ndarray,  # [B, 1, 1, T] additive fp32
     add_dec: jnp.ndarray,  # [B, 1, 1, A] additive fp32
     scores_dtype=jnp.float32,
+    valid_info: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
+    # valid_info = (pre_valid [B, T], dec_valid [B, A]): enables the Pallas
+    # decode kernel (everything in VMEM, one HBM pass over the prefill KV)
 ) -> jnp.ndarray:
     """softmax([q·Kp | q·Kd]) @ [Vp; Vd] — joint softmax over both segments
     (identical to attention over the concatenated sequence)."""
     n_rep = q.shape[2] // kp.shape[2]
     kp, vp = _repeat_kv(kp, n_rep), _repeat_kv(vp, n_rep)
     kd, vd = _repeat_kv(kd, n_rep), _repeat_kv(vd, n_rep)
+    import os
+
+    if (
+        os.environ.get("OVLA_PALLAS", "0") == "1"
+        and jax.default_backend() == "tpu"
+        and valid_info is not None
+    ):
+        from ..ops.decode_attention import decode_flash_attention
+
+        return decode_flash_attention(q, kp, vp, kd, vd, *valid_info)
     scale = 1.0 / np.sqrt(q.shape[-1])
     sp = jnp.einsum("bthd,bshd->bhts", q, kp, preferred_element_type=scores_dtype)
     sd = jnp.einsum("bthd,bshd->bhts", q, kd, preferred_element_type=scores_dtype)
@@ -458,10 +471,9 @@ def decode_step(
 
     cos, sin = rope_tables(cfg, positions)
     add_pre = jnp.where(pre_mask > 0, 0.0, NEG_INF)[:, None, None, :].astype(jnp.float32)
-    add_dec = jnp.where(jnp.arange(A)[None, :] <= t, 0.0, NEG_INF)[
-        :, None, None, :
-    ].astype(jnp.float32)
-    add_dec = jnp.broadcast_to(add_dec, (B, 1, 1, A))
+    dec_valid = jnp.broadcast_to((jnp.arange(A)[None, :] <= t).astype(jnp.int32), (B, A))
+    add_dec = jnp.where(dec_valid > 0, 0.0, NEG_INF)[:, None, None, :].astype(jnp.float32)
+    valid_info = (pre_mask, dec_valid)
 
     import os
 
@@ -482,7 +494,7 @@ def decode_step(
             dec_v = dec_v.at[i].set(vd_i)
             attn = _split_attention(
                 q, kv_pre.k[i], kv_pre.v[i], kd_i, vd_i,
-                add_pre, add_dec, cfg.attn_scores_dtype,
+                add_pre, add_dec, cfg.attn_scores_dtype, valid_info,
             ).reshape(B, 1, cfg.hidden_size)
             x = x + matmul_t(attn, lp["o_proj"])
             h = rms_norm(x, lp["post_attention_layernorm"], cfg.rms_norm_eps)

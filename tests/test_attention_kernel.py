@@ -105,3 +105,53 @@ def test_no_quadratic_mask_in_jaxpr():
                 assert int(np.prod(var.aval.shape or (1,))) < big, (
                     f"quadratic buffer {var.aval.shape} in {eqn.primitive}"
                 )
+
+
+def test_decode_kernel_matches_split_attention(rng):
+    """Pallas decode kernel (frozen-KV layout) == the XLA joint-softmax path
+    (interpret mode)."""
+    from openvla_probe_tpu.models.llama import _split_attention
+    from openvla_probe_tpu.ops.decode_attention import decode_flash_attention
+
+    B, H, Dh, T, A = 2, 3, 16, 24, 7
+    q = jnp.asarray(rng.normal(size=(B, 1, H, Dh)).astype(np.float32))
+    kp = jnp.asarray(rng.normal(size=(B, T, H, Dh)).astype(np.float32))
+    vp = jnp.asarray(rng.normal(size=(B, T, H, Dh)).astype(np.float32))
+    kd = jnp.asarray(rng.normal(size=(B, A, H, Dh)).astype(np.float32))
+    vd = jnp.asarray(rng.normal(size=(B, A, H, Dh)).astype(np.float32))
+    pre_valid = np.ones((B, T), np.int32)
+    pre_valid[1, 18:] = 0
+    dec_valid = np.zeros((B, A), np.int32)
+    dec_valid[:, :3] = 1
+
+    add_pre = jnp.where(jnp.asarray(pre_valid)[:, None, None, :] > 0, 0.0, llama.NEG_INF)
+    add_dec = jnp.where(jnp.asarray(dec_valid)[:, None, None, :] > 0, 0.0, llama.NEG_INF)
+    want = np.asarray(_split_attention(
+        q, kp, vp, kd, vd, add_pre.astype(jnp.float32), add_dec.astype(jnp.float32)))
+    got = np.asarray(decode_flash_attention(
+        q, kp, vp, kd, vd, jnp.asarray(pre_valid), jnp.asarray(dec_valid),
+        interpret=True,
+    ))
+    np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-4)
+
+
+def test_decode_kernel_empty_decode_segment(rng):
+    """Step 0: no generated-token slots valid yet."""
+    from openvla_probe_tpu.models.llama import _split_attention
+    from openvla_probe_tpu.ops.decode_attention import decode_flash_attention
+
+    B, H, Dh, T, A = 1, 2, 8, 16, 5
+    q = jnp.asarray(rng.normal(size=(B, 1, H, Dh)).astype(np.float32))
+    kp = jnp.asarray(rng.normal(size=(B, T, H, Dh)).astype(np.float32))
+    vp = jnp.asarray(rng.normal(size=(B, T, H, Dh)).astype(np.float32))
+    kd = jnp.zeros((B, A, H, Dh), jnp.float32)
+    vd = jnp.zeros((B, A, H, Dh), jnp.float32)
+    pre_valid = jnp.ones((B, T), jnp.int32)
+    dec_valid = jnp.zeros((B, A), jnp.int32)
+
+    add_pre = jnp.zeros((B, 1, 1, T), jnp.float32)
+    add_dec = jnp.full((B, 1, 1, A), llama.NEG_INF, jnp.float32)
+    want = np.asarray(_split_attention(q, kp, vp, kd, vd, add_pre, add_dec))
+    got = np.asarray(decode_flash_attention(
+        q, kp, vp, kd, vd, pre_valid, dec_valid, interpret=True))
+    np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-4)
