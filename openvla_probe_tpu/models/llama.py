@@ -331,6 +331,17 @@ def embed_tokens(params: Params, input_ids: jnp.ndarray) -> jnp.ndarray:
     return params["embed_tokens"][input_ids]
 
 
+def top2_margin(logits: jnp.ndarray, argmax_idx: jnp.ndarray) -> jnp.ndarray:
+    """top1 - top2 logit gap via three max-reductions — cheaper than
+    lax.top_k's sort network on a 32k vocab (it sits on the decode hot path)."""
+    top1 = jnp.max(logits, axis=-1)
+    masked = jnp.where(
+        jnp.arange(logits.shape[-1])[None, :] == argmax_idx[:, None],
+        -jnp.inf, logits,
+    )
+    return top1 - jnp.max(masked, axis=-1)
+
+
 # --- serving fast path: prefill-KV + split-attention decode ------------------
 #
 # The generic `forward` threads one stacked [L, B, S_max, Hkv, Dh] cache
@@ -563,8 +574,7 @@ def greedy_decode(
         )
         logits = matmul_t(hidden, params["lm_head"]).astype(jnp.float32)
         nxt = logits.argmax(-1).astype(jnp.int32)
-        t2 = jax.lax.top_k(logits, 2)[0]
-        return (dec_k, dec_v, nxt), (nxt, t2[:, 0] - t2[:, 1])
+        return (dec_k, dec_v, nxt), (nxt, top2_margin(logits, nxt))
 
     if n_steps == 0:
         return jnp.zeros((B, 0), jnp.int32), jnp.zeros((B, 0), jnp.float32)

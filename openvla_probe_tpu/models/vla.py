@@ -47,6 +47,8 @@ Params = Dict[str, Any]
 
 EMPTY_TOKEN_ID = 29871  # Llama sentencepiece "▁"; the reference's forced prompt suffix
 
+_top2_margin = llama.top2_margin
+
 
 @dataclasses.dataclass(frozen=True)
 class VLAServingConfig:
@@ -135,8 +137,7 @@ def predict_action_core(
 
     last_logits = matmul_t(last_hidden, params["llm"]["lm_head"]).astype(jnp.float32)
     first_tok = last_logits.argmax(-1).astype(jnp.int32)              # [B]
-    top2_0 = jax.lax.top_k(last_logits, 2)[0]                         # [B, 2]
-    margin0 = top2_0[:, 0] - top2_0[:, 1]                             # argmax robustness
+    margin0 = _top2_margin(last_logits, first_tok)                    # argmax robustness
 
     # --- greedy decode of the remaining A-1 tokens -------------------------
     if legacy:
@@ -155,8 +156,7 @@ def predict_action_core(
             )
             lg = step_out["logits"][:, -1]
             nxt = lg.argmax(-1).astype(jnp.int32)
-            t2 = jax.lax.top_k(lg, 2)[0]
-            return (step_out["cache"], nxt), (nxt, t2[:, 0] - t2[:, 1])
+            return (step_out["cache"], nxt), (nxt, _top2_margin(lg, nxt))
 
         (_, _), (toks, step_margins) = jax.lax.scan(
             step, (cache, first_tok), jnp.arange(A - 1, dtype=jnp.int32))
