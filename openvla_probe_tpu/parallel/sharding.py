@@ -59,7 +59,22 @@ _TP_DIM_BY_SUFFIX = {
 
 
 def _tp_dim(path: str, shape: Tuple[int, ...]) -> Optional[int]:
-    leaf = path.rsplit("/", 1)[-1]
+    parts = path.rsplit("/", 2)
+    leaf = parts[-1]
+    # quantized weights are {"q": int8 [..., O, I], "s": f32 [..., O]} under
+    # the real weight name (e.g. layers/q_proj/q) — shard by the PARENT's
+    # rule: q like the weight; s along its output dim (the weight's tp dim
+    # minus the contracted axis). Contraction-dim-sharded weights (o_proj,
+    # down_proj) keep s replicated (s spans the output dim, which stays whole).
+    if leaf in ("q", "s") and len(parts) >= 2:
+        parent = parts[-2]
+        d = _TP_DIM_BY_SUFFIX.get(parent)
+        if d is None:
+            return None
+        if leaf == "q":
+            return d
+        # s has one fewer (trailing input) dim than q
+        return d if d < len(shape) else None
     # projector dicts are {fc*: {w,b}} — path ends in w/b
     if leaf == "w" and len(shape) == 2:
         if "/fc1/" in path or path.endswith("fc1/w"):

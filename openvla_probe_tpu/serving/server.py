@@ -131,8 +131,19 @@ class OpenVLAServer:
                     self._send(500, {"error": f"{type(e).__name__}: {e}"})
 
             def do_GET(self):
-                if self.path.rstrip("/") == "/health":
+                path = self.path.rstrip("/")
+                if path == "/health":
                     self._send(200, {"status": "ok"})
+                elif path == "/stats":
+                    stats: Dict[str, Any] = {"dynamic_batching": server_self.batcher is not None}
+                    if server_self.batcher is not None:
+                        b = server_self.batcher
+                        stats.update(b.stats)
+                        stats["max_batch"] = b.max_batch
+                        stats["max_wait_ms"] = b.max_wait_s * 1e3
+                        if stats["batches"]:
+                            stats["mean_batch"] = round(stats["requests"] / stats["batches"], 3)
+                    self._send(200, stats)
                 else:
                     self._send(404, {"error": "POST /act"})
 

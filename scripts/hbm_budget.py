@@ -1,0 +1,94 @@
+#!/usr/bin/env python
+"""HBM budget planner: max feasible serving batch / required tp for a config.
+
+Encodes the deployment arithmetic from PARITY_r02.md: weights + KV cache +
+activation headroom vs per-chip HBM, per serving mode (bf16 / int8), and the
+tp degree needed when weights alone exceed one chip (7B bf16, any 13B).
+
+Usage: python scripts/hbm_budget.py [--llm llama2-7b-pure] [--hbm_gb 16]
+       [--prompt_pad 32] [--action_dim 7]
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+from dataclasses import dataclass
+from pathlib import Path
+from typing import Optional
+
+REPO_ROOT = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO_ROOT))
+
+from openvla_probe_tpu.utils.platform import apply_platform_env
+
+apply_platform_env()
+from openvla_probe_tpu.conf.registry import parse_config
+
+
+@dataclass(frozen=True)
+class BudgetConfig:
+    llm: str = "llama2-7b-pure"
+    vision: str = "dinosiglip-vit-so-224px"
+    hbm_gb: float = 16.0            # v5e
+    hbm_bw_gbps: float = 819.0      # v5e
+    prompt_pad: int = 32
+    action_dim: int = 7
+    activation_headroom_gb: float = 0.8  # measured slack for the serving graph
+
+
+def plan(cfg: BudgetConfig) -> dict:
+    import numpy as np
+
+    from openvla_probe_tpu.models import catalog, vit
+
+    lcfg = catalog.LLM_BACKBONES[cfg.llm]["cfg"]
+    vcfgs = catalog.VISION_BACKBONES[cfg.vision]["cfgs"]
+
+    def vit_params(v):
+        D, F, L = v.hidden_size, v.mlp_dim, v.num_layers
+        return L * (4 * D * D + 2 * D * F) + v.hidden_size * 3 * v.patch_size**2
+
+    llm_params = (
+        lcfg.vocab_size * lcfg.hidden_size * 2                      # embed + lm_head
+        + lcfg.num_hidden_layers * (
+            2 * lcfg.hidden_size * lcfg.num_attention_heads * lcfg.head_dim
+            + 2 * lcfg.hidden_size * lcfg.num_key_value_heads * lcfg.head_dim
+            + 3 * lcfg.hidden_size * lcfg.intermediate_size
+        )
+    )
+    vis_params = sum(vit_params(v) for v in vcfgs)
+    n_patches = (vcfgs[0].image_size // vcfgs[0].patch_size) ** 2
+    seq = 1 + n_patches + cfg.prompt_pad - 1 + cfg.action_dim
+
+    out = {"llm_params_b": round(llm_params / 1e9, 3),
+           "vision_params_b": round(vis_params / 1e9, 3),
+           "cache_seq_len": seq, "modes": {}}
+    for mode, wbytes in (("bf16", 2.0), ("int8", 1.0)):
+        weights_gb = (llm_params * wbytes + vis_params * (wbytes if mode == "int8" else 2.0)) / 2**30
+        kv_per_item = (2 * lcfg.num_hidden_layers * seq
+                       * lcfg.num_key_value_heads * lcfg.head_dim * 2) / 2**30
+        tp = 1
+        while weights_gb / tp + cfg.activation_headroom_gb + kv_per_item > cfg.hbm_gb:
+            tp *= 2
+            if tp > 64:
+                break
+        free = cfg.hbm_gb - weights_gb / tp - cfg.activation_headroom_gb
+        max_batch = int(max(free // kv_per_item, 0))
+        decode_ms = (weights_gb / tp) / cfg.hbm_bw_gbps * 1e3
+        out["modes"][mode] = {
+            "weights_gb": round(weights_gb, 2),
+            "kv_gb_per_item": round(kv_per_item, 4),
+            "min_tp": tp,
+            "max_batch_at_min_tp": max_batch,
+            "decode_weight_stream_ms_per_token": round(decode_ms, 2),
+        }
+    return out
+
+
+def main(cfg: BudgetConfig) -> None:
+    print(json.dumps(plan(cfg), indent=2))
+
+
+if __name__ == "__main__":
+    main(parse_config(BudgetConfig))

@@ -130,3 +130,22 @@ def test_server_dynamic_batching_round_trip():
     finally:
         srv.shutdown()
         srv.batcher.shutdown()
+
+
+def test_stats_endpoint():
+    import urllib.request
+
+    stub = BatchStubModel()
+    srv = OpenVLAServer(stub, dynamic_batching=True, max_batch=4, max_wait_ms=5.0)
+    srv.run(host="127.0.0.1", port=0, background=True)
+    try:
+        _post(srv.port, "/act", {"image": np.zeros((16, 16, 3), np.uint8),
+                                 "instruction": "go"})
+        with urllib.request.urlopen(f"http://127.0.0.1:{srv.port}/stats") as r:
+            stats = json.loads(r.read())
+        assert stats["dynamic_batching"] is True
+        assert stats["requests"] >= 1 and stats["batches"] >= 1
+        assert stats["max_batch"] == 4
+    finally:
+        srv.shutdown()
+        srv.batcher.shutdown()

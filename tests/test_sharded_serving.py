@@ -112,3 +112,44 @@ def test_sharded_capture_matches(setup):
         np.asarray(out["hidden_pooled"]), np.asarray(want["hidden_pooled"]),
         atol=2e-4,
     )
+
+
+def test_sharded_int8_tokens_match(setup):
+    """Quantized (turbo-mode) weights shard over tp too: {"q","s"} leaves
+    follow the parent weight's rule (q like the weight, s along the output
+    dim). Tokens must match the unsharded quantized run."""
+    if jax.device_count() < 8:
+        pytest.skip("needs 8 devices")
+    from openvla_probe_tpu.ops.linear import quantize_params
+
+    cfg, serving, params, img_cfg, args, _ = setup
+    qparams = {**params, "llm": quantize_params(params["llm"])}
+
+    import functools
+
+    base_fn = jax.jit(functools.partial(
+        vla.predict_action_from_image, cfg=serving, image_cfg=img_cfg))
+    want = np.asarray(base_fn(
+        qparams, **{k: jnp.asarray(v) for k, v in args.items()})["action_tokens"])
+
+    mesh = make_mesh({"dp": 4, "fsdp": 1, "tp": 2})
+    call, sharded = vla.make_sharded_predict(
+        qparams, serving, mesh, image_cfg=img_cfg, strategy="tp")
+    out = call(sharded, args["image_u8"], args["input_ids"], args["prompt_len"],
+               args["q01"], args["q99"], args["action_mask"])
+    np.testing.assert_array_equal(np.asarray(out["action_tokens"]), want)
+
+    # the int8 payloads are actually tp-sharded (not replicated)
+    q_leaf = sharded["llm"]["layers"]["q_proj"]["q"]
+    assert not q_leaf.sharding.is_fully_replicated
+    # tiny-model s falls under MIN_SHARD_ELEMS; check the RULE at 7B shapes
+    from jax.sharding import PartitionSpec as P
+    from openvla_probe_tpu.parallel.sharding import param_spec
+
+    assert param_spec("llm/layers/q_proj/q", (32, 4096, 4096), mesh, "tp") == P(None, "tp", None)
+    assert param_spec("llm/layers/q_proj/s", (32, 4096), mesh, "tp") == P(None, "tp")
+    # contraction-sharded weights keep s replicated (output dim stays whole)
+    assert param_spec("llm/layers/o_proj/q", (32, 4096, 4096), mesh, "tp") == P(None, None, "tp")
+    assert param_spec("llm/layers/o_proj/s", (32, 4096), mesh, "tp") == P(None, None)
+    assert param_spec("llm/lm_head/q", (32064, 4096), mesh, "tp") == P("tp", None)
+    assert param_spec("llm/lm_head/s", (32064,), mesh, "tp") == P("tp")
