@@ -78,6 +78,14 @@ def main() -> None:
     jax.block_until_ready(params)
     _ = np.asarray(jax.tree.leaves(params)[0].ravel()[0])  # force materialization
 
+    if os.environ.get("BENCH_FUSE", "0") == "1":
+        # serving-side weight fusion (qkv + gate_up): same bytes, fewer
+        # dispatches on the decode hot path; bitwise-identical outputs
+        from openvla_probe_tpu.models.llama import fuse_serving_params
+
+        params = {**params, "llm": jax.jit(fuse_serving_params)(params["llm"])}
+        jax.block_until_ready(params)
+
     from openvla_probe_tpu.ops.image import ImageTransformConfig
 
     if scale == "tiny":

@@ -105,6 +105,31 @@ def generate_greedy(
     return tokenizer.decode(out, skip_special_tokens=True).strip()
 
 
+IGNORE_INDEX = -100
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _score_jit(params, cfg: vlm.VLMConfig, ids, row_len, cand_start, pixel_values):
+    """Sum of candidate-token logprobs per row. ids [C, L] right-padded;
+    candidate tokens occupy [cand_start, row_len) of each (unspliced) row."""
+    C, L = ids.shape
+    pos = jnp.arange(L)[None, :]
+    mask = (pos < row_len[:, None]).astype(jnp.int32)
+    labels = jnp.where(
+        (pos >= cand_start[:, None]) & (pos < row_len[:, None]),
+        ids, IGNORE_INDEX,
+    )
+    out = vlm.forward(params, cfg, ids, mask, pixel_values, labels=labels)
+    logits, lbls = out["logits"], out["labels"]
+    logp = jax.nn.log_softmax(logits[:, :-1].astype(jnp.float32), axis=-1)
+    tgt = lbls[:, 1:]
+    valid = tgt != IGNORE_INDEX
+    tok_lp = jnp.take_along_axis(
+        logp, jnp.where(valid, tgt, 0)[..., None], axis=-1
+    )[..., 0]
+    return jnp.sum(jnp.where(valid, tok_lp, 0.0), axis=1)
+
+
 def score_candidates(
     params: Dict[str, Any],
     cfg: vlm.VLMConfig,
@@ -114,17 +139,31 @@ def score_candidates(
 ) -> np.ndarray:
     """Log-probability of each candidate continuation given the prompt — the
     reference's string-probability scoring (prismatic.py:569-621) used for
-    multiple-choice VQA evals."""
-    scores = []
-    for cand in candidate_ids:
+    multiple-choice VQA evals.
+
+    ONE batched, bucketed jit call scores every candidate: sequences right-pad
+    to a length bucket and the candidate count pads to a row bucket, so a
+    16-way VQA eval compiles once (the reference — and round 1 — re-ran a
+    full unjitted forward per candidate, recompiling per unique length)."""
+    plen = len(prompt_ids)
+    C = len(candidate_ids)
+    L = _bucket(plen + max(len(c) for c in candidate_ids))
+    Cb = _bucket(C, 8)
+    ids = np.zeros((Cb, L), np.int32)
+    row_len = np.full((Cb,), plen, np.int32)
+    for i, cand in enumerate(candidate_ids):
         full = list(prompt_ids) + list(cand)
-        ids = jnp.asarray([full], jnp.int32)
-        mask = jnp.ones_like(ids)
-        out = vlm.forward(params, cfg, ids, mask, pixel_values)
-        logits = out["logits"][0]
-        # candidate tokens sit at the END of the spliced sequence
-        n = len(cand)
-        logp = jax.nn.log_softmax(logits[-n - 1 : -1].astype(jnp.float32), axis=-1)
-        tok_lp = jnp.take_along_axis(logp, jnp.asarray(cand)[:, None], axis=-1)[:, 0]
-        scores.append(float(tok_lp.sum()))
-    return np.asarray(scores)
+        ids[i, : len(full)] = full
+        row_len[i] = len(full)
+    ids[C:] = ids[0]
+    row_len[C:] = row_len[0]
+    pix = None
+    if pixel_values is not None:
+        pix = jnp.broadcast_to(
+            jnp.asarray(pixel_values), (Cb, *np.shape(pixel_values)[-3:])
+        )
+    scores = _score_jit(
+        params, cfg, jnp.asarray(ids), jnp.asarray(row_len),
+        jnp.full((Cb,), plen, jnp.int32), pix,
+    )
+    return np.asarray(scores)[:C]

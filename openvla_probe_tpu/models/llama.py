@@ -181,6 +181,32 @@ def make_causal_mask(attn_mask: jnp.ndarray, tq: int, tk: int, offset: int = 0) 
 
 # --- layer + model ----------------------------------------------------------
 
+def _qkv(cfg: LlamaConfig, lp: Params, h: jnp.ndarray, B: int, T: int):
+    """q/k/v projections; uses the fused qkv stack when present
+    (fuse_serving_params)."""
+    H, Hkv, Dh = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
+    if "qkv_proj" in lp:
+        qkv = matmul_t(h, lp["qkv_proj"])
+        q, k, v = jnp.split(qkv, [H * Dh, (H + Hkv) * Dh], axis=-1)
+        return (q.reshape(B, T, H, Dh), k.reshape(B, T, Hkv, Dh),
+                v.reshape(B, T, Hkv, Dh))
+    return (matmul_t(h, lp["q_proj"]).reshape(B, T, H, Dh),
+            matmul_t(h, lp["k_proj"]).reshape(B, T, Hkv, Dh),
+            matmul_t(h, lp["v_proj"]).reshape(B, T, Hkv, Dh))
+
+
+def _mlp(cfg: LlamaConfig, lp: Params, h: jnp.ndarray) -> jnp.ndarray:
+    """SwiGLU; uses the fused gate_up stack when present."""
+    if "gate_up_proj" in lp:
+        gu = matmul_t(h, lp["gate_up_proj"])
+        g, up = jnp.split(gu, 2, axis=-1)
+        gate = jax.nn.silu(g.astype(jnp.float32)).astype(h.dtype)
+    else:
+        gate = jax.nn.silu(matmul_t(h, lp["gate_proj"]).astype(jnp.float32)).astype(h.dtype)
+        up = matmul_t(h, lp["up_proj"])
+    return matmul_t(gate * up, lp["down_proj"])
+
+
 def _layer_forward(
     cfg: LlamaConfig,
     lp: Params,               # single-layer params (leading L axis already indexed away)
@@ -200,9 +226,7 @@ def _layer_forward(
     H, Hkv, Dh = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
 
     h = rms_norm(x, lp["input_layernorm"], cfg.rms_norm_eps)
-    q = matmul_t(h, lp["q_proj"]).reshape(B, T, H, Dh)
-    k = matmul_t(h, lp["k_proj"]).reshape(B, T, Hkv, Dh)
-    v = matmul_t(h, lp["v_proj"]).reshape(B, T, Hkv, Dh)
+    q, k, v = _qkv(cfg, lp, h, B, T)
     q, k = apply_rope(q, k, cos, sin)
 
     if cache_ref is not None:
@@ -223,10 +247,32 @@ def _layer_forward(
     x = x + matmul_t(attn, lp["o_proj"])
 
     h = rms_norm(x, lp["post_attention_layernorm"], cfg.rms_norm_eps)
-    gate = jax.nn.silu(matmul_t(h, lp["gate_proj"]).astype(jnp.float32)).astype(h.dtype)
-    up = matmul_t(h, lp["up_proj"])
-    x = x + matmul_t(gate * up, lp["down_proj"])
+    x = x + _mlp(cfg, lp, h)
     return x, new_cache
+
+
+def fuse_serving_params(llm_params: Params) -> Params:
+    """Serving-side weight fusion: q/k/v -> one [L, (H+2Hkv)Dh, D] stack and
+    gate/up -> one [L, 2F, D] stack, so each decode layer runs 4 projections
+    instead of 7 (decode is HBM/dispatch bound — same bytes, fewer streams).
+    Works for plain and quantized ({q,s}) weights: per-output-channel scales
+    concatenate along the fused output dim, so numerics are IDENTICAL.
+    Training paths keep the unfused layout (HF checkpoint parity)."""
+    layers = dict(llm_params["layers"])
+
+    def cat(names, out):
+        ws = [layers.pop(n) for n in names]
+        if isinstance(ws[0], dict):  # quantized {q, s}
+            layers[out] = {
+                "q": jnp.concatenate([w["q"] for w in ws], axis=1),
+                "s": jnp.concatenate([w["s"] for w in ws], axis=1),
+            }
+        else:
+            layers[out] = jnp.concatenate(ws, axis=1)
+
+    cat(("q_proj", "k_proj", "v_proj"), "qkv_proj")
+    cat(("gate_proj", "up_proj"), "gate_up_proj")
+    return {**llm_params, "layers": layers}
 
 
 def forward(
@@ -495,9 +541,7 @@ def decode_step(
         for i in range(L):
             lp = jax.tree.map(lambda a: a[i], params["layers"])
             h = rms_norm(x, lp["input_layernorm"], cfg.rms_norm_eps)
-            q = matmul_t(h, lp["q_proj"]).reshape(B, 1, H, Dh)
-            k = matmul_t(h, lp["k_proj"]).reshape(B, 1, Hkv, Dh)
-            v = matmul_t(h, lp["v_proj"]).reshape(B, 1, Hkv, Dh)
+            q, k, v = _qkv(cfg, lp, h, B, 1)
             q, k = apply_rope(q, k, cos, sin)
             kd_i = jax.lax.dynamic_update_slice(dec_k[i], k, (0, t, 0, 0))
             vd_i = jax.lax.dynamic_update_slice(dec_v[i], v, (0, t, 0, 0))
@@ -509,18 +553,14 @@ def decode_step(
             ).reshape(B, 1, cfg.hidden_size)
             x = x + matmul_t(attn, lp["o_proj"])
             h = rms_norm(x, lp["post_attention_layernorm"], cfg.rms_norm_eps)
-            gate = jax.nn.silu(matmul_t(h, lp["gate_proj"]).astype(jnp.float32)).astype(h.dtype)
-            up = matmul_t(h, lp["up_proj"])
-            x = x + matmul_t(gate * up, lp["down_proj"])
+            x = x + _mlp(cfg, lp, h)
     else:
         def body(carry, inp):
             x, kd_all, vd_all = carry
             lp, kp, vp, li = inp
 
             h = rms_norm(x, lp["input_layernorm"], cfg.rms_norm_eps)
-            q = matmul_t(h, lp["q_proj"]).reshape(B, 1, H, Dh)
-            k = matmul_t(h, lp["k_proj"]).reshape(B, 1, Hkv, Dh)
-            v = matmul_t(h, lp["v_proj"]).reshape(B, 1, Hkv, Dh)
+            q, k, v = _qkv(cfg, lp, h, B, 1)
             q, k = apply_rope(q, k, cos, sin)
 
             kd_all = jax.lax.dynamic_update_slice(kd_all, k[None], (li, 0, t, 0, 0))
@@ -534,9 +574,7 @@ def decode_step(
             x = x + matmul_t(attn, lp["o_proj"])
 
             h = rms_norm(x, lp["post_attention_layernorm"], cfg.rms_norm_eps)
-            gate = jax.nn.silu(matmul_t(h, lp["gate_proj"]).astype(jnp.float32)).astype(h.dtype)
-            up = matmul_t(h, lp["up_proj"])
-            x = x + matmul_t(gate * up, lp["down_proj"])
+            x = x + _mlp(cfg, lp, h)
             return (x, kd_all, vd_all), None
 
         (x, dec_k, dec_v), _ = jax.lax.scan(

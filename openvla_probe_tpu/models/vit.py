@@ -210,6 +210,12 @@ def assemble_tokens(params: Params, cfg: ViTConfig, patches: jnp.ndarray) -> jnp
         cls = jnp.broadcast_to(params["cls_token"], (B, 1, patches.shape[-1]))
         x = jnp.concatenate([cls, patches], axis=1) + pos
         if cfg.num_register_tokens:
+            # HF Dinov2WithRegisters convention (parity-tested vs HF): pos
+            # embed over [cls, patches] FIRST, registers inserted after with
+            # no positional embedding. timm reg-token models instead use
+            # no_embed_class=True (the branch above); a timm checkpoint with
+            # (reg>0, no_embed_class=False) would be a layout mismatch — see
+            # the guard in params_from_timm.
             reg = jnp.broadcast_to(params["reg_token"], (B, cfg.num_register_tokens, patches.shape[-1]))
             x = jnp.concatenate([x[:, :1], reg, x[:, 1:]], axis=1)
         return x
@@ -303,6 +309,16 @@ _TIMM_BLOCK_KEYS = {
 
 def params_from_timm(state: Dict[str, np.ndarray], cfg: ViTConfig, prefix: str = "") -> Params:
     """Map a timm VisionTransformer state dict (numpy) onto the stacked pytree."""
+    if cfg.num_register_tokens and not cfg.no_embed_class and cfg.use_cls_token:
+        # timm's reg-token models put pos_embed over [cls, reg, patches];
+        # this config family implements the HF Dinov2WithRegisters layout
+        # (pos over [cls, patches], registers inserted after) — a timm
+        # checkpoint would load with a silently-wrong pos table
+        raise NotImplementedError(
+            "timm import for register tokens with no_embed_class=False is a "
+            "positional-embedding layout mismatch; use no_embed_class=True "
+            "(timm dinov2-reg convention) or the HF import path"
+        )
     L = cfg.num_layers
 
     def get(k):

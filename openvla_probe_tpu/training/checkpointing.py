@@ -28,10 +28,15 @@ from typing import Any, Dict, Optional, Tuple, Union
 import jax
 import orbax.checkpoint as ocp
 
-_CKPT_RE = re.compile(r"step-(\d+)-epoch-(\d+)-loss=([0-9.]+?)\.?$")
+_CKPT_RE = re.compile(r"step-(\d+)-epoch-(\d+)-loss=(-?[0-9.]+|nan|inf|-inf)\.?$")
 
 
 def checkpoint_name(step: int, epoch: int = 0, loss: float = 0.0) -> str:
+    import math
+
+    # diverged runs produce nan/inf losses; the NAME must stay parseable so
+    # latest_checkpoint/keep_limit still see the checkpoint
+    loss = loss if math.isfinite(loss) else 0.0
     return f"step-{step:06d}-epoch-{epoch:02d}-loss={loss:.4f}"
 
 
@@ -57,15 +62,20 @@ def save_checkpoint(
     path = (ckpt_dir / checkpoint_name(step, epoch, loss)).absolute()
     with ocp.StandardCheckpointer() as ckptr:
         ckptr.save(path, state, force=True)
-    if keep_limit:
+    # prune on process 0 only (all hosts share the filesystem — concurrent
+    # rmtree of the same dir races), and NEVER the just-written checkpoint
+    # (a reused run_dir can contain higher-step checkpoints from a prior run)
+    if keep_limit and jax.process_index() == 0:
         all_ckpts = sorted(
             [p for p in ckpt_dir.iterdir() if parse_checkpoint_name(p.name)],
             key=lambda p: parse_checkpoint_name(p.name)[0],
         )
         for old in all_ckpts[:-keep_limit]:
+            if old.absolute() == path:
+                continue
             import shutil
 
-            shutil.rmtree(old)
+            shutil.rmtree(old, ignore_errors=True)
     return path
 
 

@@ -66,6 +66,12 @@ class ActionCodec:
         """Continuous actions -> token ids. jnp equivalent of np.digitize over
         uniform edges: index = ceil((a - lo) / step) for a in (lo, hi], 1 at lo."""
         a = jnp.clip(actions, self.min_action, self.max_action)
+        # NOTE: TPU runs f32 (x64 disabled); actions inside the ~6e-8 window
+        # between an exact float64 linspace edge and its float32 rounding can
+        # tokenize one bin off vs the reference's float64 np.digitize. The
+        # data pipeline and parity harnesses therefore use the numpy host
+        # twin (`ActionTokenizer`); this device encoder exists for in-graph
+        # uses where that boundary dust is acceptable.
         edges = jnp.asarray(self.bins, dtype=jnp.float32)
         # digitize(right=False): number of edges <= a ... np.digitize returns
         # the index i such that bins[i-1] <= a < bins[i]; implement via searchsorted.

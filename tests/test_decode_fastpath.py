@@ -137,3 +137,33 @@ def test_prefill_taps_match_forward_taps():
     np.testing.assert_allclose(
         np.asarray(a["hidden_pooled"]), np.asarray(b["hidden_pooled"]), atol=1e-5
     )
+
+
+@pytest.mark.parametrize("quantized", [False, True])
+def test_fused_serving_weights_token_identical(quantized):
+    """fuse_serving_params (qkv + gate_up stacks) must be BITWISE identical:
+    each output channel's dot is unchanged, only the dispatch count drops."""
+    llm_cfg = _tiny_cfg()
+    cfg, serving, params = _serving(llm_cfg)
+    if quantized:
+        from openvla_probe_tpu.ops.linear import quantize_params
+
+        params = {**params, "llm": quantize_params(params["llm"])}
+    ex = _example(serving)
+    want = _run(params, serving, ex)
+
+    fused = {**params, "llm": llama.fuse_serving_params(params["llm"])}
+    assert "qkv_proj" in fused["llm"]["layers"] and "q_proj" not in fused["llm"]["layers"]
+    got = _run(fused, serving, ex)
+    np.testing.assert_array_equal(
+        np.asarray(want["action_tokens"]), np.asarray(got["action_tokens"]))
+    np.testing.assert_array_equal(
+        np.asarray(want["actions"]), np.asarray(got["actions"]))
+    # fast path too
+    os.environ["OVLA_LEGACY_DECODE"] = "0"
+    try:
+        got_fast = _run(fused, serving, ex)
+    finally:
+        os.environ.pop("OVLA_LEGACY_DECODE")
+    np.testing.assert_array_equal(
+        np.asarray(want["action_tokens"]), np.asarray(got_fast["action_tokens"]))

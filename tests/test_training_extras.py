@@ -97,3 +97,20 @@ def test_grad_accumulation_matches_full_batch(rng):
         np.asarray(s_acc.params["llm"]["lm_head"], np.float32),
         atol=2e-5,
     )
+
+
+def test_checkpoint_keep_limit_never_deletes_just_written(tmp_path):
+    """Reused run_dir with HIGHER-step checkpoints from a prior run: pruning
+    must keep the just-written (lower-step) checkpoint and parse nan losses."""
+    from openvla_probe_tpu.training import checkpointing as ckpt
+
+    state = {"w": jnp.ones((4,))}
+    p_old = ckpt.save_checkpoint(tmp_path, state, step=1000, epoch=1, loss=0.5)
+    p_new = ckpt.save_checkpoint(tmp_path, state, step=100, epoch=0,
+                                 loss=float("nan"), keep_limit=1)
+    assert p_new.exists(), "pruning deleted the checkpoint it just wrote"
+    # nan loss sanitized into a parseable name
+    meta = ckpt.parse_checkpoint_name(p_new.name)
+    assert meta is not None and meta[0] == 100
+    # latest_checkpoint still resolves (old one survived as the max-step)
+    assert ckpt.latest_checkpoint(tmp_path) is not None
