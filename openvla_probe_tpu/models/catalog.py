@@ -33,7 +33,7 @@ from ..ops.image import (
     BackboneTransformSpec,
     ImageTransformConfig,
 )
-from . import llama, vit, vlm
+from . import llama, phi, vit, vlm
 from .prompting import (
     LLaMa2ChatPromptBuilder,
     MistralInstructPromptBuilder,
@@ -120,10 +120,9 @@ LLM_BACKBONES: Dict[str, Dict[str, Any]] = {
                                                           intermediate_size=14336,
                                                           max_position_embeddings=4096),
                                  "prompt": MistralInstructPromptBuilder},
-    "phi-2-3b": {"cfg": llama.LlamaConfig(vocab_size=51200, hidden_size=2560,
-                                          intermediate_size=10240, num_hidden_layers=32,
-                                          num_attention_heads=32),
-                 "prompt": PhiPromptBuilder},
+    # the REAL Phi-2 architecture (parallel attn+MLP, partial rotary,
+    # LayerNorm + biases — models/phi.py), not a Llama stand-in
+    "phi-2-3b": {"cfg": phi.PhiConfig(), "prompt": PhiPromptBuilder},
     # test/smoke-scale LLM
     "llama-tiny": {"cfg": llama.LlamaConfig.tiny(vocab_size=512), "prompt": PurePromptBuilder},
 }
@@ -134,7 +133,12 @@ def get_vision_backbone_and_transform(
 ) -> Tuple[Tuple[vit.ViTConfig, ...], Tuple[str, ...], ImageTransformConfig]:
     entry = VISION_BACKBONES[vision_backbone_id]
     cfgs = tuple(entry["cfgs"])
-    names = tuple(entry.get("names", ("vision",)[: len(cfgs)]))
+    names = tuple(entry.get(
+        "names",
+        # distinct per-tower defaults: a slice of a 1-tuple silently dropped
+        # towers for multi-cfg entries without an explicit "names"
+        tuple(f"vision_{i}" for i in range(len(cfgs))) if len(cfgs) > 1 else ("vision",),
+    ))
     img_cfg = ImageTransformConfig(specs=tuple(entry["specs"]), resize_strategy=image_resize_strategy)
     return cfgs, names, img_cfg
 

@@ -142,6 +142,34 @@ def embed_tokens(params: Params, ids: jnp.ndarray) -> jnp.ndarray:
     return params["embed_tokens"][ids]
 
 
+def init_params(cfg: PhiConfig, key) -> Params:
+    """Random init (normal 0.02) in the stacked-layer phi layout."""
+    k1, k2, k3 = jax.random.split(key, 3)
+    D, F, V, L = cfg.hidden_size, cfg.intermediate_size, cfg.vocab_size, cfg.num_hidden_layers
+
+    def nrm(k, shape):
+        return (jax.random.normal(k, shape, jnp.float32) * 0.02).astype(cfg.dtype)
+
+    ks = jax.random.split(k3, 6)
+    layers = {
+        "ln_scale": jnp.ones((L, D), cfg.dtype), "ln_bias": jnp.zeros((L, D), cfg.dtype),
+        "q_w": nrm(ks[0], (L, D, D)), "q_b": jnp.zeros((L, D), cfg.dtype),
+        "k_w": nrm(ks[1], (L, D, D)), "k_b": jnp.zeros((L, D), cfg.dtype),
+        "v_w": nrm(ks[2], (L, D, D)), "v_b": jnp.zeros((L, D), cfg.dtype),
+        "dense_w": nrm(ks[3], (L, D, D)), "dense_b": jnp.zeros((L, D), cfg.dtype),
+        "fc1_w": nrm(ks[4], (L, F, D)), "fc1_b": jnp.zeros((L, F), cfg.dtype),
+        "fc2_w": nrm(ks[5], (L, D, F)), "fc2_b": jnp.zeros((L, D), cfg.dtype),
+    }
+    return {
+        "embed_tokens": nrm(k1, (V, D)),
+        "layers": layers,
+        "final_ln_scale": jnp.ones((D,), cfg.dtype),
+        "final_ln_bias": jnp.zeros((D,), cfg.dtype),
+        "lm_head_w": nrm(k2, (V, D)),
+        "lm_head_b": jnp.zeros((V,), cfg.dtype),
+    }
+
+
 _HF_LAYER_KEYS = {
     "input_layernorm.weight": "ln_scale",
     "input_layernorm.bias": "ln_bias",

@@ -90,16 +90,27 @@ def build_multimodal_inputs(
     attn_mask: jnp.ndarray,        # [B, T]
     pixel_values: jnp.ndarray,     # [B, 3K, S, S]
     labels: Optional[jnp.ndarray] = None,
+    multimodal_mask: Optional[jnp.ndarray] = None,   # [B] bool; False = text-only row
 ) -> Dict[str, jnp.ndarray]:
-    """Splice projected patches after BOS: [BOS | patches | rest]."""
+    """Splice projected patches after BOS: [BOS | patches | rest].
+
+    Mixed batches (reference prismatic.py:422-467 fuses unimodal/multimodal
+    examples): text-only rows keep the STATIC spliced layout but their patch
+    block is masked out of attention — combined with mask-cumsum RoPE
+    positions in `forward`, the row computes exactly the unspliced unimodal
+    forward (the zero-image patches previously leaked into text-only rows)."""
     patches = project_patches(params, cfg, vision_features(params, cfg, pixel_values))
     patches = patches.astype(cfg.llm.dtype)
-    embeds = llama.embed_tokens(params["llm"], input_ids)
+    embeds = _llm_embed(cfg)(params["llm"], input_ids)
     B, N = patches.shape[:2]
     mm_embeds = jnp.concatenate([embeds[:, :1], patches, embeds[:, 1:]], axis=1)
-    mm_mask = jnp.concatenate(
-        [attn_mask[:, :1], jnp.ones((B, N), attn_mask.dtype), attn_mask[:, 1:]], axis=1
-    )
+    if multimodal_mask is None:
+        patch_valid = jnp.ones((B, N), attn_mask.dtype)
+    else:
+        patch_valid = jnp.broadcast_to(
+            multimodal_mask.astype(attn_mask.dtype)[:, None], (B, N)
+        )
+    mm_mask = jnp.concatenate([attn_mask[:, :1], patch_valid, attn_mask[:, 1:]], axis=1)
     out = {"inputs_embeds": mm_embeds, "attn_mask": mm_mask, "patches": patches}
     if labels is not None:
         patch_labels = jnp.full((B, N), IGNORE_INDEX, labels.dtype)
@@ -115,33 +126,72 @@ def forward(
     pixel_values: Optional[jnp.ndarray] = None,
     labels: Optional[jnp.ndarray] = None,
     collect_hidden_states: bool = False,
+    multimodal_mask: Optional[jnp.ndarray] = None,   # [B] bool for mixed batches
 ) -> Dict[str, Any]:
     """Training/eval forward. Multimodal when pixel_values given, else unimodal.
+    For MIXED batches pass `multimodal_mask` (False rows = text-only): their
+    patch block is excluded from attention and RoPE positions follow the
+    attended tokens, reproducing the unspliced unimodal forward per row.
 
     Returns logits (+ shifted `labels` aligned with them when given,
     + hidden_pooled taps when requested).
     """
     if pixel_values is None:
-        embeds = llama.embed_tokens(params["llm"], input_ids)
+        embeds = _llm_embed(cfg)(params["llm"], input_ids)
         mask, lbls = attn_mask, labels
     else:
-        mm = build_multimodal_inputs(params, cfg, input_ids, attn_mask, pixel_values, labels)
+        mm = build_multimodal_inputs(
+            params, cfg, input_ids, attn_mask, pixel_values, labels,
+            multimodal_mask=multimodal_mask,
+        )
         embeds, mask = mm["inputs_embeds"], mm["attn_mask"]
         lbls = mm.get("labels")
     B, T = embeds.shape[:2]
-    positions = jnp.broadcast_to(jnp.arange(T), (B, T))
-    out = llama.forward(
-        params["llm"], cfg.llm, embeds, mask, positions,
-        collect_hidden_states=collect_hidden_states,
-    )
+    if multimodal_mask is not None and pixel_values is not None:
+        # position = index among ATTENDED tokens (text-only rows skip the
+        # masked patch block, matching the unspliced row's RoPE positions)
+        positions = jnp.maximum(jnp.cumsum(mask, axis=1) - 1, 0)
+    else:
+        positions = jnp.broadcast_to(jnp.arange(T), (B, T))
+    if _is_phi(cfg):
+        from . import phi
+
+        if collect_hidden_states:
+            raise NotImplementedError("hidden-state taps are a llama-trunk feature")
+        out = phi.forward(params["llm"], cfg.llm, embeds, mask, positions)
+    else:
+        out = llama.forward(
+            params["llm"], cfg.llm, embeds, mask, positions,
+            collect_hidden_states=collect_hidden_states,
+        )
     if lbls is not None:
         out["labels"] = lbls
     return out
 
 
+def _is_phi(cfg: "VLMConfig") -> bool:
+    from . import phi
+
+    return isinstance(cfg.llm, phi.PhiConfig)
+
+
+def _llm_embed(cfg: "VLMConfig"):
+    if _is_phi(cfg):
+        from . import phi
+
+        return phi.embed_tokens
+    return llama.embed_tokens
+
+
 def init_params(cfg: VLMConfig, key: jax.Array) -> Params:
     kv, kp, kl = jax.random.split(key, 3)
     vkeys = jax.random.split(kv, len(cfg.vision))
+    if _is_phi(cfg):
+        from . import phi
+
+        llm_params = phi.init_params(cfg.llm, kl)
+    else:
+        llm_params = llama.init_params(cfg.llm, kl)
     return {
         "vision": {
             name: vit.init_params(vcfg, k)
@@ -150,5 +200,5 @@ def init_params(cfg: VLMConfig, key: jax.Array) -> Params:
         "projector": projector.init_params(
             cfg.projector_arch, cfg.vision_dim, cfg.llm.hidden_size, kp, cfg.llm.dtype
         ),
-        "llm": llama.init_params(cfg.llm, kl),
+        "llm": llm_params,
     }

@@ -38,18 +38,29 @@ class CaptureSession:
         out_dir: Union[str, Path],
         detectors: Optional[Dict[str, SymbolicDetector]] = None,
         unnorm_key: Optional[str] = None,
+        speculative: bool = False,
     ) -> None:
         self.model = model
         self.writer = EpisodeWriter(out_dir)
         self.detectors = detectors or {}
         self.unnorm_key = unnorm_key
+        self.spec_state = None
+        if speculative:
+            from ..robot.openvla_utils import SpeculativeActionState
+
+            self.spec_state = SpeculativeActionState()
 
     def step(self, image: np.ndarray, prompt: str) -> Dict[str, np.ndarray]:
         """One control step: returns the predict_action outputs; records taps
-        + detector vectors."""
+        + detector vectors. With speculative=True the previous step's tokens
+        draft the decode (token-exact; see models/vla.py)."""
+        draft = self.spec_state.last_tokens if self.spec_state is not None else None
         out = self.model.predict_action(
-            image, prompt, unnorm_key=self.unnorm_key, return_hidden_states=True
+            image, prompt, unnorm_key=self.unnorm_key, return_hidden_states=True,
+            draft_tokens=draft,
         )
+        if self.spec_state is not None:
+            self.spec_state.observe(out)
         labels = {
             name: np.asarray(det.detect_binary_states(), np.int8)
             for name, det in self.detectors.items()
@@ -58,4 +69,6 @@ class CaptureSession:
         return out
 
     def end_episode(self, episode_index: int, success: Optional[bool] = None) -> Path:
+        if self.spec_state is not None:
+            self.spec_state.reset()
         return self.writer.flush(episode_index, success=success)

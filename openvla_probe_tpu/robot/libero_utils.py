@@ -66,7 +66,14 @@ def save_rollout_video(rollout_images, idx: int, success: bool, task_description
     present; falls back to an .npz frame dump."""
     Path(out_dir).mkdir(parents=True, exist_ok=True)
     tag = "success" if success else "failure"
-    base = Path(out_dir) / f"rollout--episode={idx}--{tag}"
+    # timestamp + task slug in the name (reference embeds DATE_TIME + task,
+    # libero_utils.py:61-74) — otherwise reruns silently overwrite replays
+    import re
+    import time as _time
+
+    stamp = _time.strftime("%Y_%m_%d-%H_%M_%S")
+    slug = re.sub(r"[^a-z0-9]+", "_", task_description.lower())[:60].strip("_")
+    base = Path(out_dir) / f"{stamp}--rollout--episode={idx}--task={slug}--{tag}"
     try:
         import imageio
 

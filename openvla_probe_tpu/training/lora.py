@@ -28,6 +28,8 @@ import numpy as np
 _LINEAR_SUFFIXES = (
     "q_proj", "k_proj", "v_proj", "o_proj", "gate_proj", "up_proj", "down_proj",
     "qkv_w", "proj_w", "fc1_w", "fc2_w", "w",
+    # phi trunk (models/phi.py layout)
+    "q_w", "k_w", "v_w", "dense_w",
 )
 
 
@@ -59,7 +61,7 @@ def _is_target(path: str, shape, cfg: LoRAConfig) -> bool:
     leaf = path.rsplit("/", 1)[-1]
     if leaf in ("embed_tokens",):
         return cfg.include_embeddings
-    if leaf in ("lm_head",):
+    if leaf in ("lm_head", "lm_head_w"):
         return cfg.include_lm_head
     if leaf == "weight" and "patch_embed" in path:
         return False  # conv patch embed: not a PEFT "linear"

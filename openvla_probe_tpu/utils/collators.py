@@ -71,10 +71,16 @@ class PaddedCollatorForLanguageModeling:
 
     model_max_length: int = 2048
     pad_token_id: int = 32000
-    default_image_resolution: Tuple[int, int, int] = (3, 224, 224)
+    # matches the flagship dual-backbone stacked shape AND the preprocessing
+    # factory default — a (3,...) default made all-unimodal batches flip to a
+    # different pixel shape than mixed batches (new XLA compile or crash)
+    default_image_resolution: Tuple[int, int, int] = (6, 224, 224)
     padding_side: str = "right"
     pixel_values_dtype: Any = np.float32
     length_buckets: Tuple[int, ...] = (64, 128, 256, 512, 1024, 2048)
+
+    def __post_init__(self):
+        assert self.padding_side == "right", "right padding is the contract here"
 
     def __call__(self, instances: List[Dict[str, Any]]) -> Dict[str, Any]:
         ids = [np.asarray(x["input_ids"])[: self.model_max_length] for x in instances]

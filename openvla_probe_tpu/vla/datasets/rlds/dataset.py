@@ -32,15 +32,21 @@ overwatch = initialize_overwatch(__name__)
 
 
 def _tfds_trajectory_dataset(
-    name: str, data_dir: str, split: str, num_parallel_reads: int
+    name: str, data_dir: str, split: str, num_parallel_reads: int,
+    shuffle: bool = False,
 ) -> Tuple[tf.data.Dataset, Any]:
     """Build a trajectory dataset from a TFDS RLDS builder (steps -> batched
-    into one tensor-stack per trajectory, the dlimp 'as_dataset' behavior)."""
+    into one tensor-stack per trajectory, the dlimp 'as_dataset' behavior).
+    `shuffle` shuffles the tfrecord FILES (the reference's
+    dl.DLataset.from_rlds(shuffle=True)) — without it trajectories stream in
+    identical shard order every epoch and the frame shuffle buffer only
+    locally decorrelates."""
     import tensorflow_datasets as tfds
 
     builder = tfds.builder(name, data_dir=data_dir)
     ds = builder.as_dataset(
         split=split,
+        shuffle_files=shuffle,
         decoders={"steps": tfds.decode.SkipDecoding()},
         read_config=tfds.ReadConfig(
             skip_prefetch=True, num_parallel_calls_for_interleave_files=num_parallel_reads
@@ -75,6 +81,10 @@ def make_dataset_from_rlds(
     num_parallel_reads: int = tf.data.AUTOTUNE,
     num_parallel_calls: int = tf.data.AUTOTUNE,
     trajectory_dataset_fn: Optional[Callable[[str], tf.data.Dataset]] = None,
+    dataset_frame_transform_kwargs: Optional[Dict[str, Any]] = None,
+    # per-dataset FRAME transforms (e.g. droid's chunk_filter_fn) are applied
+    # after flattening by make_interleaved_dataset / make_single_dataset —
+    # accepted here so oxe kwargs pass through intact (reference :543-551)
 ) -> Tuple[tf.data.Dataset, Dict[str, Any]]:
     """One RLDS dataset -> standardized trajectory dataset + statistics.
 
@@ -130,7 +140,8 @@ def make_dataset_from_rlds(
     if trajectory_dataset_fn is not None:
         split = "train" if train else "val"
         ds = trajectory_dataset_fn(split)
-        full_ds_for_stats = trajectory_dataset_fn(split)
+        full_ds_for_stats = lambda: trajectory_dataset_fn(split)  # noqa: E731
+        split_dep = split   # stats computed on THIS split: key the cache by it
     else:
         if train:
             split = "train"
@@ -144,8 +155,11 @@ def make_dataset_from_rlds(
                 f"Dataset `{name}` has no 'val' split; substituting {split!r} — "
                 "validation metrics will be computed on TRAINING data."
             )
-        ds, _ = _tfds_trajectory_dataset(name, data_dir, split, num_parallel_reads)
-        full_ds_for_stats, _ = _tfds_trajectory_dataset(name, data_dir, "all", num_parallel_reads)
+        ds, _ = _tfds_trajectory_dataset(name, data_dir, split, num_parallel_reads,
+                                         shuffle=shuffle and train)
+        full_ds_for_stats = lambda: _tfds_trajectory_dataset(  # noqa: E731
+            name, data_dir, "all", num_parallel_reads)[0]
+        split_dep = "all"   # TFDS stats always scan the full dataset
 
     ds = ds.map(restructure, num_parallel_calls=num_parallel_calls)
 
@@ -156,12 +170,13 @@ def make_dataset_from_rlds(
     elif dataset_statistics is None:
         stats_deps = (
             str(name),
+            str(split_dep),
             str(sorted(image_obs_keys.items())),
             str(list(state_obs_keys)),
             inspect.getsource(standardize_fn) if standardize_fn is not None else "",
         )
         dataset_statistics = data_utils.get_dataset_statistics(
-            full_ds_for_stats.map(restructure, num_parallel_calls=num_parallel_calls),
+            full_ds_for_stats().map(restructure, num_parallel_calls=num_parallel_calls),
             hash_dependencies=stats_deps,
         )
     dataset_statistics = {
@@ -278,11 +293,6 @@ def apply_frame_transforms(
     """Per-frame decode/resize (+ train-time augment); frames must already be
     flattened (reference dataset.py:369-424)."""
 
-    def apply_obs_transform(fn, frame):
-        frame["task"] = fn(frame.get("task", {})) if frame.get("task") else frame.get("task", {})
-        frame["observation"] = fn(frame["observation"])
-        return frame
-
     decode_fn = partial(
         obs_transforms.decode_and_resize,
         resize_size=resize_size or {},
@@ -290,10 +300,8 @@ def apply_frame_transforms(
     )
 
     def decode_frame(frame):
-        obs = frame["observation"]
         # windowed obs [W, ...]: map over the window
-        frame["observation"] = tf.nest.map_structure(lambda x: x, obs)
-        frame["observation"] = _map_window(decode_fn, obs)
+        frame["observation"] = _map_window(decode_fn, frame["observation"])
         if frame.get("task"):
             frame["task"] = decode_fn(dict(frame["task"]))
         return frame
@@ -317,13 +325,21 @@ def apply_frame_transforms(
 
 
 def _map_window(fn, obs):
-    """Apply an obs transform under an optional leading window axis."""
+    """Apply an obs transform under an optional leading window axis.
+
+    Two windowed layouts occur: [W] strings (pre-decode) and [W, H, Wd, C]
+    decoded images (post-decode, e.g. train-time augmentation) — both unstack
+    per window step, apply, restack (the reference uses dl.vmap)."""
     img_keys = [k for k in obs if k.startswith(("image_", "depth_"))]
     if not img_keys:
         return fn(obs)
     sample = obs[img_keys[0]]
-    if sample.shape.ndims is not None and sample.shape.ndims >= 1 and sample.dtype == tf.string and sample.shape.ndims == 1:
-        # windowed strings [W] -> unstack, apply per step, restack
+    nd = sample.shape.ndims
+    windowed = nd is not None and (
+        (sample.dtype == tf.string and nd == 1)      # [W] encoded strings
+        or (sample.dtype != tf.string and nd == 4)   # [W, H, Wd, C] decoded
+    )
+    if windowed:
         window = sample.shape[0]
         outs = []
         for w in range(window):
@@ -346,6 +362,14 @@ def flatten_trajectories(ds: tf.data.Dataset, num_parallel_calls=tf.data.AUTOTUN
     )
 
 
+def apply_per_dataset_frame_transforms(ds: tf.data.Dataset, chunk_filter_fn=None):
+    """Per-dataset frame-level transforms (reference dataset.py:354-366):
+    droid's zero_action_filter drops frames whose chunk is a normalized no-op."""
+    if chunk_filter_fn:
+        ds = ds.filter(chunk_filter_fn)
+    return ds
+
+
 def make_single_dataset(
     dataset_kwargs: Dict[str, Any],
     *,
@@ -355,9 +379,11 @@ def make_single_dataset(
 ) -> Tuple[tf.data.Dataset, Dict[str, Any]]:
     """Build one dataset end-to-end: restructure -> traj transforms -> flatten
     -> frame transforms."""
+    dftk = dataset_kwargs.get("dataset_frame_transform_kwargs") or {}
     ds, stats = make_dataset_from_rlds(**dataset_kwargs, train=train)
     ds = apply_trajectory_transforms(ds, train=train, **(traj_transform_kwargs or {}))
     ds = flatten_trajectories(ds)
+    ds = apply_per_dataset_frame_transforms(ds, **dftk)
     ds = apply_frame_transforms(ds, train=train, **(frame_transform_kwargs or {}))
     return ds, stats
 
@@ -426,6 +452,8 @@ def make_interleaved_dataset(
         )
         ds = apply_trajectory_transforms(ds, train=train, **(traj_transform_kwargs or {}))
         ds = flatten_trajectories(ds)
+        ds = apply_per_dataset_frame_transforms(
+            ds, **(kwargs.get("dataset_frame_transform_kwargs") or {}))
         ds = ds.repeat()
         datasets.append(ds)
 

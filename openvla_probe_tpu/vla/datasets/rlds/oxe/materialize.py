@@ -75,8 +75,15 @@ def make_oxe_dataset_kwargs(
     if load_language:
         kwargs["language_key"] = "language_instruction"
     kwargs["standardize_fn"] = OXE_STANDARDIZATION_TRANSFORMS[dataset_name]
+    def _resolve_fns(v):
+        if v == "<fn:zero_action_filter>":
+            return zero_action_filter
+        if isinstance(v, dict):
+            return {k2: _resolve_fns(v2) for k2, v2 in v.items()}
+        return v
+
     for k, v in cfg.get("aux_kwargs", {}).items():
-        kwargs[k] = zero_action_filter if v == "<fn:zero_action_filter>" else v
+        kwargs[k] = _resolve_fns(v)
     return {"name": dataset_name, "data_dir": str(data_root_dir), **kwargs}
 
 

@@ -59,6 +59,9 @@ def normalize_action_and_proprio(
             else (key_meta["q01"], key_meta["q99"])
         )
         y = tf.where(mask, tf.clip_by_value(2.0 * (x - low) / (high - low + 1e-8) - 1.0, -1.0, 1.0), x)
+        # reference parity (data_utils.py:95-99, "Note (Moo Jin)"): dims where
+        # min == max zero out UNCONDITIONALLY — even mask-excluded passthrough
+        # dims (e.g. a constant gripper) — matching the reference exactly
         zeros = key_meta["min"] == key_meta["max"]
         return tf.where(zeros, tf.zeros_like(y), y)
 

@@ -132,14 +132,16 @@ def main(cfg: PretrainConfig) -> None:
 
     def vlm_loss(p, c, batch):
         out = vlm.forward(p, c, batch["input_ids"], batch["attention_mask"],
-                          batch.get("pixel_values"), batch["labels"])
+                          batch.get("pixel_values"), batch["labels"],
+                          multimodal_mask=batch.get("multimodal_mask"))
         loss = cross_entropy_loss(out["logits"], out["labels"])
         return loss, {"loss": loss}
 
     batch_sharding = NamedSharding(mesh, P("dp"))
     step_fn = make_sharded_train_step(
         model_cfg, optimizer, mesh, state_shardings,
-        {k: batch_sharding for k in ["input_ids", "attention_mask", "pixel_values", "labels"]},
+        {k: batch_sharding for k in ["input_ids", "attention_mask", "pixel_values",
+                                     "labels", "multimodal_mask"]},
         trainable_mask=mask, loss_fn=vlm_loss,
     )
 
@@ -175,7 +177,13 @@ def main(cfg: PretrainConfig) -> None:
         idxs = list(sampler)
         for s in range(0, len(idxs) - per_host_bs + 1, per_host_bs):
             batch = collator([dataset[i] for i in idxs[s : s + per_host_bs]])
-            batch.pop("multimodal_indices", None)
+            # text-only rows must NOT attend the dummy zero-image patches
+            # (reference fuses unimodal/multimodal, prismatic.py:422-467)
+            mm_idx = batch.pop("multimodal_indices", None)
+            if mm_idx is not None:
+                is_mm = np.zeros(len(batch["input_ids"]), bool)
+                is_mm[np.asarray(mm_idx, int)] = True
+                batch["multimodal_mask"] = is_mm
             state, mtr = step_fn(state, to_global(batch))
             step = int(jax.device_get(state.step))
             metrics.commit(global_step=step, loss=mtr["loss"],

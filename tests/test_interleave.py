@@ -87,3 +87,56 @@ def test_balance_weights_by_frame_count():
     # balanced by frames: a has 4x the frames -> ~80% of samples (loose bound:
     # tf.data's sampler + small shuffle buffer add non-trivial local variance)
     assert counts[b"ds_a"] > counts[b"ds_b"] * 1.5, counts
+
+
+def test_windowed_image_augmentation_runs():
+    """Regression: train-time augmentation on the windowed (post-decode rank-4)
+    observation crashed with 'Incompatible shapes: [4] vs [3]' — the standard
+    image_aug=True OpenVLA fine-tune config could not run at all."""
+    aug = {"primary": {
+        "random_resized_crop": {"scale": [0.9, 0.9], "ratio": [1.0, 1.0]},
+        "random_brightness": {"max_delta": 0.2},
+        "augment_order": ["random_resized_crop", "random_brightness"],
+    }}
+    ds, ds_len, stats = rd.make_interleaved_dataset(
+        [_kwargs("ds_aug", b"task", 4, 8)],
+        sample_weights=[1.0],
+        shuffle_buffer_size=16,
+        traj_transform_kwargs={"window_size": 1},
+        frame_transform_kwargs={"resize_size": {"primary": (16, 16)},
+                                "image_augment_kwargs": aug},
+    )
+    it = ds.as_numpy_iterator()
+    for _ in range(5):
+        frame = next(it)
+        assert frame["observation"]["image_primary"].shape == (1, 16, 16, 3)
+
+
+def test_per_dataset_chunk_filter_applied():
+    """droid-style dataset_frame_transform_kwargs: the chunk filter drops
+    matching frames (regression: the kwarg previously raised TypeError)."""
+    def drop_first_dim_positive(frame):
+        return frame["action"][0, 0] <= 0.0
+
+    kw = _kwargs("ds_filt", b"task", 6, 10)
+    kw["dataset_frame_transform_kwargs"] = {"chunk_filter_fn": drop_first_dim_positive}
+    ds, ds_len, stats = rd.make_interleaved_dataset(
+        [kw], sample_weights=[1.0],
+        shuffle_buffer_size=16,
+        traj_transform_kwargs={"window_size": 1},
+        frame_transform_kwargs={"resize_size": {"primary": (16, 16)}},
+    )
+    it = ds.as_numpy_iterator()
+    for _ in range(40):
+        assert next(it)["action"][0, 0] <= 0.0
+
+
+def test_droid_kwargs_materialize_with_callable_filter():
+    from openvla_probe_tpu.vla.datasets.rlds.oxe.materialize import (
+        make_oxe_dataset_kwargs,
+        zero_action_filter,
+    )
+
+    kw = make_oxe_dataset_kwargs("droid", "/data")
+    dftk = kw.get("dataset_frame_transform_kwargs")
+    assert dftk is not None and dftk["chunk_filter_fn"] is zero_action_filter

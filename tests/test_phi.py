@@ -62,3 +62,45 @@ def test_phi_kv_cache_decode(hf_pair, rng):
                        jnp.full((1, 1), 5), cache=out["cache"], cache_index=jnp.int32(5))
     np.testing.assert_allclose(np.asarray(step["logits"][:, 0]), full[:, 5],
                                atol=3e-4, rtol=1e-3)
+
+
+def test_phi_vlm_stack_end_to_end():
+    """The phi trunk drives the full VLM stack (multimodal splice + CE loss) —
+    regression: 'phi-2-3b' was previously a Llama config with Phi dims."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from openvla_probe_tpu.models import catalog, phi, vlm
+    from openvla_probe_tpu.models.vit import ViTConfig
+
+    # catalog entry is the REAL architecture
+    assert isinstance(catalog.LLM_BACKBONES["phi-2-3b"]["cfg"], phi.PhiConfig)
+
+    cfg = vlm.VLMConfig(
+        llm=phi.PhiConfig.tiny(),
+        vision=(ViTConfig.tiny(num_register_tokens=4, no_embed_class=True), ViTConfig.tiny()),
+        vision_names=("dino", "siglip"),
+        arch_specifier="no-align+fused-gelu-mlp",
+    )
+    params = vlm.init_params(cfg, jax.random.key(0))
+    assert "q_w" in params["llm"]["layers"]          # phi layout, not llama
+
+    r = np.random.default_rng(0)
+    B, T, S = 2, 10, cfg.vision[0].image_size
+    labels = np.full((B, T), -100, np.int64)
+    labels[:, -4:] = r.integers(3, cfg.llm.vocab_size, (B, 4))
+    out = vlm.forward(
+        params, cfg,
+        jnp.asarray(r.integers(2, 250, (B, T)), jnp.int32),
+        jnp.ones((B, T), jnp.int32),
+        jnp.asarray(r.normal(size=(B, 6, S, S)), jnp.float32),
+        jnp.asarray(labels),
+    )
+    assert out["logits"].shape[-1] == cfg.llm.vocab_size
+    assert np.isfinite(np.asarray(out["logits"])).all()
+
+    from openvla_probe_tpu.training.train_step import cross_entropy_loss
+
+    loss = cross_entropy_loss(out["logits"], out["labels"])
+    assert np.isfinite(float(loss))

@@ -132,3 +132,45 @@ def test_score_candidates_prefers_forced_token():
     greedy = [int(t) for t in np.asarray(full)[0]]
     scores = gen.score_candidates(params, cfg, prompt, [greedy, [5, 6]], pixel_values=px)
     assert scores[0] > scores[1]
+
+
+def test_mixed_batch_unimodal_rows_match_unspliced_forward():
+    """A text-only row inside a mixed batch must compute EXACTLY the
+    unspliced unimodal forward (regression: zero-image patches previously
+    leaked into text-only rows with attention mask 1)."""
+    from openvla_probe_tpu.models.llama import LlamaConfig
+    from openvla_probe_tpu.models.vit import ViTConfig
+
+    cfg = vlm.VLMConfig(
+        llm=LlamaConfig.tiny(),
+        vision=(ViTConfig.tiny(num_register_tokens=4, no_embed_class=True), ViTConfig.tiny()),
+        vision_names=("dino", "siglip"),
+        arch_specifier="no-align+fused-gelu-mlp",
+    )
+    params = vlm.init_params(cfg, jax.random.key(0))
+    r = np.random.default_rng(0)
+    B, T, S = 3, 9, cfg.vision[0].image_size
+    ids = jnp.asarray(r.integers(3, 500, (B, T)), jnp.int32)
+    am = np.ones((B, T), np.int64)
+    am[1, 7:] = 0
+    pixels = jnp.asarray(r.normal(size=(B, 6, S, S)), jnp.float32)
+    labels = jnp.asarray(r.integers(3, 500, (B, T)))
+    is_mm = jnp.asarray([True, False, True])
+
+    out = vlm.forward(params, cfg, ids, jnp.asarray(am), pixels, labels,
+                      multimodal_mask=is_mm)
+    N = cfg.num_patches
+
+    # ground truth for the text-only row: plain unimodal forward
+    uni = vlm.forward(params, cfg, ids[1:2], jnp.asarray(am[1:2]), None, labels[1:2])
+    # text tokens of row 1 sit at spliced slots [0] + [1+N ..); compare the
+    # next-token logits AT THE TEXT SLOTS (BOS slot predicts an IGNORE patch
+    # label in the spliced layout, so loss-relevant slots start at 1+N)
+    got_text = np.asarray(out["logits"][1, 1 + N:, :])
+    want_text = np.asarray(uni["logits"][0, 1:, :])
+    np.testing.assert_allclose(got_text[:6], want_text[:6], atol=2e-4, rtol=1e-3)
+
+    # multimodal rows are unchanged vs the all-multimodal path
+    full = vlm.forward(params, cfg, ids, jnp.asarray(am), pixels, labels)
+    np.testing.assert_allclose(np.asarray(out["logits"][0]), np.asarray(full["logits"][0]),
+                               atol=1e-5)
