@@ -1,0 +1,235 @@
+"""VLM evaluation harness: closed-set (multiple-choice) + open-ended tasks.
+
+The reference repo delegates benchmark evaluation to TRI's sibling
+`vlm-evaluation` project (cited from /root/reference/README.md); the in-repo
+capability it leans on is the VLM's string-probability scoring
+(prismatic/models/vlms/prismatic.py:569-621 `generate_batch` with
+`return_string_probabilities`) and greedy generation. This module is the
+TPU-native task harness over this repo's two compiled primitives:
+
+  * `models.generate.score_candidates` — ONE bucketed jit call scores every
+    answer option of a multiple-choice example (closed-set accuracy).
+  * `models.generate.generate_greedy` — greedy decode for open-ended answers,
+    graded with VQAv2-style normalization + soft accuracy.
+
+Scoring conventions follow the vlm-evaluation family of tasks:
+  * closed-set: predicted option = argmax of summed candidate-token logprobs;
+    a `length_normalize=True` mode divides by candidate token count (both
+    conventions appear across published VQA harnesses — default off, matching
+    the reference's raw sum at prismatic.py:606-615).
+  * open-ended exact match: normalized string equality.
+  * VQA soft accuracy: min(#annotator-matches / 3, 1) over the answer list
+    (the VQAv2 metric; reduces to exact match when one answer is given).
+
+Answer normalization = lowercase, strip punctuation, drop articles
+(a/an/the), collapse whitespace — the standard VQA preprocessing subset that
+is tokenizer-independent.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import re
+import string
+from pathlib import Path
+from typing import Any, Callable, Dict, List, Optional, Sequence
+
+import numpy as np
+
+_ARTICLES = {"a", "an", "the"}
+_PUNCT_TABLE = str.maketrans({c: " " for c in string.punctuation})
+
+
+def normalize_answer(text: str) -> str:
+    """VQA-style normalization: lowercase, no punctuation/articles, single spaces."""
+    text = text.lower().translate(_PUNCT_TABLE)
+    words = [w for w in text.split() if w not in _ARTICLES]
+    return " ".join(words)
+
+
+def exact_match(prediction: str, answers: Sequence[str]) -> float:
+    pred = normalize_answer(prediction)
+    return float(any(pred == normalize_answer(a) for a in answers))
+
+
+def vqa_accuracy(prediction: str, answers: Sequence[str]) -> float:
+    """VQAv2 soft accuracy: min(matches/3, 1). With <3 answers this reduces
+    toward exact match (single-answer datasets get 1/3-steps otherwise, so we
+    use plain exact match below 3 annotators — the convention vlm-evaluation
+    applies to GQA/TextVQA-style single-answer sets)."""
+    if len(answers) < 3:
+        return exact_match(prediction, answers)
+    pred = normalize_answer(prediction)
+    matches = sum(pred == normalize_answer(a) for a in answers)
+    return min(matches / 3.0, 1.0)
+
+
+@dataclasses.dataclass
+class EvalExample:
+    """One evaluation item.
+
+    `image` is an [H, W, 3] uint8 array (or None for text-only);
+    `choices` non-empty makes it a closed-set item with `answer_idx` the
+    ground-truth option; open-ended items use `answers` (>=1 reference
+    strings).
+    """
+
+    question: str
+    answers: List[str] = dataclasses.field(default_factory=list)
+    choices: List[str] = dataclasses.field(default_factory=list)
+    answer_idx: int = -1
+    image: Optional[np.ndarray] = None
+    example_id: Optional[str] = None
+
+
+def load_jsonl_dataset(
+    path: str,
+    image_root: Optional[str] = None,
+    max_examples: Optional[int] = None,
+) -> List[EvalExample]:
+    """Read a JSONL eval file: one object per line with keys
+    question, answers|answer, choices?, answer_idx?, image? (path)."""
+    from PIL import Image
+
+    out: List[EvalExample] = []
+    root = Path(image_root) if image_root else None
+    with open(path) as f:
+        for i, line in enumerate(f):
+            if max_examples is not None and len(out) >= max_examples:
+                break
+            line = line.strip()
+            if not line:
+                continue
+            row = json.loads(line)
+            answers = row.get("answers") or ([row["answer"]] if "answer" in row else [])
+            img = None
+            if row.get("image"):
+                p = Path(row["image"])
+                if root is not None and not p.is_absolute():
+                    p = root / p
+                img = np.asarray(Image.open(p).convert("RGB"), np.uint8)
+            out.append(EvalExample(
+                question=row["question"],
+                answers=[str(a) for a in answers],
+                choices=[str(c) for c in row.get("choices", [])],
+                answer_idx=int(row.get("answer_idx", -1)),
+                image=img,
+                example_id=str(row.get("id", i)),
+            ))
+    return out
+
+
+def _continuation_ids(tokenizer: Any, prompt: str, continuation: str) -> List[int]:
+    """Tokenize `continuation` as a suffix of `prompt` (sentencepiece merges
+    across the boundary make independent tokenization wrong)."""
+    base = list(tokenizer.encode(prompt))
+    full = list(tokenizer.encode(prompt + continuation))
+    # common-prefix split (the boundary token may re-merge)
+    i = 0
+    while i < len(base) and i < len(full) and base[i] == full[i]:
+        i += 1
+    return full[i:] if i < len(full) else full[-1:]
+
+
+def _build_prompt(question: str, prompt_builder_factory: Optional[Callable]) -> str:
+    if prompt_builder_factory is None:
+        return f"In: {question}\nOut: "
+    b = prompt_builder_factory()
+    b.add_turn("human", question)
+    return b.get_prompt()
+
+
+def _pixels_for(cfg, image_cfg, image: Optional[np.ndarray]):
+    if image is None:
+        return None
+    import jax.numpy as jnp
+
+    from ..ops.image import apply_image_transform
+
+    px = apply_image_transform(jnp.asarray(image[None]), image_cfg)
+    return px.astype(cfg.llm.dtype)
+
+
+def evaluate_closed_set(
+    params: Dict[str, Any],
+    cfg: Any,                                # vlm.VLMConfig
+    tokenizer: Any,
+    examples: Sequence[EvalExample],
+    image_cfg: Optional[Any] = None,         # ops.image.ImageTransformConfig
+    prompt_builder_factory: Optional[Callable] = None,
+    length_normalize: bool = False,
+    score_fn: Optional[Callable] = None,      # injection point for tests
+) -> Dict[str, Any]:
+    """Multiple-choice accuracy via candidate logprob scoring.
+
+    Returns {"accuracy", "n", "results": [{id, predicted_idx, correct,
+    scores}]}. One bucketed jit call per example scores all its options.
+    """
+    if score_fn is None:
+        from ..models.generate import score_candidates
+
+        score_fn = score_candidates
+
+    results = []
+    n_correct = 0
+    for ex in examples:
+        assert ex.choices, f"closed-set example {ex.example_id} has no choices"
+        prompt = _build_prompt(ex.question, prompt_builder_factory)
+        prompt_ids = list(tokenizer.encode(prompt))
+        cand_ids = [_continuation_ids(tokenizer, prompt, c) for c in ex.choices]
+        px = _pixels_for(cfg, image_cfg, ex.image) if image_cfg is not None else None
+        scores = np.asarray(score_fn(params, cfg, prompt_ids, cand_ids, pixel_values=px),
+                            np.float64)
+        if length_normalize:
+            scores = scores / np.maximum([len(c) for c in cand_ids], 1)
+        pred = int(np.argmax(scores))
+        correct = pred == ex.answer_idx
+        n_correct += int(correct)
+        results.append({
+            "id": ex.example_id,
+            "predicted_idx": pred,
+            "predicted": ex.choices[pred],
+            "correct": bool(correct),
+            "scores": [float(s) for s in scores],
+        })
+    n = max(len(results), 1)
+    return {"task": "closed_set", "accuracy": n_correct / n, "n": len(results),
+            "results": results}
+
+
+def evaluate_open_ended(
+    params: Dict[str, Any],
+    cfg: Any,
+    tokenizer: Any,
+    examples: Sequence[EvalExample],
+    image_cfg: Optional[Any] = None,
+    prompt_builder_factory: Optional[Callable] = None,
+    max_new_tokens: int = 32,
+    metric: str = "vqa",                      # "vqa" | "exact"
+    generate_fn: Optional[Callable] = None,    # injection point for tests
+) -> Dict[str, Any]:
+    """Greedy generation graded by VQA soft accuracy or exact match."""
+    if generate_fn is None:
+        from ..models.generate import generate_greedy
+
+        def generate_fn(params, cfg, tokenizer, prompt_ids, pixel_values):
+            return generate_greedy(params, cfg, tokenizer, prompt_ids,
+                                   pixel_values=pixel_values,
+                                   max_new_tokens=max_new_tokens)
+
+    grade = vqa_accuracy if metric == "vqa" else exact_match
+    results = []
+    total = 0.0
+    for ex in examples:
+        assert ex.answers, f"open-ended example {ex.example_id} has no answers"
+        prompt = _build_prompt(ex.question, prompt_builder_factory)
+        prompt_ids = list(tokenizer.encode(prompt))
+        px = _pixels_for(cfg, image_cfg, ex.image) if image_cfg is not None else None
+        pred = generate_fn(params, cfg, tokenizer, prompt_ids, px)
+        acc = grade(pred, ex.answers)
+        total += acc
+        results.append({"id": ex.example_id, "prediction": pred, "accuracy": acc})
+    n = max(len(results), 1)
+    return {"task": "open_ended", "metric": metric, "accuracy": total / n,
+            "n": len(results), "results": results}
