@@ -49,10 +49,12 @@ def main() -> None:
 
         cfg = vlm.VLMConfig.openvla_7b()
         if quant == "int8":
-            # turbo mode: bf16 attention scores ride with quantized weights
+            # turbo mode: bf16 attention scores + bf16 RoPE (HF's own rope
+            # convention) ride with the quantized weights
             cfg = dataclasses.replace(
                 cfg,
-                llm=dataclasses.replace(cfg.llm, attn_scores_dtype=jnp.bfloat16),
+                llm=dataclasses.replace(cfg.llm, attn_scores_dtype=jnp.bfloat16,
+                                        rope_dtype=jnp.bfloat16),
                 vision=tuple(dataclasses.replace(v, attn_scores_dtype=jnp.bfloat16)
                              for v in cfg.vision),
             )

@@ -55,6 +55,14 @@ class LlamaConfig:
     # attention-score HBM traffic (~775 MB/layer at B=16 prefill) for the
     # turbo serving mode
     attn_scores_dtype: Any = jnp.float32
+    # RoPE rotation compute dtype. fp32 is this repo's bit-parity default;
+    # bf16 (turbo) halves the rotation's HBM traffic AND removes the
+    # f32 layout copies XLA inserts around it (profiled ~54 ms/call at B=24
+    # prefill). Note HF's own LlamaRotaryEmbedding casts cos/sin to the
+    # activation dtype and rotates in bf16, so bf16 here tracks the HF twin
+    # more closely — it stays opt-in only to keep round-1 parity artifacts
+    # (PARITY_r02.md) comparable.
+    rope_dtype: Any = jnp.float32
     # rematerialize each decoder block in backward (the reference's
     # non-reentrant activation checkpointing on decoder layers, fsdp.py:170-183)
     remat: bool = False
@@ -115,11 +123,16 @@ def _rotate_half(x: jnp.ndarray) -> jnp.ndarray:
     return jnp.concatenate([-x[..., half:], x[..., :half]], axis=-1)
 
 
-def apply_rope(q: jnp.ndarray, k: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """q/k: [B, T, H, Dh]; cos/sin: [B, T, Dh] (fp32). Rotation in fp32."""
-    cos = cos[:, :, None, :]
-    sin = sin[:, :, None, :]
-    qf, kf = q.astype(jnp.float32), k.astype(jnp.float32)
+def apply_rope(
+    q: jnp.ndarray, k: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray,
+    compute_dtype: Any = jnp.float32,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """q/k: [B, T, H, Dh]; cos/sin: [B, T, Dh] (fp32 tables).
+    Rotation in `compute_dtype` (fp32 = bit-parity default; bf16 = turbo,
+    which is also HF's own convention — cos/sin cast to the activation dtype)."""
+    cos = cos.astype(compute_dtype)[:, :, None, :]
+    sin = sin.astype(compute_dtype)[:, :, None, :]
+    qf, kf = q.astype(compute_dtype), k.astype(compute_dtype)
     q_out = qf * cos + _rotate_half(qf) * sin
     k_out = kf * cos + _rotate_half(kf) * sin
     return q_out.astype(q.dtype), k_out.astype(k.dtype)
@@ -227,7 +240,7 @@ def _layer_forward(
 
     h = rms_norm(x, lp["input_layernorm"], cfg.rms_norm_eps)
     q, k, v = _qkv(cfg, lp, h, B, T)
-    q, k = apply_rope(q, k, cos, sin)
+    q, k = apply_rope(q, k, cos, sin, cfg.rope_dtype)
 
     if cache_ref is not None:
         k_all, v_all, li, cache_index = cache_ref
@@ -542,7 +555,7 @@ def decode_step(
             lp = jax.tree.map(lambda a: a[i], params["layers"])
             h = rms_norm(x, lp["input_layernorm"], cfg.rms_norm_eps)
             q, k, v = _qkv(cfg, lp, h, B, 1)
-            q, k = apply_rope(q, k, cos, sin)
+            q, k = apply_rope(q, k, cos, sin, cfg.rope_dtype)
             kd_i = jax.lax.dynamic_update_slice(dec_k[i], k, (0, t, 0, 0))
             vd_i = jax.lax.dynamic_update_slice(dec_v[i], v, (0, t, 0, 0))
             dec_k = dec_k.at[i].set(kd_i)
@@ -561,7 +574,7 @@ def decode_step(
 
             h = rms_norm(x, lp["input_layernorm"], cfg.rms_norm_eps)
             q, k, v = _qkv(cfg, lp, h, B, 1)
-            q, k = apply_rope(q, k, cos, sin)
+            q, k = apply_rope(q, k, cos, sin, cfg.rope_dtype)
 
             kd_all = jax.lax.dynamic_update_slice(kd_all, k[None], (li, 0, t, 0, 0))
             vd_all = jax.lax.dynamic_update_slice(vd_all, v[None], (li, 0, t, 0, 0))

@@ -109,15 +109,29 @@ def predict_action_core(
     legacy = os.environ.get("OVLA_LEGACY_DECODE", "1") == "1"
     if legacy:
         S = cfg.cache_len
-        cache = llama.KVCache.zeros(c.llm, B, S, dtype=c.llm.dtype)
-        attn_mask_S = jnp.pad(mm_mask, ((0, 0), (0, S - T)))
-        out = llama.forward(
-            params["llm"], c.llm, embeds, attn_mask_S, positions,
-            cache=cache, cache_index=jnp.int32(0),
-            collect_hidden_states=collect_hidden_states, pool_mask=pool_mask,
-            compute_logits=False,
-        )
-        cache = out["cache"]
+        if os.environ.get("OVLA_SPLIT_PREFILL", "0") == "1":
+            # hybrid path: prefill emits each layer's K/V through scan YS
+            # (no S-slot cache riding the layer-scan carry), then ONE
+            # contiguous pad builds the standard S-slot cache for the decode
+            # scan (the stacked-cache layout that A/B-measured fastest for
+            # decode). Token-identical to the carry path
+            # (tests/test_decode_fastpath.py::test_split_prefill_matches_carry).
+            out = llama.prefill(
+                params["llm"], c.llm, embeds, mm_mask, positions,
+                collect_hidden_states=collect_hidden_states, pool_mask=pool_mask,
+            )
+            pad = ((0, 0), (0, 0), (0, S - T), (0, 0), (0, 0))
+            cache = llama.KVCache(jnp.pad(out["kv"].k, pad), jnp.pad(out["kv"].v, pad))
+        else:
+            cache = llama.KVCache.zeros(c.llm, B, S, dtype=c.llm.dtype)
+            attn_mask_S = jnp.pad(mm_mask, ((0, 0), (0, S - T)))
+            out = llama.forward(
+                params["llm"], c.llm, embeds, attn_mask_S, positions,
+                cache=cache, cache_index=jnp.int32(0),
+                collect_hidden_states=collect_hidden_states, pool_mask=pool_mask,
+                compute_logits=False,
+            )
+            cache = out["cache"]
     else:
         # serving fast path: prefill emits frozen per-layer K/V; decode
         # attends over [frozen prefill KV | tiny generated-token buffer]

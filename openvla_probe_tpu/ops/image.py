@@ -170,6 +170,69 @@ def pil_resize(
     return x
 
 
+def pil_resize_chw(
+    image: jnp.ndarray,
+    out_hw: Tuple[int, int],
+    method: str = "bicubic",
+    emulate_uint8_rounding: bool = True,
+) -> jnp.ndarray:
+    """Channels-first twin of `pil_resize`: [..., C, H, W] -> [..., C, h, w].
+
+    Same weights, same pass order (horizontal then vertical — Pillow's), same
+    per-pass uint8-grid rounding. The layout is the TPU-native one: width stays
+    the minor (128-lane) axis through both matmuls, where the HWC layout puts
+    C=3 in the lane dimension (3/128 utilization + layout copies — profiled
+    ~43 ms for the dual-backbone transform at B=24 vs ~0.5 ms of actual math).
+    """
+    h_in, w_in = image.shape[-2], image.shape[-1]
+    h_out, w_out = out_hw
+    x = image.astype(jnp.float32)
+    if (h_in, w_in) == (h_out, w_out):
+        return x
+    Ww = jnp.asarray(resample_weights(w_in, w_out, method), jnp.float32)
+    Wh = jnp.asarray(resample_weights(h_in, h_out, method), jnp.float32)
+    hi = jax.lax.Precision.HIGHEST
+    x = jnp.einsum("ow,...hw->...ho", Ww, x, precision=hi)   # [..., H, w_out]
+    if emulate_uint8_rounding:
+        x = _round_u8(x)
+    x = jnp.einsum("oh,...hw->...ow", Wh, x, precision=hi)   # [..., h_out, w_out]
+    if emulate_uint8_rounding:
+        x = _round_u8(x)
+    return x
+
+
+def _center_crop_chw(image: jnp.ndarray, out_hw: Tuple[int, int]) -> jnp.ndarray:
+    """Channels-first center crop (zero-pads first when smaller)."""
+    h, w = image.shape[-2], image.shape[-1]
+    th, tw = out_hw
+    if h < th or w < tw:
+        ph, pw = max(th - h, 0), max(tw - w, 0)
+        pads = [(0, 0)] * (image.ndim - 2) + [
+            (ph // 2, ph - ph // 2),
+            (pw // 2, pw - pw // 2),
+        ]
+        image = jnp.pad(image, pads)
+        h, w = image.shape[-2], image.shape[-1]
+    top = int(round((h - th) / 2.0))
+    left = int(round((w - tw) / 2.0))
+    return image[..., top : top + th, left : left + tw]
+
+
+def _letterbox_pad_chw(image: jnp.ndarray, fill: Tuple[float, float, float]) -> jnp.ndarray:
+    """Channels-first letterbox pad to square with per-channel fill."""
+    h, w = image.shape[-2], image.shape[-1]
+    max_wh = max(h, w)
+    hp, vp = int((max_wh - w) / 2), int((max_wh - h) / 2)
+    fill_arr = jnp.asarray(fill, jnp.float32)[:, None, None]
+    out = jnp.pad(image.astype(jnp.float32),
+                  [(0, 0)] * (image.ndim - 2) + [(vp, vp), (hp, hp)])
+    if hp == 0 and vp == 0:
+        return out
+    mask = jnp.zeros((image.shape[-2], image.shape[-1]), bool)
+    mask = jnp.pad(mask, [(vp, vp), (hp, hp)], constant_values=True)
+    return jnp.where(mask[None, :, :], fill_arr, out)
+
+
 def center_crop(image: jnp.ndarray, out_hw: Tuple[int, int]) -> jnp.ndarray:
     """Center crop [..., H, W, C]; pads (zero) first if the image is smaller,
     matching torchvision's functional center_crop."""
@@ -244,32 +307,42 @@ def apply_image_transform(
     normalize -> stack on the channel axis (CHW, matching the reference's
     torch.vstack contract at processing_prismatic.py:139-143).
     """
-    x = image.astype(jnp.float32)
+    # channels-first from the start: one transpose of the raw uint8 input,
+    # then every resize matmul keeps width in the TPU lane dimension (the
+    # output contract is CHW anyway)
+    x = jnp.moveaxis(image.astype(jnp.float32), -1, -3)   # [..., 3, H, W]
     outs: List[jnp.ndarray] = []
+    # identical resizes across backbones (e.g. DinoSigLIP: both bicubic 224)
+    # are computed once — the per-spec normalize is the only divergence
+    resized_cache: dict = {}
     for spec in config.specs:
         th, tw = spec.input_size
         if config.resize_strategy == "letterbox":
             fill = tuple(float(int(m * 255)) for m in spec.mean)
-            xi = letterbox_pad(x, fill)
-            xi = pil_resize(xi, (th, tw), spec.interpolation)
+            key = ("letterbox", fill, (th, tw), spec.interpolation)
+            if key not in resized_cache:
+                xi = _letterbox_pad_chw(x, fill)
+                resized_cache[key] = pil_resize_chw(xi, (th, tw), spec.interpolation)
+            xi = resized_cache[key]
         elif config.resize_strategy == "resize-naive":
-            xi = pil_resize(x, (th, tw), spec.interpolation)
+            key = ("naive", (th, tw), spec.interpolation)
+            if key not in resized_cache:
+                resized_cache[key] = pil_resize_chw(x, (th, tw), spec.interpolation)
+            xi = resized_cache[key]
         elif config.resize_strategy == "resize-crop":
-            h, w = x.shape[-3], x.shape[-2]
+            h, w = x.shape[-2], x.shape[-1]
             short, long = (h, w) if h <= w else (w, h)
             new_short = th
             new_long = max(1, int(new_short * long / short))
             rhw = (new_short, new_long) if h <= w else (new_long, new_short)
-            xi = pil_resize(x, rhw, spec.interpolation)
-            xi = center_crop(xi, (th, tw))
+            xi = pil_resize_chw(x, rhw, spec.interpolation)
+            xi = _center_crop_chw(xi, (th, tw))
         else:
             raise ValueError(f"Unknown resize strategy: {config.resize_strategy}")
         xi = xi / 255.0
-        mean = jnp.asarray(spec.mean, jnp.float32)
-        std = jnp.asarray(spec.std, jnp.float32)
+        mean = jnp.asarray(spec.mean, jnp.float32)[:, None, None]
+        std = jnp.asarray(spec.std, jnp.float32)[:, None, None]
         xi = (xi - mean) / std
-        # HWC -> CHW
-        xi = jnp.moveaxis(xi, -1, -3)
         outs.append(xi)
     return jnp.concatenate(outs, axis=-3)
 

@@ -167,3 +167,29 @@ def test_fused_serving_weights_token_identical(quantized):
         os.environ.pop("OVLA_LEGACY_DECODE")
     np.testing.assert_array_equal(
         np.asarray(want["action_tokens"]), np.asarray(got_fast["action_tokens"]))
+
+
+@pytest.mark.parametrize("kv_heads", [4, 2])
+def test_split_prefill_matches_carry(kv_heads, monkeypatch):
+    """Hybrid path (ys-emitted prefill KV padded into the S-slot cache) must be
+    token- and capture-identical to the carry-based cached prefill."""
+    llm_cfg = _tiny_cfg(num_key_value_heads=kv_heads)
+    cfg, serving, params = _serving(llm_cfg)
+    ex = _example(serving, seed=3)
+
+    monkeypatch.setenv("OVLA_LEGACY_DECODE", "1")
+    monkeypatch.setenv("OVLA_SPLIT_PREFILL", "0")
+    carry = _run(params, serving, ex, collect=True)
+    monkeypatch.setenv("OVLA_SPLIT_PREFILL", "1")
+    hybrid = _run(params, serving, ex, collect=True)
+
+    np.testing.assert_array_equal(
+        np.asarray(carry["action_tokens"]), np.asarray(hybrid["action_tokens"])
+    )
+    np.testing.assert_allclose(
+        np.asarray(carry["actions"]), np.asarray(hybrid["actions"]), atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(carry["hidden_pooled"]), np.asarray(hybrid["hidden_pooled"]),
+        atol=1e-5,
+    )

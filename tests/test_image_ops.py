@@ -134,3 +134,17 @@ def test_resize_crop_strategy(rng):
     ref_c = ref[:, left : left + 224] / 255.0
     sig = ((ref_c - 0.5) / 0.5).transpose(2, 0, 1)
     assert np.abs(out[3:] - sig).max() <= (1.0 / 255.0) / 0.5 + 1e-5
+
+
+def test_chw_resize_matches_hwc(rng):
+    """The channels-first resize (serving layout) must match the HWC reference
+    path up to fp32 dot-order rounding (same weights, same pass rounding)."""
+    from openvla_probe_tpu.ops.image import pil_resize, pil_resize_chw
+
+    img = rng.integers(0, 256, (256, 200, 3), dtype=np.uint8)
+    hwc = np.asarray(pil_resize(jnp.asarray(img), (224, 224)))
+    chw = np.asarray(pil_resize_chw(jnp.asarray(np.moveaxis(img, -1, 0)), (224, 224)))
+    diff = np.abs(hwc - np.moveaxis(chw, 0, -1))
+    # identical up to the documented half-boundary flip budget of the device path
+    assert diff.max() <= 1.0 + 1e-5
+    assert (diff > 0.5).mean() < 1e-3

@@ -130,3 +130,23 @@ def test_forward_jits_and_runs(hf_pair):
     e = jnp.zeros((1, 4, cfg.hidden_size))
     logits = fwd(params, e, jnp.ones((1, 4), jnp.int32), jnp.arange(4)[None])
     assert logits.shape == (1, 4, cfg.vocab_size)
+
+
+def test_rope_dtype_turbo_close_to_parity():
+    """bf16 RoPE (turbo) must stay numerically close to the fp32-parity
+    rotation on a tiny fp32 model (exactness is not required — it is a
+    documented turbo shortcut, like bf16 scores)."""
+    import dataclasses
+
+    cfg32 = llama.LlamaConfig.tiny()
+    cfg16 = dataclasses.replace(cfg32, rope_dtype=jnp.bfloat16)
+    params = llama.init_params(cfg32, jax.random.key(0))
+    r = np.random.default_rng(0)
+    ids = jnp.asarray(r.integers(3, 500, (2, 9)), jnp.int32)
+    e = llama.embed_tokens(params, ids)
+    m = jnp.ones((2, 9), jnp.int32)
+    p = jnp.broadcast_to(jnp.arange(9), (2, 9))
+    out32 = llama.forward(params, cfg32, e, m, p)["logits"]
+    out16 = llama.forward(params, cfg16, e, m, p)["logits"]
+    assert not np.array_equal(np.asarray(out32), np.asarray(out16))  # knob is live
+    np.testing.assert_allclose(np.asarray(out32), np.asarray(out16), atol=0.15, rtol=0.05)
