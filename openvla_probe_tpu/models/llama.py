@@ -433,6 +433,35 @@ class PrefillKV(NamedTuple):
     v: jnp.ndarray
 
 
+class PrefillKVQ(NamedTuple):
+    """int8-quantized frozen prefill K/V (turbo serving tier).
+
+    Values are symmetric per-(layer, batch, token, head) absmax int8; the
+    fp32 scales ride alongside. Halves the decode-step KV stream (the cache
+    read is ~40% of the per-token HBM traffic at B=24). Decode attention
+    consumes this WITHOUT dequantizing to HBM: q·K runs as an int8×int8 MXU
+    dot (q row-quantized on the fly) and probs·V folds the V-scales into the
+    probabilities before an int8 dot — the int8 bytes are the only KV stream.
+    """
+
+    k: jnp.ndarray   # s8 [L, B, T, Hkv, Dh]
+    v: jnp.ndarray
+    ks: jnp.ndarray  # f32 [L, B, T, Hkv]
+    vs: jnp.ndarray
+
+
+def quantize_prefill_kv(kv: PrefillKV) -> PrefillKVQ:
+    def q(x):
+        xf = x.astype(jnp.float32)
+        s = jnp.maximum(jnp.max(jnp.abs(xf), axis=-1), 1e-8) / 127.0
+        qi = jnp.clip(jnp.round(xf / s[..., None]), -127, 127).astype(jnp.int8)
+        return qi, s
+
+    kq, ks = q(kv.k)
+    vq, vs = q(kv.v)
+    return PrefillKVQ(kq, vq, ks, vs)
+
+
 def prefill(
     params: Params,
     cfg: LlamaConfig,
@@ -522,6 +551,63 @@ def _split_attention(
     return out.astype(q.dtype)
 
 
+def _split_attention_i8(
+    q: jnp.ndarray,        # [B, 1, H, Dh]
+    kq: jnp.ndarray,       # s8 [B, T, Hkv, Dh] quantized frozen prefill keys
+    ks: jnp.ndarray,       # f32 [B, T, Hkv]
+    vq: jnp.ndarray,
+    vs: jnp.ndarray,
+    kd: jnp.ndarray,       # bf16 [B, A, Hkv, Dh] generated-token keys
+    vd: jnp.ndarray,
+    add_pre: jnp.ndarray,  # [B, 1, 1, T] additive fp32
+    add_dec: jnp.ndarray,  # [B, 1, 1, A]
+    scores_dtype=jnp.float32,
+) -> jnp.ndarray:
+    """Split attention over an int8 prefill segment + bf16 decode buffer.
+
+    The prefill K/V never dequantizes to HBM: q·Kp is an int8×int8 dot with
+    q row-quantized on the fly (scores rescaled by s_q·s_k), and probs·Vp
+    folds the per-token V-scales INTO the probabilities before row-quantizing
+    them for a second int8 dot (a per-contraction-index scale cannot be
+    pulled out of the sum, so it rides the probs). The tiny decode segment
+    stays bf16. Joint softmax over both segments — same math as
+    `_split_attention` up to int8 rounding (turbo tier only).
+    """
+    n_rep = q.shape[2] // kq.shape[2]
+    kq, vq = _repeat_kv(kq, n_rep), _repeat_kv(vq, n_rep)
+    ks, vs = _repeat_kv(ks[..., None], n_rep)[..., 0], _repeat_kv(vs[..., None], n_rep)[..., 0]
+    kd, vd = _repeat_kv(kd, n_rep), _repeat_kv(vd, n_rep)
+
+    scale = 1.0 / np.sqrt(q.shape[-1])
+    # row-quantize q over Dh: scales per (B, 1, H)
+    qf = q.astype(jnp.float32)
+    sq = jnp.maximum(jnp.max(jnp.abs(qf), axis=-1), 1e-8) / 127.0
+    qi = jnp.clip(jnp.round(qf / sq[..., None]), -127, 127).astype(jnp.int8)
+
+    sp = jnp.einsum("bthd,bshd->bhts", qi, kq, preferred_element_type=jnp.int32)
+    # rescale: s_q per (b,t,h) -> [b,h,t,1]; s_k per (b,s,h) -> [b,h,1,s]
+    sp = sp.astype(jnp.float32) * sq.transpose(0, 2, 1)[..., None] \
+        * ks.transpose(0, 2, 1)[:, :, None, :]
+    sd = jnp.einsum("bthd,bshd->bhts", q, kd, preferred_element_type=scores_dtype)
+    sp = (sp * scale + add_pre).astype(scores_dtype)
+    sd = (sd.astype(jnp.float32) * scale + add_dec).astype(scores_dtype)
+    T = kq.shape[1]
+    probs = jax.nn.softmax(
+        jnp.concatenate([sp, sd], axis=-1).astype(jnp.float32), axis=-1
+    )
+    # fold V-scales into the prefill probs, then row-quantize them
+    pf = probs[..., :T] * vs.transpose(0, 2, 1)[:, :, None, :]   # [b,h,t,s] f32
+    spp = jnp.maximum(jnp.max(jnp.abs(pf), axis=-1), 1e-12) / 127.0  # [b,h,t]
+    pi = jnp.clip(jnp.round(pf / spp[..., None]), -127, 127).astype(jnp.int8)
+    out_pre = jnp.einsum("bhts,bshd->bthd", pi, vq, preferred_element_type=jnp.int32)
+    out_pre = out_pre.astype(jnp.float32) * spp.transpose(0, 2, 1)[..., None]
+    out_dec = jnp.einsum(
+        "bhts,bshd->bthd", probs[..., T:].astype(q.dtype), vd,
+        preferred_element_type=jnp.float32,
+    )
+    return (out_pre + out_dec.astype(jnp.float32)).astype(q.dtype)
+
+
 def decode_step(
     params: Params,
     cfg: LlamaConfig,
@@ -547,6 +633,7 @@ def decode_step(
 
     import os
 
+    quantized_kv = isinstance(kv_pre, PrefillKVQ)
     if os.environ.get("OVLA_DECODE_UNROLL", "1") == "1":
         # unrolled layer loop: every slice index is STATIC, so XLA fuses the
         # per-layer reads of weights and frozen prefill K/V straight into the
@@ -560,17 +647,23 @@ def decode_step(
             vd_i = jax.lax.dynamic_update_slice(dec_v[i], v, (0, t, 0, 0))
             dec_k = dec_k.at[i].set(kd_i)
             dec_v = dec_v.at[i].set(vd_i)
-            attn = _split_attention(
-                q, kv_pre.k[i], kv_pre.v[i], kd_i, vd_i,
-                add_pre, add_dec, cfg.attn_scores_dtype, valid_info,
-            ).reshape(B, 1, cfg.hidden_size)
+            if quantized_kv:
+                attn = _split_attention_i8(
+                    q, kv_pre.k[i], kv_pre.ks[i], kv_pre.v[i], kv_pre.vs[i],
+                    kd_i, vd_i, add_pre, add_dec, cfg.attn_scores_dtype,
+                ).reshape(B, 1, cfg.hidden_size)
+            else:
+                attn = _split_attention(
+                    q, kv_pre.k[i], kv_pre.v[i], kd_i, vd_i,
+                    add_pre, add_dec, cfg.attn_scores_dtype, valid_info,
+                ).reshape(B, 1, cfg.hidden_size)
             x = x + matmul_t(attn, lp["o_proj"])
             h = rms_norm(x, lp["post_attention_layernorm"], cfg.rms_norm_eps)
             x = x + _mlp(cfg, lp, h)
     else:
         def body(carry, inp):
             x, kd_all, vd_all = carry
-            lp, kp, vp, li = inp
+            lp, kv_i, li = inp
 
             h = rms_norm(x, lp["input_layernorm"], cfg.rms_norm_eps)
             q, k, v = _qkv(cfg, lp, h, B, 1)
@@ -581,9 +674,16 @@ def decode_step(
             kd = jax.lax.dynamic_index_in_dim(kd_all, li, 0, keepdims=False)
             vd = jax.lax.dynamic_index_in_dim(vd_all, li, 0, keepdims=False)
 
-            attn = _split_attention(
-                q, kp, vp, kd, vd, add_pre, add_dec, cfg.attn_scores_dtype
-            ).reshape(B, 1, cfg.hidden_size)
+            if quantized_kv:
+                attn = _split_attention_i8(
+                    q, kv_i.k, kv_i.ks, kv_i.v, kv_i.vs,
+                    kd, vd, add_pre, add_dec, cfg.attn_scores_dtype,
+                ).reshape(B, 1, cfg.hidden_size)
+            else:
+                attn = _split_attention(
+                    q, kv_i.k, kv_i.v, kd, vd, add_pre, add_dec,
+                    cfg.attn_scores_dtype,
+                ).reshape(B, 1, cfg.hidden_size)
             x = x + matmul_t(attn, lp["o_proj"])
 
             h = rms_norm(x, lp["post_attention_layernorm"], cfg.rms_norm_eps)
@@ -593,7 +693,7 @@ def decode_step(
         (x, dec_k, dec_v), _ = jax.lax.scan(
             body,
             (x, dec_k, dec_v),
-            (params["layers"], kv_pre.k, kv_pre.v, jnp.arange(L, dtype=jnp.int32)),
+            (params["layers"], kv_pre, jnp.arange(L, dtype=jnp.int32)),
         )
     x = rms_norm(x, params["norm"], cfg.rms_norm_eps)
     return x[:, 0], dec_k, dec_v
@@ -613,8 +713,10 @@ def greedy_decode(
     B = first_token.shape[0]
     L, Hkv, Dh = cfg.num_hidden_layers, cfg.num_key_value_heads, cfg.head_dim
     A = max(n_steps, 1)
-    dec_k = jnp.zeros((L, B, A, Hkv, Dh), kv_pre.k.dtype)
-    dec_v = jnp.zeros((L, B, A, Hkv, Dh), kv_pre.v.dtype)
+    # generated-token buffer stays bf16 even over an int8 prefill KV
+    dec_dtype = cfg.dtype if isinstance(kv_pre, PrefillKVQ) else kv_pre.k.dtype
+    dec_k = jnp.zeros((L, B, A, Hkv, Dh), dec_dtype)
+    dec_v = jnp.zeros((L, B, A, Hkv, Dh), dec_dtype)
 
     def step(carry, t):
         dec_k, dec_v, tok = carry

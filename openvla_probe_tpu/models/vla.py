@@ -140,6 +140,11 @@ def predict_action_core(
             params["llm"], c.llm, embeds, mm_mask, positions,
             collect_hidden_states=collect_hidden_states, pool_mask=pool_mask,
         )
+        if os.environ.get("OVLA_KV_INT8", "0") == "1":
+            # turbo tier: int8 frozen prefill KV — halves the decode-step
+            # cache stream; decode runs int8 q·K and scale-folded int8
+            # probs·V (llama._split_attention_i8)
+            out["kv"] = llama.quantize_prefill_kv(out["kv"])
 
     # hidden state at the last REAL token -> lm_head -> first generated token
     D = out["last_hidden_state"].shape[-1]

@@ -193,3 +193,51 @@ def test_split_prefill_matches_carry(kv_heads, monkeypatch):
         np.asarray(carry["hidden_pooled"]), np.asarray(hybrid["hidden_pooled"]),
         atol=1e-5,
     )
+
+
+def test_split_attention_i8_close_to_bf16():
+    """int8 prefill-KV attention must track the exact split attention closely
+    (weights-level turbo shortcut; exactness is not the contract)."""
+    r = np.random.default_rng(5)
+    B, T, A, H, Hkv, Dh = 2, 9, 4, 4, 2, 16
+    q = jnp.asarray(r.normal(size=(B, 1, H, Dh)), jnp.float32)
+    kp = jnp.asarray(r.normal(size=(B, T, Hkv, Dh)), jnp.float32)
+    vp = jnp.asarray(r.normal(size=(B, T, Hkv, Dh)), jnp.float32)
+    kd = jnp.asarray(r.normal(size=(B, A, Hkv, Dh)), jnp.float32)
+    vd = jnp.asarray(r.normal(size=(B, A, Hkv, Dh)), jnp.float32)
+    add_pre = jnp.zeros((B, 1, 1, T), jnp.float32)
+    add_dec = jnp.where(jnp.arange(A)[None, None, None, :] < 2, 0.0, llama.NEG_INF)
+    add_dec = jnp.broadcast_to(add_dec, (B, 1, 1, A)).astype(jnp.float32)
+
+    exact = np.asarray(llama._split_attention(q, kp, vp, kd, vd, add_pre, add_dec))
+    kvq = llama.quantize_prefill_kv(llama.PrefillKV(kp[None], vp[None]))
+    got = np.asarray(llama._split_attention_i8(
+        q, kvq.k[0], kvq.ks[0], kvq.v[0], kvq.vs[0], kd, vd, add_pre, add_dec))
+    np.testing.assert_allclose(got, exact, atol=0.05, rtol=0.05)
+
+
+def test_kv_int8_e2e_actions_close(monkeypatch):
+    """Full predict_action with OVLA_KV_INT8: decodes run, outputs stay close
+    to the bf16 split path (same structure, int8 prefill KV)."""
+    llm_cfg = _tiny_cfg(num_key_value_heads=2)
+    cfg, serving, params = _serving(llm_cfg)
+    ex = _example(serving, seed=11)
+
+    monkeypatch.setenv("OVLA_LEGACY_DECODE", "0")
+    monkeypatch.setenv("OVLA_KV_INT8", "0")
+    ref = _run(params, serving, ex)
+    monkeypatch.setenv("OVLA_KV_INT8", "1")
+    got = _run(params, serving, ex)
+    assert got["action_tokens"].shape == ref["action_tokens"].shape
+    # normalized actions live in [-1,1]; int8 KV drift must stay small where
+    # the reference margins are not degenerate (random weights -> compare
+    # the first decoded position, produced by the SAME prefill in both runs)
+    np.testing.assert_array_equal(
+        np.asarray(ref["action_tokens"][:, 0]), np.asarray(got["action_tokens"][:, 0])
+    )
+    # scan path (OVLA_DECODE_UNROLL=0) agrees with the unrolled int8 path
+    monkeypatch.setenv("OVLA_DECODE_UNROLL", "0")
+    got_scan = _run(params, serving, ex)
+    np.testing.assert_array_equal(
+        np.asarray(got["action_tokens"]), np.asarray(got_scan["action_tokens"])
+    )
