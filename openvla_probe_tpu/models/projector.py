@@ -51,16 +51,21 @@ def init_params(arch: str, vision_dim: int, llm_dim: int, key: jax.Array, dtype=
 
 
 def forward(params: Params, arch: str, patches: jnp.ndarray) -> jnp.ndarray:
-    """[B, N, vision_dim] -> [B, N, llm_dim]."""
-    x = patches @ params["fc1"]["w"].T + params["fc1"]["b"]
+    """[B, N, vision_dim] -> [B, N, llm_dim].
+
+    Weights apply through `matmul_t`, so projector "w" leaves accept the same
+    representations as the trunk (bf16, int8 {"q","s"}, streamed-LoRA)."""
+    from ..ops.linear import matmul_t
+
+    x = matmul_t(patches, params["fc1"]["w"]) + params["fc1"]["b"]
     if arch == "linear":
         return x
     if arch.endswith("fused-gelu-mlp"):
         x = _gelu(x)
-        x = x @ params["fc2"]["w"].T + params["fc2"]["b"]
+        x = matmul_t(x, params["fc2"]["w"]) + params["fc2"]["b"]
         x = _gelu(x)
-        return x @ params["fc3"]["w"].T + params["fc3"]["b"]
+        return matmul_t(x, params["fc3"]["w"]) + params["fc3"]["b"]
     if arch.endswith("gelu-mlp"):
         x = _gelu(x)
-        return x @ params["fc2"]["w"].T + params["fc2"]["b"]
+        return matmul_t(x, params["fc2"]["w"]) + params["fc2"]["b"]
     raise ValueError(f"Projector arch `{arch}` is not supported!")

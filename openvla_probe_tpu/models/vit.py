@@ -52,6 +52,10 @@ class ViTConfig:
     layer_norm_eps: float = 1e-6
     dtype: Any = jnp.float32
     attn_scores_dtype: Any = jnp.float32  # bf16 = turbo serving mode
+    # rematerialize each block in backward — without it the [B, H, N, N]
+    # score arrays of every tower layer live until the backward pass
+    # (~350 MB/layer fp32 at B=8/224px), an OOM at 7B-training scale
+    remat: bool = False
 
     @property
     def grid(self) -> int:
@@ -242,7 +246,8 @@ def forward_features(
 
     k = layer_index % cfg.num_layers  # -2 -> num_layers - 2; run blocks 0..k
     blocks_k = jax.tree.map(lambda a: a[: k + 1], params["blocks"])
-    x, _ = jax.lax.scan(lambda c, bp: (_block(cfg, bp, c), ()), x, blocks_k)
+    block = jax.checkpoint(_block, static_argnums=(0,)) if cfg.remat else _block
+    x, _ = jax.lax.scan(lambda c, bp: (block(cfg, bp, c), ()), x, blocks_k)
     return x[:, cfg.num_prefix_tokens :, :]
 
 

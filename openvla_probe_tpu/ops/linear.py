@@ -34,6 +34,12 @@ def is_quantized(w: Any) -> bool:
     return isinstance(w, dict) and "q" in w and "s" in w
 
 
+def is_lora_wrapped(w: Any) -> bool:
+    """Streamed-LoRA weight: {"base": bf16-or-quantized W, "A": [r,I], "B": [O,r]}
+    (scale already folded into B by training.lora.attach_lora)."""
+    return isinstance(w, dict) and "base" in w and "A" in w and "B" in w
+
+
 def quantize_weight(w: jnp.ndarray) -> QuantWeight:
     """Symmetric per-output-channel int8 quantization of [..., O, I]."""
     wf = jnp.asarray(w, jnp.float32)
@@ -116,7 +122,8 @@ def _use_pallas() -> bool:
     return jax.default_backend() == "tpu" and os.environ.get("OVLA_PALLAS", "0") == "1"
 
 
-def _w8a8_matmul(x2: jnp.ndarray, w: QuantWeight) -> jnp.ndarray:
+@jax.custom_vjp
+def _w8a8_dot(x2: jnp.ndarray, q: jnp.ndarray, s: jnp.ndarray) -> jnp.ndarray:
     """Dynamic per-row activation quant + native int8xint8 MXU dot.
 
     Avoids the XLA dequant trap: with weight-only int8 under XLA, every use
@@ -129,11 +136,43 @@ def _w8a8_matmul(x2: jnp.ndarray, w: QuantWeight) -> jnp.ndarray:
     s_x = jnp.maximum(s_x, 1e-8)
     x_i8 = jnp.clip(jnp.round(xf / s_x), -127, 127).astype(jnp.int8)
     acc = jax.lax.dot_general(
-        x_i8, w["q"],
+        x_i8, q,
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.int32,
     )
-    return (acc.astype(jnp.float32) * s_x * w["s"][None, :]).astype(x2.dtype)
+    return (acc.astype(jnp.float32) * s_x * s[None, :]).astype(x2.dtype)
+
+
+def _w8a8_dot_fwd(x2, q, s):
+    return _w8a8_dot(x2, q, s), (q, s)
+
+
+def _w8a8_dot_bwd(res, g):
+    # Straight-through estimator: the activation round/clip has zero true
+    # gradient, which silently kills the training signal through any frozen
+    # int8 weight on the grad path (QLoRA's int8 lm_head, notably). Backward
+    # flows through the DEQUANTIZED weight — the standard STE for
+    # quantized-forward training; the weights themselves are frozen (float0).
+    q, s = res
+    # bf16 dequant (half the transient buffer of f32; fp32 accumulation)
+    wd = (q.astype(jnp.bfloat16) * s[:, None].astype(jnp.bfloat16))
+    dx = jax.lax.dot_general(
+        g.astype(jnp.bfloat16), wd,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(g.dtype)
+    return (
+        dx,
+        np.zeros(q.shape, jax.dtypes.float0),
+        np.zeros(s.shape, jax.dtypes.float0),
+    )
+
+
+_w8a8_dot.defvjp(_w8a8_dot_fwd, _w8a8_dot_bwd)
+
+
+def _w8a8_matmul(x2: jnp.ndarray, w: QuantWeight) -> jnp.ndarray:
+    return _w8a8_dot(x2, w["q"], w["s"])
 
 
 def _use_w8a8() -> bool:
@@ -143,7 +182,18 @@ def _use_w8a8() -> bool:
 
 
 def matmul_t(x: jnp.ndarray, w: AnyWeight) -> jnp.ndarray:
-    """x [..., K] @ w[O, K].T -> [..., O]; w may be bf16/f32 or quantized."""
+    """x [..., K] @ w[O, K].T -> [..., O]; w may be bf16/f32, quantized, or a
+    streamed-LoRA wrapper {"base", "A", "B"}."""
+    if is_lora_wrapped(w):
+        # QLoRA-style frozen base: plain or int8 {"q","s"} — the int8 base
+        # takes the fast w8a8 forward whose custom VJP (straight-through,
+        # dequantized-weight backward) keeps d/dx alive for the adapters.
+        y = matmul_t(x, w["base"])
+        # low-rank side path: two tiny matmuls XLA fuses into the layer scan;
+        # never materializes a merged [O, I] weight (the memory lever that
+        # lets a 7B base finetune on one 16 GB chip)
+        delta = (x @ w["A"].astype(x.dtype).T) @ w["B"].astype(x.dtype).T
+        return y + delta
     if not is_quantized(w):
         return x @ w.T
     lead = x.shape[:-1]

@@ -7,11 +7,21 @@ qkv/proj/mlp, projector fcs). Functionally:
 
     W_eff = W + (alpha / r) * B @ A,     A ~ N(0, 1/r), B = 0
 
-Merging happens inside the jitted step (`merge_lora`); for layer-stacked
-weights the merge is a batched einsum that XLA fuses into the scan, so only
-the low-rank factors are trained/optimizer-tracked. `merge_and_unload`
-produces a plain param pytree for serving (mirrors finetune.py:326-361's
-adapter -> merged-model save).
+Two execution modes, both training only the low-rank factors:
+
+- **merged** (`merge_lora`): materializes W + scale*B@A inside the jitted
+  step. Simple, but the merged tree is a full extra copy of the base — fine
+  at test scale, 2x13.5 GB at 7B.
+- **streamed** (`attach_lora`): zero-copy — target leaves become
+  `{"base": W, "A", "B"}` wrappers that `ops.linear.matmul_t` dispatches on,
+  computing `W(x) + (x A^T) B^T` per use. No merged weight ever exists, the
+  base may itself be int8-quantized ({"q","s"} leaves, QLoRA-style), and the
+  wrapped stacks slice transparently inside `lax.scan`. This is what lets the
+  full 7B finetune on a single 16 GB v5e chip (the reference's LoRA path
+  needs 27-72 GB of GPU HBM, vla-scripts/finetune.py:9-11).
+
+`merge_and_unload` produces a plain param pytree for serving (mirrors
+finetune.py:326-361's adapter -> merged-model save).
 """
 
 from __future__ import annotations
@@ -68,20 +78,35 @@ def _is_target(path: str, shape, cfg: LoRAConfig) -> bool:
     return leaf in cfg.target_suffixes
 
 
+def _weight_shape_dtype(leaf) -> Tuple[Tuple[int, ...], Any]:
+    from ..ops.linear import is_quantized
+
+    if is_quantized(leaf):
+        # int8 {"q","s"} base: adapters are fp32 masters (they are tiny —
+        # ~160 MB at 7B/r=32 — and bf16 storage swallows small Adam updates);
+        # matmul_t casts them to the activation dtype at use
+        return tuple(np.shape(leaf["q"])), jnp.float32
+    return tuple(np.shape(leaf)), leaf.dtype
+
+
 def init_lora_params(params: Any, cfg: LoRAConfig, key: jax.Array) -> Any:
     """Pytree of {'A': ..., 'B': ...} at target leaves, None elsewhere.
 
     Weights [*, out, in] -> A [*, r, in] gaussian, B [*, out, r] zeros.
+    Quantized {"q","s"} leaves count as single weights (adapters in bf16).
     """
-    flat, treedef = jax.tree_util.tree_flatten_with_path(params)
+    from ..ops.linear import is_quantized
+
+    flat, treedef = jax.tree_util.tree_flatten_with_path(params, is_leaf=is_quantized)
     keys = jax.random.split(key, len(flat))
     out = []
     for (path, leaf), k in zip(flat, keys):
         p = _path_str(path)
-        if _is_target(p, np.shape(leaf), cfg):
-            *batch, o, i = np.shape(leaf)
-            A = (jax.random.normal(k, (*batch, cfg.r, i), jnp.float32) / cfg.r).astype(leaf.dtype)
-            B = jnp.zeros((*batch, o, cfg.r), leaf.dtype)
+        shape, dtype = _weight_shape_dtype(leaf)
+        if _is_target(p, shape, cfg):
+            *batch, o, i = shape
+            A = (jax.random.normal(k, (*batch, cfg.r, i), jnp.float32) / cfg.r).astype(dtype)
+            B = jnp.zeros((*batch, o, cfg.r), dtype)
             out.append({"A": A, "B": B})
         else:
             out.append(None)
@@ -89,18 +114,26 @@ def init_lora_params(params: Any, cfg: LoRAConfig, key: jax.Array) -> Any:
 
 
 def merge_lora(params: Any, lora: Any, cfg: LoRAConfig) -> Any:
-    """W + scale * B @ A at adapted leaves (batched over any stack dims)."""
+    """W + scale * B @ A at adapted leaves (batched over any stack dims).
+
+    An int8 {"q","s"} base leaf is dequantized, merged in fp32, and
+    re-quantized (the exported tree keeps the base's representation)."""
+    from ..ops.linear import dequantize_weight, is_quantized, quantize_weight
+
     scale = cfg.scaling
 
-    def merge(w, lw):
+    def merge(lw, w):
         if lw is None:
             return w
-        delta = jnp.einsum(
+        delta = scale * jnp.einsum(
             "...or,...ri->...oi", lw["B"].astype(jnp.float32), lw["A"].astype(jnp.float32)
         )
-        return (w.astype(jnp.float32) + scale * delta).astype(w.dtype)
+        if is_quantized(w):
+            return quantize_weight(dequantize_weight(w, jnp.float32) + delta)
+        return (w.astype(jnp.float32) + delta).astype(w.dtype)
 
-    return jax.tree.map(merge, params, lora, is_leaf=lambda x: x is None or (
+    # lora first (see attach_lora): quantized base subtrees stay intact
+    return jax.tree.map(merge, lora, params, is_leaf=lambda x: x is None or (
         isinstance(x, dict) and set(x.keys()) == {"A", "B"}
     ))
 
@@ -110,12 +143,51 @@ def merge_and_unload(params: Any, lora: Any, cfg: LoRAConfig) -> Any:
     return merge_lora(params, lora, cfg)
 
 
-def make_lora_loss_fn(base_loss_fn: Callable, base_params: Any, cfg: LoRAConfig) -> Callable:
-    """Wrap a loss over merged weights; only the adapters are the
-    differentiated argument, so the base stays frozen."""
+def _is_ab(x) -> bool:
+    return x is None or (isinstance(x, dict) and set(x.keys()) == {"A", "B"})
+
+
+def attach_lora(params: Any, lora: Any, cfg: LoRAConfig) -> Any:
+    """Zero-copy streamed LoRA: wrap target leaves as {"base", "A", "B"}.
+
+    `ops.linear.matmul_t` computes base(x) + (x A^T)(B^T) per use — no merged
+    weight is ever materialized (at 7B the merge would double the 13.5 GB
+    weight footprint and OOM a 16 GB chip). The base may be bf16 arrays or
+    int8 {"q","s"} leaves (QLoRA-style: frozen int8 base, bf16 adapters —
+    the quantized base takes the grad-safe dequant dot, see matmul_t).
+    The alpha/r scaling is folded into the wrapped B (a tiny multiply XLA
+    fuses; gradients flow through it to the unscaled factor).
+    """
+    scale = cfg.scaling
+
+    def attach(lw, w):
+        if lw is None:
+            return w
+        return {"base": w, "A": lw["A"], "B": lw["B"] * scale}
+
+    # lora FIRST: its {"A","B"}/None nodes are the leaves, and the params tree
+    # is flattened only down to those positions — so a quantized {"q","s"}
+    # base arrives intact as the corresponding subtree
+    return jax.tree.map(attach, lora, params, is_leaf=_is_ab)
+
+
+def make_lora_loss_fn(
+    base_loss_fn: Callable,
+    base_params: Any,
+    cfg: LoRAConfig,
+    stream: bool = False,
+) -> Callable:
+    """Wrap a loss over adapted weights; only the adapters are the
+    differentiated argument, so the base stays frozen.
+
+    stream=True uses `attach_lora` (no merged-weight copy; required at 7B
+    scale and for int8 bases), stream=False materializes the merge."""
 
     def loss(lora_params, model_cfg, batch):
-        merged = merge_lora(base_params, lora_params, cfg)
-        return base_loss_fn(merged, model_cfg, batch)
+        if stream:
+            adapted = attach_lora(base_params, lora_params, cfg)
+        else:
+            adapted = merge_lora(base_params, lora_params, cfg)
+        return base_loss_fn(adapted, model_cfg, batch)
 
     return loss

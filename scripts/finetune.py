@@ -46,6 +46,13 @@ class FinetuneConfig:
     use_lora: bool = True
     lora_rank: int = 32
     lora_dropout: float = 0.0
+    # streamed LoRA: never materialize the merged base copy — required at 7B
+    # scale on a 16 GB chip; False keeps the reference-shaped merge path
+    stream_lora: bool = True
+    # QLoRA-style: quantize the frozen Llama trunk to int8 before attaching
+    # adapters (the reference's --use_quantization 4-bit analogue) — drops the
+    # frozen-base footprint from 13.5 GB to 6.8 GB, adapters stay bf16
+    quantize_base: bool = False
 
     wandb: bool = False
     run_id_note: Optional[str] = None
@@ -97,9 +104,15 @@ def main(cfg: FinetuneConfig) -> None:
 
     save_dataset_statistics(dataset.dataset_statistics, run_dir)
 
+    if cfg.quantize_base:
+        from openvla_probe_tpu.ops.linear import quantize_params
+
+        params = jax.jit(quantize_params)(params)
+
     lcfg = LoRAConfig(r=cfg.lora_rank)
     lora_params = init_lora_params(params, lcfg, jax.random.key(0))
-    loss_fn = make_lora_loss_fn(functools.partial(vla_loss_fn, codec=codec), params, lcfg)
+    loss_fn = make_lora_loss_fn(functools.partial(vla_loss_fn, codec=codec), params, lcfg,
+                                stream=cfg.stream_lora or cfg.quantize_base)
 
     opt_cfg = OptimizerConfig(learning_rate=cfg.learning_rate, lr_schedule_type="constant",
                               max_steps=cfg.max_steps, weight_decay=0.0)
