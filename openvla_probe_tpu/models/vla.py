@@ -257,6 +257,11 @@ def predict_action_speculative_core(
     draft token is accepted only when it equals the model's own greedy argmax
     at that position, and the first mismatch is replaced by that argmax
     (standard verified speculation, specialised to the 7-token action decode).
+    Caveat: "the model's argmax" here is computed by the batched verify
+    forward, whose matmul reduction order differs from the per-step decode's;
+    fp32 softmax + argmax absorb that float dust at trained-weight logit
+    margins (PARITY_r02.md's margin framework), but on random weights
+    hairline margins can flip positions between the two schedules.
     The reference has no analogue (bs=1 sequential decode only,
     modeling_prismatic.py:324-341); this is the bs=1 robot-control-loop
     latency lever (VERDICT r1 #10).

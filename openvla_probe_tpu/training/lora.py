@@ -191,3 +191,26 @@ def make_lora_loss_fn(
         return base_loss_fn(adapted, model_cfg, batch)
 
     return loss
+
+
+def make_lora_loss_with_base(
+    base_loss_fn: Callable,
+    cfg: LoRAConfig,
+    stream: bool = True,
+) -> Callable:
+    """Like make_lora_loss_fn, but the frozen base rides as an ARGUMENT:
+    `loss(lora_params, base_params, model_cfg, batch)`.
+
+    A base closed over in the loss gets captured into the jit lowering as
+    constants — ~8.5 GB of duplicated buffers at 7B (JAX warns at lowering).
+    Passing it as an argument keeps exactly one device copy. Use this form
+    for any full-scale training jit."""
+
+    def loss(lora_params, base_params, model_cfg, batch):
+        if stream:
+            adapted = attach_lora(base_params, lora_params, cfg)
+        else:
+            adapted = merge_lora(base_params, lora_params, cfg)
+        return base_loss_fn(adapted, model_cfg, batch)
+
+    return loss

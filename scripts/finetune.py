@@ -69,7 +69,12 @@ def main(cfg: FinetuneConfig) -> None:
     from openvla_probe_tpu.models import load as load_mod
     from openvla_probe_tpu.ops.image import apply_image_transform
     from openvla_probe_tpu.training import checkpointing as ckpt
-    from openvla_probe_tpu.training.lora import LoRAConfig, init_lora_params, make_lora_loss_fn, merge_and_unload
+    from openvla_probe_tpu.training.lora import (
+        LoRAConfig,
+        init_lora_params,
+        make_lora_loss_with_base,
+        merge_and_unload,
+    )
     from openvla_probe_tpu.training.metrics import VLAMetrics
     from openvla_probe_tpu.training.train_state import OptimizerConfig, make_optimizer
     from openvla_probe_tpu.training.train_step import vla_loss_fn
@@ -111,18 +116,20 @@ def main(cfg: FinetuneConfig) -> None:
 
     lcfg = LoRAConfig(r=cfg.lora_rank)
     lora_params = init_lora_params(params, lcfg, jax.random.key(0))
-    loss_fn = make_lora_loss_fn(functools.partial(vla_loss_fn, codec=codec), params, lcfg,
-                                stream=cfg.stream_lora or cfg.quantize_base)
+    # base rides as a jit argument (a closed-over 7B base becomes ~8.5 GB of
+    # captured lowering constants)
+    loss_fn = make_lora_loss_with_base(functools.partial(vla_loss_fn, codec=codec), lcfg,
+                                       stream=cfg.stream_lora or cfg.quantize_base)
 
     opt_cfg = OptimizerConfig(learning_rate=cfg.learning_rate, lr_schedule_type="constant",
                               max_steps=cfg.max_steps, weight_decay=0.0)
     optimizer = make_optimizer(opt_cfg, lora_params)
     opt_state = optimizer.init(lora_params)
 
-    @jax.jit
-    def step_fn(lora_params, opt_state, batch):
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    def step_fn(lora_params, opt_state, base, batch):
         (loss, metrics), grads = jax.value_and_grad(
-            lambda lp: loss_fn(lp, model_cfg, batch), has_aux=True
+            lambda lp: loss_fn(lp, base, model_cfg, batch), has_aux=True
         )(lora_params)
         updates, opt_state = optimizer.update(grads, opt_state, lora_params)
         return optax.apply_updates(lora_params, updates), opt_state, metrics
@@ -140,7 +147,8 @@ def main(cfg: FinetuneConfig) -> None:
         buf = buf[cfg.batch_size:]
         batch.pop("dataset_names", None)
         lora_params, opt_state, m = step_fn(
-            lora_params, opt_state, {k: jnp.asarray(v) for k, v in batch.items()}
+            lora_params, opt_state, params,
+            {k: jnp.asarray(v) for k, v in batch.items()}
         )
         metrics.commit(global_step=step, loss=m["loss"], lr=cfg.learning_rate,
                        update_step_time=True,
