@@ -47,7 +47,9 @@ def main() -> None:
     else:
         import dataclasses
 
-        cfg = vlm.VLMConfig.openvla_7b()
+        # BENCH_SCALE=13b: Llama-2-13B trunk (13 GB int8 on one 16 GB chip)
+        cfg = (vlm.VLMConfig.openvla_13b() if scale == "13b"
+               else vlm.VLMConfig.openvla_7b())
         if quant == "int8":
             # turbo mode: bf16 attention scores + bf16 RoPE (HF's own rope
             # convention) ride with the quantized weights
@@ -71,9 +73,30 @@ def main() -> None:
         suffixes = llm_suffixes
         if os.environ.get("BENCH_QUANT_VIT", "1") == "1":
             suffixes = llm_suffixes + vit_suffixes
-        init = jax.jit(lambda key: quantize_params(
-            {**vlm.init_params(cfg, key)}, suffixes=suffixes,
-        ))
+        # generate the QUANTIZED tree directly (random int8 + scales): the
+        # throughput is value-independent, and init->quantize would have to
+        # co-materialize a bf16 stack (5.7 GB/leaf at 13B) with the int8 tree
+        shapes = jax.eval_shape(
+            lambda key: quantize_params({**vlm.init_params(cfg, key)},
+                                        suffixes=suffixes),
+            jax.random.key(0))
+        flat, treedef = jax.tree_util.tree_flatten(shapes)
+
+        def direct_init(key):
+            ks = jax.random.split(key, len(flat))
+            leaves = []
+            for s, k in zip(flat, ks):
+                if s.dtype == jnp.int8:
+                    leaves.append(jax.random.randint(k, s.shape, -127, 128, dtype=jnp.int8))
+                elif jnp.issubdtype(s.dtype, jnp.floating):
+                    # weight-scale magnitude ~ absmax(0.02-normal)/127
+                    leaves.append((jax.random.normal(k, s.shape, jnp.float32) * 0.02
+                                   ).astype(s.dtype))
+                else:
+                    leaves.append(jnp.zeros(s.shape, s.dtype))
+            return jax.tree_util.tree_unflatten(treedef, leaves)
+
+        init = jax.jit(direct_init)
     else:
         init = jax.jit(lambda key: vlm.init_params(cfg, key))
     params = init(jax.random.key(0))
@@ -134,8 +157,13 @@ def main() -> None:
 
         fn = jax.jit(spec_fn)
     else:
+        # BENCH_CAPTURE=1: probe-capture serving — the same prefill also emits
+        # the 33 mean-pooled per-layer hidden states (the reference pays a
+        # SECOND full prefill for this, openvla_utils.py:188-203)
+        capture = os.environ.get("BENCH_CAPTURE", "0") == "1"
         fn = jax.jit(functools.partial(
-            vla.predict_action_from_image, cfg=serving, image_cfg=img_cfg))
+            vla.predict_action_from_image, cfg=serving, image_cfg=img_cfg,
+            collect_hidden_states=capture))
     args = dict(
         image_u8=jnp.asarray(image),
         input_ids=jnp.asarray(ids),
@@ -179,6 +207,7 @@ def main() -> None:
         "backend": jax.default_backend(),
         **({"speculative": True,
             "n_accepted": int(np.asarray(out["n_accepted"])[0])} if speculative else {}),
+        **({"capture": True} if os.environ.get("BENCH_CAPTURE", "0") == "1" else {}),
     }))
 
 

@@ -76,6 +76,16 @@ class LlamaConfig:
         return LlamaConfig(**kw)
 
     @staticmethod
+    def llama2_13b(**kw) -> "LlamaConfig":
+        """Llama-2-13B dims (reference prismatic/models/backbones/llm/llama2.py:24-51;
+        catalog llama2-13b-*): 40 layers x 5120, 40 heads, ffn 13824."""
+        d = dict(hidden_size=5120, intermediate_size=13824,
+                 num_hidden_layers=40, num_attention_heads=40,
+                 num_key_value_heads=40)
+        d.update(kw)
+        return LlamaConfig(**d)
+
+    @staticmethod
     def tiny(**kw) -> "LlamaConfig":
         """Test-scale config (keeps ratios; compiles in seconds)."""
         d = dict(vocab_size=512, hidden_size=64, intermediate_size=128,

@@ -60,6 +60,16 @@ class VLMConfig:
         )
 
     @staticmethod
+    def openvla_13b() -> "VLMConfig":
+        """prism-dinosiglip-224px+13b dims: same dual ViT, Llama-2-13B trunk
+        (13 GB int8 — serves on ONE 16 GB v5e; bf16 needs the tp=2 path)."""
+        return VLMConfig(
+            llm=llama.LlamaConfig.llama2_13b(),
+            vision=(vit.ViTConfig.dinov2_vit_l(dtype=jnp.bfloat16),
+                    vit.ViTConfig.siglip_so400m(dtype=jnp.bfloat16)),
+        )
+
+    @staticmethod
     def tiny(**kw) -> "VLMConfig":
         d = dict(
             llm=llama.LlamaConfig.tiny(),

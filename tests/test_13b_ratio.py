@@ -33,6 +33,15 @@ def test_13b_catalog_dims_exact():
         assert cfg.num_key_value_heads == 40
         assert cfg.head_dim == 128
         assert cfg.vocab_size == 32064
+    # the full-scale factories agree with the catalog dims
+    f = llama.LlamaConfig.llama2_13b()
+    c = catalog.LLM_BACKBONES["llama2-13b-pure"]["cfg"]
+    assert (f.hidden_size, f.intermediate_size, f.num_hidden_layers,
+            f.num_attention_heads) == (
+        c.hidden_size, c.intermediate_size, c.num_hidden_layers,
+        c.num_attention_heads)
+    v = vlm.VLMConfig.openvla_13b()
+    assert v.llm.hidden_size == 5120 and v.vision_dim == 1024 + 1152
 
 
 def _llama_13b_ratio():

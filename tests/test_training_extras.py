@@ -37,6 +37,25 @@ def test_remat_grads_match_plain(rng):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5, rtol=1e-4)
 
 
+def test_vit_remat_grads_match_plain(rng):
+    from openvla_probe_tpu.models import vit
+
+    cfg = vit.ViTConfig.tiny()
+    cfg_remat = dataclasses.replace(cfg, remat=True)
+    params = vit.init_params(cfg, jax.random.key(0))
+    px = jnp.asarray(rng.normal(size=(2, 3, cfg.image_size, cfg.image_size)), jnp.float32)
+
+    def loss(p, c):
+        return jnp.mean(vit.forward_features(p, c, px) ** 2)
+
+    np.testing.assert_allclose(
+        float(loss(params, cfg)), float(loss(params, cfg_remat)), rtol=1e-6)
+    g_plain = jax.grad(lambda p: loss(p, cfg))(params)
+    g_remat = jax.grad(lambda p: loss(p, cfg_remat))(params)
+    for a, b in zip(jax.tree.leaves(g_plain), jax.tree.leaves(g_remat)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5, rtol=1e-4)
+
+
 def test_zero2_shardings():
     from jax.sharding import PartitionSpec as P
 
