@@ -11,10 +11,13 @@ Baseline: the reference publishes no throughput numbers
 the build target at >=30 calls/s/chip on one v5e; `vs_baseline` is measured
 against that target.
 
-Env knobs: BENCH_SCALE=tiny for a smoke run; BENCH_CALLS=N (default 30);
+Env knobs: BENCH_SCALE=tiny|full|13b (tiny = smoke run; 13b = Llama-2-13B
+trunk, fits one 16 GB chip in int8); BENCH_CALLS=N (default 30);
 BENCH_BATCH=N (default 24) batched serving; BENCH_QUANT=int8|bf16 (default
 int8) — int8 is the turbo serving mode (weight-only quantized Llama trunk via
-the Pallas kernel); bf16 is the bit-parity mode.
+the Pallas kernel); bf16 is the bit-parity mode; BENCH_SPECULATIVE=1 verified
+draft-from-previous-step serving; BENCH_CAPTURE=1 emit all per-layer probe
+taps; BENCH_ACTION_DIM=1 isolates prefill.
 """
 
 import json
@@ -80,16 +83,24 @@ def main() -> None:
             lambda key: quantize_params({**vlm.init_params(cfg, key)},
                                         suffixes=suffixes),
             jax.random.key(0))
-        flat, treedef = jax.tree_util.tree_flatten(shapes)
+        flat, treedef = jax.tree_util.tree_flatten_with_path(shapes)
 
         def direct_init(key):
             ks = jax.random.split(key, len(flat))
             leaves = []
-            for s, k in zip(flat, ks):
+            for (path, s), k in zip(flat, ks):
+                name = path[-1].key if hasattr(path[-1], "key") else ""
                 if s.dtype == jnp.int8:
                     leaves.append(jax.random.randint(k, s.shape, -127, 128, dtype=jnp.int8))
+                elif name == "s":
+                    # per-channel quant scales: positive, ~absmax(0.02-normal)
+                    # /127 magnitude, so q*s matches the old quantize(init)
+                    # operating point (logits stay finite; speculative
+                    # acceptance is value-dependent)
+                    leaves.append(
+                        (1e-4 + 1e-4 * jax.random.uniform(k, s.shape, jnp.float32)
+                         ).astype(s.dtype))
                 elif jnp.issubdtype(s.dtype, jnp.floating):
-                    # weight-scale magnitude ~ absmax(0.02-normal)/127
                     leaves.append((jax.random.normal(k, s.shape, jnp.float32) * 0.02
                                    ).astype(s.dtype))
                 else:
@@ -142,6 +153,10 @@ def main() -> None:
     import functools
 
     speculative = os.environ.get("BENCH_SPECULATIVE", "0") == "1"
+    # BENCH_CAPTURE=1: probe-capture serving — the same prefill also emits the
+    # 33 mean-pooled per-layer hidden states (the reference pays a SECOND
+    # full prefill for this, openvla_utils.py:188-203)
+    capture = os.environ.get("BENCH_CAPTURE", "0") == "1"
     if speculative:
         # robot-control-loop steady state: the previous step's tokens are the
         # draft; identical frames => full acceptance => the sequential decode
@@ -153,14 +168,10 @@ def main() -> None:
             pixels = apply_image_transform(image_u8, img_cfg).astype(cfg.llm.dtype)
             return vla.predict_action_speculative_core(
                 params, serving, pixels, input_ids, prompt_len, draft_tokens,
-                q01, q99, action_mask)
+                q01, q99, action_mask, collect_hidden_states=capture)
 
         fn = jax.jit(spec_fn)
     else:
-        # BENCH_CAPTURE=1: probe-capture serving — the same prefill also emits
-        # the 33 mean-pooled per-layer hidden states (the reference pays a
-        # SECOND full prefill for this, openvla_utils.py:188-203)
-        capture = os.environ.get("BENCH_CAPTURE", "0") == "1"
         fn = jax.jit(functools.partial(
             vla.predict_action_from_image, cfg=serving, image_cfg=img_cfg,
             collect_hidden_states=capture))
@@ -207,7 +218,7 @@ def main() -> None:
         "backend": jax.default_backend(),
         **({"speculative": True,
             "n_accepted": int(np.asarray(out["n_accepted"])[0])} if speculative else {}),
-        **({"capture": True} if os.environ.get("BENCH_CAPTURE", "0") == "1" else {}),
+        **({"capture": True} if capture else {}),
     }))
 
 

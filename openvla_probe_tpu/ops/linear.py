@@ -161,10 +161,14 @@ def _w8a8_dot_bwd(res, g):
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     ).astype(g.dtype)
+    # q is integer -> float0 symbolic zero; s is float -> a typed zero (a
+    # float0 for a float primal silently zeroes a mathematically nonzero
+    # gradient and newer JAX versions reject the dtype mismatch). Training
+    # the scales themselves is unsupported (STE treats the base as frozen).
     return (
         dx,
         np.zeros(q.shape, jax.dtypes.float0),
-        np.zeros(s.shape, jax.dtypes.float0),
+        jnp.zeros(s.shape, s.dtype),
     )
 
 

@@ -81,12 +81,12 @@ def _is_target(path: str, shape, cfg: LoRAConfig) -> bool:
 def _weight_shape_dtype(leaf) -> Tuple[Tuple[int, ...], Any]:
     from ..ops.linear import is_quantized
 
+    # adapters are ALWAYS fp32 masters (they are tiny — ~320 MB at 7B/r=32 —
+    # and bf16 storage swallows small Adam updates late in convergence);
+    # matmul_t casts them to the activation dtype at use
     if is_quantized(leaf):
-        # int8 {"q","s"} base: adapters are fp32 masters (they are tiny —
-        # ~160 MB at 7B/r=32 — and bf16 storage swallows small Adam updates);
-        # matmul_t casts them to the activation dtype at use
         return tuple(np.shape(leaf["q"])), jnp.float32
-    return tuple(np.shape(leaf)), leaf.dtype
+    return tuple(np.shape(leaf)), jnp.float32
 
 
 def init_lora_params(params: Any, cfg: LoRAConfig, key: jax.Array) -> Any:
@@ -143,6 +143,36 @@ def merge_and_unload(params: Any, lora: Any, cfg: LoRAConfig) -> Any:
     return merge_lora(params, lora, cfg)
 
 
+def merge_and_unload_host(params: Any, lora: Any, cfg: LoRAConfig) -> Any:
+    """Full-scale merged export on the HOST (numpy), leaf by leaf.
+
+    At 7B the device cannot hold base + merged simultaneously (13.5 GB each
+    in bf16; int8 base + bf16 merged is 20 GB) — the on-device merge OOMs a
+    16 GB chip at save time. Here each adapted leaf is pulled to host RAM,
+    merged in fp32, and re-quantized/cast back; unadapted leaves transfer
+    unchanged. Peak host memory is one merged tree + one fp32 leaf."""
+    from ..ops.linear import is_quantized
+
+    scale = cfg.scaling
+
+    def merge(lw, w):
+        if lw is None:
+            return jax.tree.map(np.asarray, w)
+        A = np.asarray(lw["A"], np.float32)
+        B = np.asarray(lw["B"], np.float32)
+        delta = scale * np.einsum("...or,...ri->...oi", B, A)
+        if is_quantized(w):
+            wf = np.asarray(w["q"], np.float32) * np.asarray(w["s"], np.float32)[..., None]
+            wf += delta
+            s = np.maximum(np.max(np.abs(wf), axis=-1) / 127.0, 1e-8)
+            q = np.clip(np.round(wf / s[..., None]), -127, 127).astype(np.int8)
+            return {"q": q, "s": s.astype(np.float32)}
+        wd = np.asarray(w, np.float32) + delta
+        return wd.astype(np.asarray(w).dtype)
+
+    return jax.tree.map(merge, lora, params, is_leaf=_is_ab)
+
+
 def _is_ab(x) -> bool:
     return x is None or (isinstance(x, dict) and set(x.keys()) == {"A", "B"})
 
@@ -183,12 +213,10 @@ def make_lora_loss_fn(
     stream=True uses `attach_lora` (no merged-weight copy; required at 7B
     scale and for int8 bases), stream=False materializes the merge."""
 
+    with_base = make_lora_loss_with_base(base_loss_fn, cfg, stream=stream)
+
     def loss(lora_params, model_cfg, batch):
-        if stream:
-            adapted = attach_lora(base_params, lora_params, cfg)
-        else:
-            adapted = merge_lora(base_params, lora_params, cfg)
-        return base_loss_fn(adapted, model_cfg, batch)
+        return with_base(lora_params, base_params, model_cfg, batch)
 
     return loss
 

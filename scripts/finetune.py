@@ -74,6 +74,7 @@ def main(cfg: FinetuneConfig) -> None:
         init_lora_params,
         make_lora_loss_with_base,
         merge_and_unload,
+        merge_and_unload_host,
     )
     from openvla_probe_tpu.training.metrics import VLAMetrics
     from openvla_probe_tpu.training.train_state import OptimizerConfig, make_optimizer
@@ -156,11 +157,27 @@ def main(cfg: FinetuneConfig) -> None:
         if step % 10 == 0:
             overwatch.info(metrics.push())
         if step % cfg.save_steps == 0 or step == cfg.max_steps:
-            merged = merge_and_unload(params, lora_params, lcfg)
             tag = "latest" if cfg.save_latest_checkpoint_only else f"step-{step:06d}"
-            ckpt.save_checkpoint(run_dir / tag, {"params": merged}, step=step,
-                                 loss=float(jax.device_get(m["loss"])))
-            overwatch.info(f"Saved merged checkpoint at step {step}")
+            loss_val = float(jax.device_get(m["loss"]))
+            if cfg.stream_lora or cfg.quantize_base:
+                # full-scale path: the device cannot hold base + merged
+                # simultaneously (13.5 GB each at 7B) — periodic saves are
+                # adapter-only (the reference also snapshots the adapter dir,
+                # finetune.py:326-335); the merged export happens ONCE at the
+                # end, leaf-by-leaf on the host
+                ckpt.save_checkpoint(run_dir / f"{tag}-adapter",
+                                     {"lora": lora_params}, step=step, loss=loss_val)
+                overwatch.info(f"Saved adapter checkpoint at step {step}")
+                if step == cfg.max_steps:
+                    merged = merge_and_unload_host(params, lora_params, lcfg)
+                    ckpt.save_checkpoint(run_dir / tag, {"params": merged},
+                                         step=step, loss=loss_val)
+                    overwatch.info("Saved merged checkpoint (host merge)")
+            else:
+                merged = merge_and_unload(params, lora_params, lcfg)
+                ckpt.save_checkpoint(run_dir / tag, {"params": merged}, step=step,
+                                     loss=loss_val)
+                overwatch.info(f"Saved merged checkpoint at step {step}")
     metrics.finalize()
 
 

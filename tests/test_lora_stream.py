@@ -159,3 +159,34 @@ def test_qlora_int8_base_trains(tiny_setup):
     # final streamed loss
     lmerged, _ = vla_loss_fn(merged, cfg, batch, codec=codec)
     assert np.isfinite(float(lmerged))
+
+
+def test_host_merge_matches_device_merge(tiny_setup):
+    cfg, params, codec, batch = tiny_setup
+    lcfg = lora.LoRAConfig(r=4)
+    lp = lora.init_lora_params(params, lcfg, jax.random.key(2))
+    lp = jax.tree.map(lambda x: x + 0.02 if x is not None else None, lp,
+                      is_leaf=lambda x: x is None)
+
+    dev = lora.merge_and_unload(params, lp, lcfg)
+    host = lora.merge_and_unload_host(params, lp, lcfg)
+    for a, b in zip(jax.tree.leaves(dev), jax.tree.leaves(host)):
+        np.testing.assert_allclose(np.asarray(a, np.float32),
+                                   np.asarray(b, np.float32),
+                                   rtol=1e-4, atol=1e-5)
+
+    # int8 base: representations agree leaf-by-leaf too
+    qparams = quantize_params(params)
+    lpq = lora.init_lora_params(qparams, lcfg, jax.random.key(2))
+    lpq = jax.tree.map(lambda x: x + 0.02 if x is not None else None, lpq,
+                       is_leaf=lambda x: x is None)
+    devq = lora.merge_and_unload(qparams, lpq, lcfg)
+    hostq = lora.merge_and_unload_host(qparams, lpq, lcfg)
+    assert is_quantized(hostq["llm"]["layers"]["q_proj"])
+    np.testing.assert_allclose(
+        np.asarray(devq["llm"]["layers"]["q_proj"]["s"]),
+        np.asarray(hostq["llm"]["layers"]["q_proj"]["s"]), rtol=1e-5)
+    # int8 codes may differ by 1 ulp of rounding between XLA and numpy
+    dq = np.asarray(devq["llm"]["layers"]["q_proj"]["q"], np.int32)
+    hq = np.asarray(hostq["llm"]["layers"]["q_proj"]["q"], np.int32)
+    assert np.abs(dq - hq).max() <= 1
