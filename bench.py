@@ -54,15 +54,7 @@ def main() -> None:
         cfg = (vlm.VLMConfig.openvla_13b() if scale == "13b"
                else vlm.VLMConfig.openvla_7b())
         if quant == "int8":
-            # turbo mode: bf16 attention scores + bf16 RoPE (HF's own rope
-            # convention) ride with the quantized weights
-            cfg = dataclasses.replace(
-                cfg,
-                llm=dataclasses.replace(cfg.llm, attn_scores_dtype=jnp.bfloat16,
-                                        rope_dtype=jnp.bfloat16),
-                vision=tuple(dataclasses.replace(v, attn_scores_dtype=jnp.bfloat16)
-                             for v in cfg.vision),
-            )
+            cfg = cfg.turbo()  # THE turbo numerics (single definition in vlm)
         serving = vla.VLAServingConfig(vlm=cfg, prompt_pad_len=prompt_pad, action_dim=action_dim)
         img_hw = (256, 256)
 
@@ -79,35 +71,13 @@ def main() -> None:
         # generate the QUANTIZED tree directly (random int8 + scales): the
         # throughput is value-independent, and init->quantize would have to
         # co-materialize a bf16 stack (5.7 GB/leaf at 13B) with the int8 tree
+        from openvla_probe_tpu.ops.linear import random_params_like
+
         shapes = jax.eval_shape(
             lambda key: quantize_params({**vlm.init_params(cfg, key)},
                                         suffixes=suffixes),
             jax.random.key(0))
-        flat, treedef = jax.tree_util.tree_flatten_with_path(shapes)
-
-        def direct_init(key):
-            ks = jax.random.split(key, len(flat))
-            leaves = []
-            for (path, s), k in zip(flat, ks):
-                name = path[-1].key if hasattr(path[-1], "key") else ""
-                if s.dtype == jnp.int8:
-                    leaves.append(jax.random.randint(k, s.shape, -127, 128, dtype=jnp.int8))
-                elif name == "s":
-                    # per-channel quant scales: positive, ~absmax(0.02-normal)
-                    # /127 magnitude, so q*s matches the old quantize(init)
-                    # operating point (logits stay finite; speculative
-                    # acceptance is value-dependent)
-                    leaves.append(
-                        (1e-4 + 1e-4 * jax.random.uniform(k, s.shape, jnp.float32)
-                         ).astype(s.dtype))
-                elif jnp.issubdtype(s.dtype, jnp.floating):
-                    leaves.append((jax.random.normal(k, s.shape, jnp.float32) * 0.02
-                                   ).astype(s.dtype))
-                else:
-                    leaves.append(jnp.zeros(s.shape, s.dtype))
-            return jax.tree_util.tree_unflatten(treedef, leaves)
-
-        init = jax.jit(direct_init)
+        init = jax.jit(lambda key: random_params_like(shapes, key))
     else:
         init = jax.jit(lambda key: vlm.init_params(cfg, key))
     params = init(jax.random.key(0))

@@ -33,7 +33,7 @@ import json
 import re
 import string
 from pathlib import Path
-from typing import Any, Callable, Dict, List, Optional, Sequence
+from typing import Any, Callable, Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 
@@ -103,6 +103,15 @@ def load_jsonl_dataset(
                 continue
             row = json.loads(line)
             answers = row.get("answers") or ([row["answer"]] if "answer" in row else [])
+            choices = [str(c) for c in row.get("choices", [])]
+            answer_idx = int(row.get("answer_idx", -1))
+            if answer_idx < 0 and choices and len(answers) == 1:
+                # "answer" given as a string: resolve it against the choices
+                # (an unresolved -1 would make closed-set accuracy read 0)
+                try:
+                    answer_idx = choices.index(str(answers[0]))
+                except ValueError:
+                    pass
             img = None
             if row.get("image"):
                 p = Path(row["image"])
@@ -112,24 +121,42 @@ def load_jsonl_dataset(
             out.append(EvalExample(
                 question=row["question"],
                 answers=[str(a) for a in answers],
-                choices=[str(c) for c in row.get("choices", [])],
-                answer_idx=int(row.get("answer_idx", -1)),
+                choices=choices,
+                answer_idx=answer_idx,
                 image=img,
                 example_id=str(row.get("id", i)),
             ))
     return out
 
 
-def _continuation_ids(tokenizer: Any, prompt: str, continuation: str) -> List[int]:
-    """Tokenize `continuation` as a suffix of `prompt` (sentencepiece merges
-    across the boundary make independent tokenization wrong)."""
+def _continuation_split(tokenizer: Any, prompt: str, continuation: str) -> Tuple[List[int], int]:
+    """Tokenize `prompt + continuation` and return (full_ids, start) where
+    full_ids[start:] is the continuation's token span.
+
+    Sentencepiece merges across the boundary make independent tokenization
+    wrong, AND the merge point differs per continuation (trailing "▁" +
+    "blue" re-merges into "▁blue"; "7" doesn't) — so each candidate must be
+    scored against ITS OWN context full_ids[:start], not a shared prompt
+    tokenization (which would condition re-merging choices on a double
+    space and bias the ranking)."""
     base = list(tokenizer.encode(prompt))
     full = list(tokenizer.encode(prompt + continuation))
-    # common-prefix split (the boundary token may re-merge)
     i = 0
     while i < len(base) and i < len(full) and base[i] == full[i]:
         i += 1
-    return full[i:] if i < len(full) else full[-1:]
+    if i >= len(full):
+        raise ValueError(
+            f"continuation {continuation!r} adds no tokens after {prompt!r} "
+            f"(empty or fully absorbed into the prompt tokenization) — "
+            f"scoring it would grade the prompt's own last token"
+        )
+    return full, i
+
+
+def _continuation_ids(tokenizer: Any, prompt: str, continuation: str) -> List[int]:
+    """Back-compat helper: just the continuation's token span."""
+    full, i = _continuation_split(tokenizer, prompt, continuation)
+    return full[i:]
 
 
 def _build_prompt(question: str, prompt_builder_factory: Optional[Callable]) -> str:
@@ -167,22 +194,28 @@ def evaluate_closed_set(
     scores}]}. One bucketed jit call per example scores all its options.
     """
     if score_fn is None:
-        from ..models.generate import score_candidates
+        from ..models.generate import score_continuation_rows
 
-        score_fn = score_candidates
+        score_fn = score_continuation_rows
 
     results = []
     n_correct = 0
     for ex in examples:
         assert ex.choices, f"closed-set example {ex.example_id} has no choices"
+        if ex.answer_idx < 0 or ex.answer_idx >= len(ex.choices):
+            raise ValueError(
+                f"closed-set example {ex.example_id} has answer_idx="
+                f"{ex.answer_idx} outside its {len(ex.choices)} choices — "
+                f"accuracy would silently read 0"
+            )
         prompt = _build_prompt(ex.question, prompt_builder_factory)
-        prompt_ids = list(tokenizer.encode(prompt))
-        cand_ids = [_continuation_ids(tokenizer, prompt, c) for c in ex.choices]
+        # per-candidate (full tokenization, split point): each choice scores
+        # against its own context (see _continuation_split)
+        rows = [_continuation_split(tokenizer, prompt, c) for c in ex.choices]
         px = _pixels_for(cfg, image_cfg, ex.image) if image_cfg is not None else None
-        scores = np.asarray(score_fn(params, cfg, prompt_ids, cand_ids, pixel_values=px),
-                            np.float64)
+        scores = np.asarray(score_fn(params, cfg, rows, pixel_values=px), np.float64)
         if length_normalize:
-            scores = scores / np.maximum([len(c) for c in cand_ids], 1)
+            scores = scores / np.maximum([len(f) - s for f, s in rows], 1)
         pred = int(np.argmax(scores))
         correct = pred == ex.answer_idx
         n_correct += int(correct)

@@ -10,7 +10,7 @@ serves a session.
 from __future__ import annotations
 
 import functools
-from typing import Any, Dict, List, Optional, Sequence
+from typing import Any, Dict, List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -130,6 +130,45 @@ def _score_jit(params, cfg: vlm.VLMConfig, ids, row_len, cand_start, pixel_value
     return jnp.sum(jnp.where(valid, tok_lp, 0.0), axis=1)
 
 
+def score_continuation_rows(
+    params: Dict[str, Any],
+    cfg: vlm.VLMConfig,
+    rows: List[Tuple[Sequence[int], int]],   # [(full_ids, start)]
+    pixel_values: Optional[jnp.ndarray] = None,
+) -> np.ndarray:
+    """Log-probability of full_ids[start:] given full_ids[:start], per row.
+
+    Per-row split points matter: a sentencepiece boundary token can re-merge
+    with a continuation (e.g. trailing "▁" + "blue" -> "▁blue"), so each
+    candidate owns its (context, continuation) split — scoring every choice
+    against one shared prompt tokenization conditions different choices on
+    different effective contexts (double space vs single) and biases the
+    argmax. ONE batched, bucketed jit call scores all rows."""
+    C = len(rows)
+    L = _bucket(max(len(f) for f, _ in rows))
+    Cb = _bucket(C, 8)
+    ids = np.zeros((Cb, L), np.int32)
+    row_len = np.zeros((Cb,), np.int32)
+    starts = np.zeros((Cb,), np.int32)
+    for i, (full, st) in enumerate(rows):
+        ids[i, : len(full)] = list(full)
+        row_len[i] = len(full)
+        starts[i] = st
+    ids[C:] = ids[0]
+    row_len[C:] = row_len[0]
+    starts[C:] = starts[0]
+    pix = None
+    if pixel_values is not None:
+        pix = jnp.broadcast_to(
+            jnp.asarray(pixel_values), (Cb, *np.shape(pixel_values)[-3:])
+        )
+    scores = _score_jit(
+        params, cfg, jnp.asarray(ids), jnp.asarray(row_len),
+        jnp.asarray(starts), pix,
+    )
+    return np.asarray(scores)[:C]
+
+
 def score_candidates(
     params: Dict[str, Any],
     cfg: vlm.VLMConfig,
@@ -146,24 +185,5 @@ def score_candidates(
     16-way VQA eval compiles once (the reference — and round 1 — re-ran a
     full unjitted forward per candidate, recompiling per unique length)."""
     plen = len(prompt_ids)
-    C = len(candidate_ids)
-    L = _bucket(plen + max(len(c) for c in candidate_ids))
-    Cb = _bucket(C, 8)
-    ids = np.zeros((Cb, L), np.int32)
-    row_len = np.full((Cb,), plen, np.int32)
-    for i, cand in enumerate(candidate_ids):
-        full = list(prompt_ids) + list(cand)
-        ids[i, : len(full)] = full
-        row_len[i] = len(full)
-    ids[C:] = ids[0]
-    row_len[C:] = row_len[0]
-    pix = None
-    if pixel_values is not None:
-        pix = jnp.broadcast_to(
-            jnp.asarray(pixel_values), (Cb, *np.shape(pixel_values)[-3:])
-        )
-    scores = _score_jit(
-        params, cfg, jnp.asarray(ids), jnp.asarray(row_len),
-        jnp.full((Cb,), plen, jnp.int32), pix,
-    )
-    return np.asarray(scores)[:C]
+    rows = [(list(prompt_ids) + list(c), plen) for c in candidate_ids]
+    return score_continuation_rows(params, cfg, rows, pixel_values)

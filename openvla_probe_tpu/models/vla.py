@@ -106,7 +106,13 @@ def predict_action_core(
     # so the split-prefill-KV redesign buys nothing under XLA. It stays
     # env-gated (OVLA_LEGACY_DECODE=0) as the structural basis for a future
     # Pallas decode kernel (which needs the frozen-KV layout).
-    legacy = os.environ.get("OVLA_LEGACY_DECODE", "1") == "1"
+    # OVLA_KV_INT8 lives on the frozen-KV path, so requesting it implies
+    # OVLA_LEGACY_DECODE=0 unless the user forces legacy explicitly (before
+    # this, OVLA_KV_INT8=1 alone was a silent no-op: legacy defaults on, the
+    # quantize call never ran, and the "int8 KV" measurement was unquantized)
+    kv_int8 = os.environ.get("OVLA_KV_INT8", "0") == "1"
+    legacy_default = "0" if kv_int8 else "1"
+    legacy = os.environ.get("OVLA_LEGACY_DECODE", legacy_default) == "1"
     if legacy:
         S = cfg.cache_len
         if os.environ.get("OVLA_SPLIT_PREFILL", "0") == "1":
@@ -140,7 +146,7 @@ def predict_action_core(
             params["llm"], c.llm, embeds, mm_mask, positions,
             collect_hidden_states=collect_hidden_states, pool_mask=pool_mask,
         )
-        if os.environ.get("OVLA_KV_INT8", "0") == "1":
+        if kv_int8:
             # turbo tier: int8 frozen prefill KV — halves the decode-step
             # cache stream; decode runs int8 q·K and scale-folded int8
             # probs·V (llama._split_attention_i8)

@@ -59,6 +59,20 @@ class VLMConfig:
                     vit.ViTConfig.siglip_so400m(dtype=jnp.bfloat16)),
         )
 
+    def turbo(self) -> "VLMConfig":
+        """THE turbo serving numerics (single definition — bench.py and
+        scripts/check_parity.py both ship/certify exactly this): bf16
+        attention-score materialization in trunk + towers and bf16 RoPE (HF's
+        own rope convention). Rides with int8 weights in the turbo tier;
+        bf16 weights + this config is NOT the bit-parity mode."""
+        return dataclasses.replace(
+            self,
+            llm=dataclasses.replace(self.llm, attn_scores_dtype=jnp.bfloat16,
+                                    rope_dtype=jnp.bfloat16),
+            vision=tuple(dataclasses.replace(v, attn_scores_dtype=jnp.bfloat16)
+                         for v in self.vision),
+        )
+
     @staticmethod
     def openvla_13b() -> "VLMConfig":
         """prism-dinosiglip-224px+13b dims: same dual ViT, Llama-2-13B trunk

@@ -148,26 +148,11 @@ def pil_resize(
     with optional inter/post-pass rounding to the uint8 grid for bit-parity.
     Returns float32 in [0, 255].
     """
-    h_in, w_in = image.shape[-3], image.shape[-2]
-    h_out, w_out = out_hw
-    x = image.astype(jnp.float32)
-    if (h_in, w_in) == (h_out, w_out):
-        return x
-    Ww = jnp.asarray(resample_weights(w_in, w_out, method), jnp.float32)  # [w_out, w_in]
-    Wh = jnp.asarray(resample_weights(h_in, h_out, method), jnp.float32)  # [h_out, h_in]
-    # Precision.HIGHEST: keep true-f32 MXU accumulation — the default precision
-    # downcasts operands to bf16 passes, which flips Pillow's half-boundary
-    # roundings on ~30% of pixels. This op is tiny next to the ViT/LLM matmuls.
-    hi = jax.lax.Precision.HIGHEST
-    # horizontal: contract input-width axis
-    x = jnp.einsum("ow,...hwc->...hoc", Ww, x, precision=hi)
-    if emulate_uint8_rounding:
-        x = _round_u8(x)
-    # vertical: contract input-height axis
-    x = jnp.einsum("oh,...hwc->...owc", Wh, x, precision=hi)
-    if emulate_uint8_rounding:
-        x = _round_u8(x)
-    return x
+    # single implementation: the CHW twin (identical per-channel math —
+    # contraction + per-pass uint8 rounding are channel-independent)
+    x = jnp.moveaxis(image, -1, -3)
+    x = pil_resize_chw(x, out_hw, method, emulate_uint8_rounding)
+    return jnp.moveaxis(x, -3, -1)
 
 
 def pil_resize_chw(
@@ -235,37 +220,16 @@ def _letterbox_pad_chw(image: jnp.ndarray, fill: Tuple[float, float, float]) -> 
 
 def center_crop(image: jnp.ndarray, out_hw: Tuple[int, int]) -> jnp.ndarray:
     """Center crop [..., H, W, C]; pads (zero) first if the image is smaller,
-    matching torchvision's functional center_crop."""
-    h, w = image.shape[-3], image.shape[-2]
-    th, tw = out_hw
-    if h < th or w < tw:
-        ph, pw = max(th - h, 0), max(tw - w, 0)
-        pads = [(0, 0)] * (image.ndim - 3) + [
-            (ph // 2, ph - ph // 2),
-            (pw // 2, pw - pw // 2),
-            (0, 0),
-        ]
-        image = jnp.pad(image, pads)
-        h, w = image.shape[-3], image.shape[-2]
-    top = int(round((h - th) / 2.0))
-    left = int(round((w - tw) / 2.0))
-    return image[..., top : top + th, left : left + tw, :]
+    matching torchvision's functional center_crop. (Wrapper over the CHW
+    production implementation — one crop semantics, two layouts.)"""
+    return jnp.moveaxis(_center_crop_chw(jnp.moveaxis(image, -1, -3), out_hw), -3, -1)
 
 
 def letterbox_pad(image: jnp.ndarray, fill: Tuple[float, float, float]) -> jnp.ndarray:
     """Symmetric pad to square with a constant fill (reference
-    processing_prismatic.py:23-29: floor((max-side)/2) border on each side)."""
-    h, w = image.shape[-3], image.shape[-2]
-    max_wh = max(h, w)
-    hp, vp = int((max_wh - w) / 2), int((max_wh - h) / 2)
-    pads = [(0, 0)] * (image.ndim - 3) + [(vp, vp), (hp, hp), (0, 0)]
-    fill_arr = jnp.asarray(fill, dtype=image.dtype if image.dtype != jnp.uint8 else jnp.float32)
-    out = jnp.pad(image.astype(fill_arr.dtype), pads)
-    if hp == 0 and vp == 0:
-        return out
-    mask = jnp.zeros((image.shape[-3], image.shape[-2]), bool)
-    mask = jnp.pad(mask, [(vp, vp), (hp, hp)], constant_values=True)
-    return jnp.where(mask[..., None], fill_arr, out)
+    processing_prismatic.py:23-29: floor((max-side)/2) border on each side).
+    Returns float32. (Wrapper over the CHW production implementation.)"""
+    return jnp.moveaxis(_letterbox_pad_chw(jnp.moveaxis(image, -1, -3), fill), -3, -1)
 
 
 @dataclass(frozen=True)

@@ -213,6 +213,34 @@ def matmul_t(x: jnp.ndarray, w: AnyWeight) -> jnp.ndarray:
     return out.reshape(*lead, -1)
 
 
+def random_params_like(shapes: Any, key: jax.Array, weight_scale: float = 0.02) -> Any:
+    """Random params for an eval_shape tree that may contain quantized leaves.
+
+    Benchmark initializer: generates int8 codes uniformly, per-channel "s"
+    scale leaves POSITIVE at the ~absmax(N(0, weight_scale))/127 operating
+    point, and float leaves N(0, weight_scale) — without ever materializing
+    the bf16 twin of the quantized weights (init->quantize co-materializes
+    both, which OOMs a 16 GB chip at 13B scale). Throughput-benchmark use
+    only; values are sane (finite logits) but arbitrary."""
+    flat, treedef = jax.tree_util.tree_flatten_with_path(shapes)
+    ks = jax.random.split(key, len(flat))
+    s_lo = weight_scale / 4.0 / 127.0
+    leaves = []
+    for (path, s), k in zip(flat, ks):
+        name = path[-1].key if hasattr(path[-1], "key") else ""
+        if s.dtype == jnp.int8:
+            leaves.append(jax.random.randint(k, s.shape, -127, 128, dtype=jnp.int8))
+        elif name == "s":
+            leaves.append((s_lo * (1.0 + jax.random.uniform(k, s.shape, jnp.float32))
+                           ).astype(s.dtype))
+        elif jnp.issubdtype(s.dtype, jnp.floating):
+            leaves.append((jax.random.normal(k, s.shape, jnp.float32) * weight_scale
+                           ).astype(s.dtype))
+        else:
+            leaves.append(jnp.zeros(s.shape, s.dtype))
+    return jax.tree_util.tree_unflatten(treedef, leaves)
+
+
 # --- pytree-level quantization ----------------------------------------------
 
 _DEFAULT_QUANT_SUFFIXES = (

@@ -13,7 +13,8 @@ at OpenVLA-7B scale on synthetic RLDS-shaped batches.
 
 Env knobs: FT_BATCH (default 8), FT_STEPS (default 10), FT_RANK (default 32),
 FT_SEQ (default 64 text tokens; +256 patches +1 BOS in the spliced sequence),
-FT_QUANT=int8|bf16 base representation, FT_SCALE=tiny smoke run.
+FT_QUANT=int8|bf16 base representation, FT_SCALE=tiny|full|13b (13b also
+quantizes the ViT towers by default, FT_QUANT_VIT=1, to fit the 16 GB chip).
 """
 
 import functools
@@ -55,6 +56,8 @@ def main() -> None:
     if scale == "tiny":
         cfg = vlm.VLMConfig.tiny()
         T = min(T, 16)
+    elif scale == "13b":
+        cfg = vlm.VLMConfig.openvla_13b()
     else:
         cfg = vlm.VLMConfig.openvla_7b()
     # remat everywhere: training at 7B scale cannot hold per-layer scores
@@ -66,11 +69,23 @@ def main() -> None:
     S = cfg.vision[0].image_size
     codec = ActionCodec(vocab_size=min(cfg.llm.vocab_size, 32000))
 
-    # init+quantize in ONE jit: materializing the bf16 tree and the int8 copy
-    # together (14 + 7 GB) OOMs the chip; fused, XLA frees bf16 leaves as the
-    # quantized ones are produced (same pattern as bench.py)
+    # quantized-tree init WITHOUT materializing the bf16 twin (at 13B even a
+    # fused init->quantize co-materializes a 5.7 GB bf16 stack with the int8
+    # tree); values are arbitrary — this is a throughput bench
     if quant == "int8":
-        init = jax.jit(lambda key: quantize_params(vlm.init_params(cfg, key)))
+        from openvla_probe_tpu.ops.linear import (
+            _DEFAULT_QUANT_SUFFIXES,
+            random_params_like,
+        )
+
+        suffixes = list(_DEFAULT_QUANT_SUFFIXES)
+        if os.environ.get("FT_QUANT_VIT", "1" if scale == "13b" else "0") == "1":
+            suffixes += ["qkv_w", "proj_w", "fc1_w", "fc2_w"]
+        shapes = jax.eval_shape(
+            lambda key: quantize_params(vlm.init_params(cfg, key),
+                                        suffixes=tuple(suffixes)),
+            jax.random.key(0))
+        init = jax.jit(lambda key: random_params_like(shapes, key))
     else:
         init = jax.jit(lambda key: vlm.init_params(cfg, key))
     params = init(jax.random.key(0))
@@ -129,7 +144,7 @@ def main() -> None:
 
     # model FLOPs estimate: 3x forward cost (fwd + 2x bwd), + remat recompute
     seq = 1 + cfg.num_patches + T - 1
-    n_llm = 6.74e9 if scale == "full" else 1e6
+    n_llm = {"full": 6.74e9, "13b": 13.0e9}.get(scale, 1e6)
     flops = 3 * 2 * n_llm * seq * B
     print(json.dumps({
         "metric": "7B LoRA finetune examples/sec/chip",

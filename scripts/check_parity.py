@@ -109,22 +109,14 @@ def _full_model(quant: bool, quant_vit: bool):
 
     cfg = vlm.VLMConfig.openvla_7b()
     if quant:
-        import dataclasses
-
-        import jax.numpy as jnp
-
         from openvla_probe_tpu.ops.linear import quantize_params
 
         # the FULL turbo numerics bench.py ships (not just weight rounding):
         # int8 weights + bf16 attention scores + bf16 RoPE — the measured
-        # perturbation then covers the deployed turbo config end-to-end
-        cfg = dataclasses.replace(
-            cfg,
-            llm=dataclasses.replace(cfg.llm, attn_scores_dtype=jnp.bfloat16,
-                                    rope_dtype=jnp.bfloat16),
-            vision=tuple(dataclasses.replace(v, attn_scores_dtype=jnp.bfloat16)
-                         for v in cfg.vision),
-        )
+        # perturbation then covers the deployed turbo config end-to-end.
+        # Single definition (vlm.VLMConfig.turbo) so the certificate can
+        # never drift from the shipped bench config.
+        cfg = cfg.turbo()
         llm_suffixes = ("q_proj", "k_proj", "v_proj", "o_proj",
                         "gate_proj", "up_proj", "down_proj", "lm_head")
         vit_suffixes = ("qkv_w", "proj_w", "fc1_w", "fc2_w")

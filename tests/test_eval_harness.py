@@ -81,10 +81,10 @@ def test_load_jsonl_dataset(tmp_path):
 def test_closed_set_with_injected_scorer():
     calls = []
 
-    def score_fn(params, cfg, prompt_ids, cand_ids, pixel_values=None):
-        calls.append((list(prompt_ids), [list(c) for c in cand_ids]))
+    def score_fn(params, cfg, rows, pixel_values=None):
+        calls.append([(list(f), s) for f, s in rows])
         # prefer the LONGEST candidate (deterministic, content-dependent)
-        return np.asarray([float(len(c)) for c in cand_ids])
+        return np.asarray([float(len(f) - s) for f, s in rows])
 
     examples = [
         EvalExample(question="pick the long one",
@@ -177,3 +177,53 @@ def test_closed_set_real_tiny_model_self_consistency():
     )
     assert report["accuracy"] == 1.0
     assert report["results"][0]["scores"][0] > report["results"][0]["scores"][1]
+
+
+def test_continuation_split_per_candidate_context():
+    from openvla_probe_tpu.eval.harness import _continuation_split
+
+    class MergeTok:
+        """Simulates the sentencepiece boundary re-merge: a trailing space
+        token merges with 'blue' but not with '7'."""
+
+        def encode(self, s):
+            if s.endswith("Out: "):
+                return [1, 10, 99]          # 99 = lone trailing space
+            if s.endswith("Out: blue"):
+                return [1, 10, 77]          # re-merged "▁blue" (99 gone)
+            if s.endswith("Out: 7"):
+                return [1, 10, 99, 55]      # no merge
+            return [1, 10]
+
+    tok = MergeTok()
+    full_b, i_b = _continuation_split(tok, "Out: ", "blue")
+    assert full_b == [1, 10, 77] and i_b == 2    # context EXCLUDES the stale 99
+    full_7, i_7 = _continuation_split(tok, "Out: ", "7")
+    assert full_7 == [1, 10, 99, 55] and i_7 == 3
+
+
+def test_continuation_split_rejects_absorbed():
+    from openvla_probe_tpu.eval.harness import _continuation_split
+
+    class AbsorbTok:
+        def encode(self, s):
+            return [1, 10, 99]  # continuation adds nothing
+
+    with pytest.raises(ValueError, match="adds no tokens"):
+        _continuation_split(AbsorbTok(), "Out: ", "")
+
+
+def test_loader_resolves_answer_to_index(tmp_path):
+    p = tmp_path / "eval2.jsonl"
+    rows = [{"question": "Q", "choices": ["a", "b"], "answer": "b"}]
+    p.write_text("\n".join(json.dumps(r) for r in rows))
+    ex = load_jsonl_dataset(str(p))
+    assert ex[0].answer_idx == 1
+
+
+def test_closed_set_rejects_missing_answer_idx():
+    examples = [EvalExample(question="q", choices=["a", "b"], answer_idx=-1)]
+    with pytest.raises(ValueError, match="answer_idx"):
+        evaluate_closed_set(params={}, cfg=None, tokenizer=FakeTok(),
+                            examples=examples,
+                            score_fn=lambda *a, **k: np.zeros(2))
