@@ -226,7 +226,14 @@ def train_probes(
         return nll.mean((1, 2)).sum()
 
     @jax.jit
-    def step(params, opt_state, xb, yb):
+    def step(params, opt_state, x_all, y_all, idx):
+        # data stays DEVICE-RESIDENT across the whole run; each step gathers
+        # its batch on-device from the epoch permutation. (Slicing on host
+        # shipped [L, B, D] — 2.2 GB at LIBERO scale — host->device EVERY
+        # step: ~90 GB of PCIe/tunnel traffic per training run.)
+        xb = jnp.take(x_all, idx, axis=1)
+        yb = jnp.take(y_all, idx, axis=0)
+
         def loss_fn(p):
             logits = jnp.einsum("lbd,lkd->lbk", xb, p["w"]) + p["b"][:, None, :]
             return head_loss(logits, yb)
@@ -235,6 +242,8 @@ def train_probes(
         updates, opt_state = optimizer.update(grads, opt_state, params)
         return optax.apply_updates(params, updates), opt_state, loss
 
+    x_tr_d = jnp.asarray(x_tr, jnp.float32)     # [L, Ntr, D] one transfer
+    y_tr_d = jnp.asarray(y_tr)
     n_tr = x_tr.shape[1]
     g = np.random.default_rng(cfg.seed)
     for _ in range(cfg.epochs):
@@ -242,9 +251,7 @@ def train_probes(
         for s in range(0, n_tr, cfg.batch_size):
             idx = order[s : s + cfg.batch_size]
             _p, opt_state, _ = step(
-                params, opt_state,
-                jnp.asarray(x_tr[:, idx].astype(np.float32)),
-                jnp.asarray(y_tr[idx]),
+                params, opt_state, x_tr_d, y_tr_d, jnp.asarray(idx),
             )
             params = _p
 

@@ -72,8 +72,6 @@ def main() -> None:
         "unit": "s",
         "layers": L,
         "dims": D,
-        "labels_kept": int(out["records"][0].get("n_labels", -1))
-        if out["records"] else -1,
         "frames": frames,
         "epochs": epochs,
         "best_layer": int(best["layer"]),
