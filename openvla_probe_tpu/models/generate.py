@@ -25,12 +25,28 @@ def _bucket(n: int, step: int = 64) -> int:
     return ((n + step - 1) // step) * step
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "max_new_tokens"))
+@functools.partial(jax.jit, static_argnames=("cfg", "max_new_tokens", "do_sample", "top_k"))
 def _generate_jit(
     params, cfg: vlm.VLMConfig,
     input_ids, prompt_len, pixel_values,
     max_new_tokens: int,
+    do_sample: bool = False,
+    temperature=1.0,
+    top_k: int = 50,
+    rng_key=None,
 ):
+    def pick(logits, t):
+        """Next token: greedy argmax, or temperature/top-k sampling (the
+        reference REPL's do_sample/temperature flags route into HF generate,
+        whose sampling default applies top_k=50 — mirrored here)."""
+        if not do_sample:
+            return logits.argmax(-1).astype(jnp.int32)
+        lg = logits.astype(jnp.float32) / jnp.maximum(temperature, 1e-6)
+        if top_k:
+            kth = jax.lax.top_k(lg, top_k)[0][:, -1:]
+            lg = jnp.where(lg < kth, -jnp.inf, lg)
+        return jax.random.categorical(jax.random.fold_in(rng_key, t), lg).astype(jnp.int32)
+
     B, P = input_ids.shape
     prompt_mask = (jnp.arange(P)[None] < prompt_len[:, None]).astype(jnp.int32)
     if pixel_values is not None:
@@ -57,7 +73,7 @@ def _generate_jit(
     )[:, 0]
     from ..ops.linear import matmul_t
 
-    first = matmul_t(last_h, params["llm"]["lm_head"]).argmax(-1).astype(jnp.int32)
+    first = pick(matmul_t(last_h, params["llm"]["lm_head"]), 0)
     slots = jnp.arange(S)[None, :]
 
     def step(carry, t):
@@ -67,7 +83,7 @@ def _generate_jit(
         valid = (slots < mm_len[:, None]) | ((slots >= T) & (slots <= T + t))
         o = llama.forward(params["llm"], cfg.llm, e, valid.astype(jnp.int32), pos,
                           cache=cache, cache_index=jnp.int32(T) + t)
-        nxt = o["logits"][:, -1].argmax(-1).astype(jnp.int32)
+        nxt = pick(o["logits"][:, -1], t + 1)
         done = done | (tok == EOS_TOKEN_ID)
         nxt = jnp.where(done, EOS_TOKEN_ID, nxt)
         return (o["cache"], nxt, done), nxt
@@ -79,6 +95,44 @@ def _generate_jit(
     return jnp.concatenate([first[:, None], toks.T], axis=1)  # [B, max_new_tokens]
 
 
+def generate_text(
+    params: Dict[str, Any],
+    cfg: vlm.VLMConfig,
+    tokenizer: Any,
+    prompt_ids: Sequence[int],
+    pixel_values: Optional[jnp.ndarray] = None,
+    max_new_tokens: int = 128,
+    do_sample: bool = False,
+    temperature: float = 1.0,
+    top_k: int = 50,
+    seed: int = 0,
+) -> str:
+    """Single-prompt generation -> decoded text (EOS-trimmed).
+
+    do_sample=False is greedy (bit-exact path); do_sample=True mirrors the
+    reference REPL's temperature sampling (scripts/generate.py:44-45,119-120
+    -> HF generate, whose sampling default applies top_k=50)."""
+    ids = list(prompt_ids)
+    P = _bucket(len(ids))
+    padded = np.zeros((1, P), np.int32)
+    padded[0, : len(ids)] = ids
+    toks = np.asarray(_generate_jit(
+        params, cfg, jnp.asarray(padded), jnp.asarray([len(ids)], jnp.int32),
+        None if pixel_values is None else jnp.asarray(pixel_values),
+        max_new_tokens,
+        do_sample=do_sample,
+        temperature=jnp.float32(temperature),
+        top_k=top_k if do_sample else 0,
+        rng_key=jax.random.key(seed) if do_sample else jax.random.key(0),
+    ))[0]
+    out = []
+    for t in toks:
+        if t == EOS_TOKEN_ID:
+            break
+        out.append(int(t))
+    return tokenizer.decode(out, skip_special_tokens=True).strip()
+
+
 def generate_greedy(
     params: Dict[str, Any],
     cfg: vlm.VLMConfig,
@@ -88,21 +142,8 @@ def generate_greedy(
     max_new_tokens: int = 128,
 ) -> str:
     """Single-prompt greedy generation -> decoded text (EOS-trimmed)."""
-    ids = list(prompt_ids)
-    P = _bucket(len(ids))
-    padded = np.zeros((1, P), np.int32)
-    padded[0, : len(ids)] = ids
-    toks = np.asarray(_generate_jit(
-        params, cfg, jnp.asarray(padded), jnp.asarray([len(ids)], jnp.int32),
-        None if pixel_values is None else jnp.asarray(pixel_values),
-        max_new_tokens,
-    ))[0]
-    out = []
-    for t in toks:
-        if t == EOS_TOKEN_ID:
-            break
-        out.append(int(t))
-    return tokenizer.decode(out, skip_special_tokens=True).strip()
+    return generate_text(params, cfg, tokenizer, prompt_ids, pixel_values,
+                         max_new_tokens)
 
 
 IGNORE_INDEX = -100

@@ -22,6 +22,10 @@ class GenerateConfig:
     model_path: str = "prism-dinosiglip-224px+7b"
     max_new_tokens: int = 128
     image: str = ""                       # local image path
+    # reference REPL sampling flags (scripts/generate.py:44-45)
+    do_sample: bool = False
+    temperature: float = 1.0
+    seed: int = 0
 
 
 def main(cfg: GenerateConfig) -> None:
@@ -49,9 +53,11 @@ def main(cfg: GenerateConfig) -> None:
             msg = input("|=> Enter Prompt: ")
             prompt_text = builder.get_potential_prompt(msg)
             ids = tokenizer.encode(prompt_text)
-            text = gen.generate_greedy(
+            text = gen.generate_text(
                 bundle["params"], bundle["cfg"], tokenizer, ids,
                 pixel_values=pixels, max_new_tokens=cfg.max_new_tokens,
+                do_sample=cfg.do_sample, temperature=cfg.temperature,
+                seed=cfg.seed,
             )
             builder.add_turn("human", msg)
             builder.add_turn("gpt", text)

@@ -227,3 +227,30 @@ def test_closed_set_rejects_missing_answer_idx():
         evaluate_closed_set(params={}, cfg=None, tokenizer=FakeTok(),
                             examples=examples,
                             score_fn=lambda *a, **k: np.zeros(2))
+
+
+def test_generate_sampling_modes():
+    """Greedy unchanged; sampling is deterministic per seed, varies across
+    seeds, and temperature->0 collapses to greedy."""
+    cfg = vlm.VLMConfig.tiny()
+    params = vlm.init_params(cfg, jax.random.key(0))
+    tok = FakeTok()
+    ids = tok.encode("In: hello world what is this \nOut: ")
+
+    g0 = gen.generate_text(params, cfg, tok, ids, max_new_tokens=6)
+    g1 = gen.generate_greedy(params, cfg, tok, ids, max_new_tokens=6)
+    assert g0 == g1
+
+    s_a = gen.generate_text(params, cfg, tok, ids, max_new_tokens=6,
+                            do_sample=True, temperature=5.0, seed=1)
+    s_a2 = gen.generate_text(params, cfg, tok, ids, max_new_tokens=6,
+                             do_sample=True, temperature=5.0, seed=1)
+    assert s_a == s_a2  # deterministic per seed
+    outs = {gen.generate_text(params, cfg, tok, ids, max_new_tokens=6,
+                              do_sample=True, temperature=5.0, seed=s)
+            for s in range(6)}
+    assert len(outs) > 1  # high temperature actually samples
+
+    cold = gen.generate_text(params, cfg, tok, ids, max_new_tokens=6,
+                             do_sample=True, temperature=1e-4, seed=3)
+    assert cold == g0  # temperature -> 0 collapses to greedy
