@@ -70,3 +70,58 @@ def test_quantized_kv_cache_decode_runs(rng):
     assert out["logits"].shape == (1, 3, cfg.vocab_size)
     assert out["cache"].k.shape == (cfg.num_hidden_layers, 1, 16,
                                     cfg.num_key_value_heads, cfg.head_dim)
+
+
+def test_random_params_like_sane():
+    """Benchmark init: int8 codes + positive scales at the absmax/127
+    operating point, finite end-to-end logits through a quantized model."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from openvla_probe_tpu.models import vlm
+    from openvla_probe_tpu.ops.linear import quantize_params, random_params_like
+
+    cfg = vlm.VLMConfig.tiny()
+    shapes = jax.eval_shape(
+        lambda key: quantize_params(vlm.init_params(cfg, key)), jax.random.key(0))
+    params = jax.jit(lambda k: random_params_like(shapes, k))(jax.random.key(1))
+
+    qp = params["llm"]["layers"]["q_proj"]
+    assert qp["q"].dtype == jnp.int8
+    s = np.asarray(qp["s"])
+    assert (s > 0).all() and s.max() < 1e-2  # positive, small scales
+
+    rng = np.random.default_rng(0)
+    B, T, S = 2, 8, cfg.vision[0].image_size
+    out = vlm.forward(
+        params, cfg,
+        jnp.asarray(rng.integers(2, cfg.llm.vocab_size, (B, T)), jnp.int32),
+        jnp.ones((B, T), jnp.int32),
+        jnp.asarray(rng.normal(size=(B, 6, S, S)), jnp.float32),
+    )
+    assert bool(jnp.isfinite(out["logits"]).all())
+
+
+def test_turbo_config_fields():
+    """VLMConfig.turbo changes ONLY the documented numerics fields."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from openvla_probe_tpu.models import vlm
+
+    base = vlm.VLMConfig.tiny()
+    t = base.turbo()
+    assert t.llm.attn_scores_dtype == jnp.bfloat16
+    assert t.llm.rope_dtype == jnp.bfloat16
+    for v in t.vision:
+        assert v.attn_scores_dtype == jnp.bfloat16
+    # everything else identical
+    assert dataclasses.replace(
+        t,
+        llm=dataclasses.replace(t.llm, attn_scores_dtype=base.llm.attn_scores_dtype,
+                                rope_dtype=base.llm.rope_dtype),
+        vision=tuple(dataclasses.replace(v, attn_scores_dtype=bv.attn_scores_dtype)
+                     for v, bv in zip(t.vision, base.vision)),
+    ) == base
