@@ -48,7 +48,6 @@ def main() -> None:
                                        action_dim=action_dim)
         img_hw = (64, 64)
     else:
-        import dataclasses
 
         # BENCH_SCALE=13b: Llama-2-13B trunk (13 GB int8 on one 16 GB chip)
         cfg = (vlm.VLMConfig.openvla_13b() if scale == "13b"

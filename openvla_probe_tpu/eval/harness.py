@@ -105,13 +105,15 @@ def load_jsonl_dataset(
             answers = row.get("answers") or ([row["answer"]] if "answer" in row else [])
             choices = [str(c) for c in row.get("choices", [])]
             answer_idx = int(row.get("answer_idx", -1))
-            if answer_idx < 0 and choices and len(answers) == 1:
+            if answer_idx < 0 and choices and answers:
                 # "answer" given as a string: resolve it against the choices
-                # (an unresolved -1 would make closed-set accuracy read 0)
-                try:
-                    answer_idx = choices.index(str(answers[0]))
-                except ValueError:
-                    pass
+                # (an unresolved -1 would skip the example downstream).
+                # VQA-normalized comparison so "yes" matches "Yes".
+                norm_choices = [normalize_answer(c) for c in choices]
+                for a in answers:
+                    if normalize_answer(str(a)) in norm_choices:
+                        answer_idx = norm_choices.index(normalize_answer(str(a)))
+                        break
             img = None
             if row.get("image"):
                 p = Path(row["image"])
@@ -129,7 +131,10 @@ def load_jsonl_dataset(
     return out
 
 
-def _continuation_split(tokenizer: Any, prompt: str, continuation: str) -> Tuple[List[int], int]:
+def _continuation_split(
+    tokenizer: Any, prompt: str, continuation: str,
+    base_ids: Optional[List[int]] = None,
+) -> Tuple[List[int], int]:
     """Tokenize `prompt + continuation` and return (full_ids, start) where
     full_ids[start:] is the continuation's token span.
 
@@ -139,7 +144,7 @@ def _continuation_split(tokenizer: Any, prompt: str, continuation: str) -> Tuple
     scored against ITS OWN context full_ids[:start], not a shared prompt
     tokenization (which would condition re-merging choices on a double
     space and bias the ranking)."""
-    base = list(tokenizer.encode(prompt))
+    base = list(base_ids) if base_ids is not None else list(tokenizer.encode(prompt))
     full = list(tokenizer.encode(prompt + continuation))
     i = 0
     while i < len(base) and i < len(full) and base[i] == full[i]:
@@ -187,11 +192,15 @@ def evaluate_closed_set(
     prompt_builder_factory: Optional[Callable] = None,
     length_normalize: bool = False,
     score_fn: Optional[Callable] = None,      # injection point for tests
+    strict: bool = False,                     # raise on malformed examples
 ) -> Dict[str, Any]:
     """Multiple-choice accuracy via candidate logprob scoring.
 
-    Returns {"accuracy", "n", "results": [{id, predicted_idx, correct,
-    scores}]}. One bucketed jit call per example scores all its options.
+    Returns {"accuracy", "n", "n_skipped", "results": [{id, predicted_idx,
+    correct, scores}], "skipped": [...]}. One bucketed jit call per example
+    scores all its options. Malformed examples (unresolvable answer_idx,
+    fully-absorbed choice strings) skip with a recorded reason by default;
+    strict=True raises instead.
     """
     if score_fn is None:
         from ..models.generate import score_continuation_rows
@@ -199,19 +208,32 @@ def evaluate_closed_set(
         score_fn = score_continuation_rows
 
     results = []
+    skipped = []
     n_correct = 0
     for ex in examples:
         assert ex.choices, f"closed-set example {ex.example_id} has no choices"
         if ex.answer_idx < 0 or ex.answer_idx >= len(ex.choices):
-            raise ValueError(
-                f"closed-set example {ex.example_id} has answer_idx="
-                f"{ex.answer_idx} outside its {len(ex.choices)} choices — "
-                f"accuracy would silently read 0"
-            )
+            # a malformed example must not silently score 0 — but it must not
+            # abort an hours-long run either: strict raises, default skips
+            # loudly and reports the skip count in the summary
+            msg = (f"closed-set example {ex.example_id} has answer_idx="
+                   f"{ex.answer_idx} outside its {len(ex.choices)} choices")
+            if strict:
+                raise ValueError(msg)
+            skipped.append({"id": ex.example_id, "error": msg})
+            continue
         prompt = _build_prompt(ex.question, prompt_builder_factory)
-        # per-candidate (full tokenization, split point): each choice scores
-        # against its own context (see _continuation_split)
-        rows = [_continuation_split(tokenizer, prompt, c) for c in ex.choices]
+        base_ids = list(tokenizer.encode(prompt))  # loop-invariant per example
+        try:
+            # per-candidate (full tokenization, split point): each choice
+            # scores against its own context (see _continuation_split)
+            rows = [_continuation_split(tokenizer, prompt, c, base_ids=base_ids)
+                    for c in ex.choices]
+        except ValueError as e:
+            if strict:
+                raise
+            skipped.append({"id": ex.example_id, "error": str(e)})
+            continue
         px = _pixels_for(cfg, image_cfg, ex.image) if image_cfg is not None else None
         scores = np.asarray(score_fn(params, cfg, rows, pixel_values=px), np.float64)
         if length_normalize:
@@ -228,7 +250,7 @@ def evaluate_closed_set(
         })
     n = max(len(results), 1)
     return {"task": "closed_set", "accuracy": n_correct / n, "n": len(results),
-            "results": results}
+            "n_skipped": len(skipped), "skipped": skipped, "results": results}
 
 
 def evaluate_open_ended(

@@ -224,7 +224,11 @@ def random_params_like(shapes: Any, key: jax.Array, weight_scale: float = 0.02) 
     only; values are sane (finite logits) but arbitrary."""
     flat, treedef = jax.tree_util.tree_flatten_with_path(shapes)
     ks = jax.random.split(key, len(flat))
-    s_lo = weight_scale / 4.0 / 127.0
+    # absmax of ~4k draws from N(0, w) is ~4w (sqrt(2 ln K) ≈ 4.1 at K=4096),
+    # so per-channel scales land at ~4w/127 — the same operating point
+    # quantize(init(N(0, w))) produces, keeping value-dependent bench outputs
+    # (speculative acceptance, loss magnitudes) comparable across rounds
+    s_lo = weight_scale * 4.0 / 127.0
     leaves = []
     for (path, s), k in zip(flat, ks):
         name = path[-1].key if hasattr(path[-1], "key") else ""

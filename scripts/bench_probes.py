@@ -30,7 +30,6 @@ apply_platform_env()
 
 
 def main() -> None:
-    import dataclasses
 
     from openvla_probe_tpu.probe.train_probes import ProbeTrainConfig, train_probes
 

@@ -221,12 +221,22 @@ def test_loader_resolves_answer_to_index(tmp_path):
     assert ex[0].answer_idx == 1
 
 
-def test_closed_set_rejects_missing_answer_idx():
-    examples = [EvalExample(question="q", choices=["a", "b"], answer_idx=-1)]
+def test_closed_set_missing_answer_idx_skips_or_raises():
+    examples = [
+        EvalExample(question="q", choices=["a", "b"], answer_idx=-1),
+        EvalExample(question="ok", choices=["a", "b"], answer_idx=0),
+    ]
+    score = lambda *a, **k: np.asarray([1.0, 0.0])
+    # default: skip loudly, the rest of the run completes
+    report = evaluate_closed_set(params={}, cfg=None, tokenizer=FakeTok(),
+                                 examples=examples, score_fn=score)
+    assert report["n"] == 1 and report["n_skipped"] == 1
+    assert "answer_idx" in report["skipped"][0]["error"]
+    assert report["accuracy"] == 1.0
+    # strict: raise (CI/regression mode)
     with pytest.raises(ValueError, match="answer_idx"):
         evaluate_closed_set(params={}, cfg=None, tokenizer=FakeTok(),
-                            examples=examples,
-                            score_fn=lambda *a, **k: np.zeros(2))
+                            examples=examples, score_fn=score, strict=True)
 
 
 def test_generate_sampling_modes():
