@@ -54,6 +54,11 @@ class FinetuneConfig:
     # frozen-base footprint from 13.5 GB to 6.8 GB, adapters stay bf16
     quantize_base: bool = False
 
+    # resume from an adapter checkpoint dir written by a previous run's
+    # periodic saves (restores adapters AND Adam moments, continues the step
+    # count from the checkpoint name)
+    resume_adapter: Optional[str] = None
+
     wandb: bool = False
     run_id_note: Optional[str] = None
 
@@ -127,6 +132,16 @@ def main(cfg: FinetuneConfig) -> None:
     optimizer = make_optimizer(opt_cfg, lora_params)
     opt_state = optimizer.init(lora_params)
 
+    start_step = 1
+    if cfg.resume_adapter:
+        path = ckpt.latest_checkpoint(cfg.resume_adapter) or Path(cfg.resume_adapter)
+        restored = ckpt.load_checkpoint(path, {"lora": lora_params, "opt_state": opt_state})
+        lora_params, opt_state = restored["lora"], restored["opt_state"]
+        meta = ckpt.parse_checkpoint_name(Path(path).name)
+        if meta:
+            start_step = meta[0] + 1
+        overwatch.info(f"Resumed adapters from {path} at step {start_step - 1}")
+
     @functools.partial(jax.jit, donate_argnums=(0, 1))
     def step_fn(lora_params, opt_state, base, batch):
         (loss, metrics), grads = jax.value_and_grad(
@@ -141,7 +156,7 @@ def main(cfg: FinetuneConfig) -> None:
 
     it = iter(dataset)
     buf = []
-    for step in range(1, cfg.max_steps + 1):
+    for step in range(start_step, cfg.max_steps + 1):
         while len(buf) < cfg.batch_size:
             buf.append(next(it))
         batch = collator(buf[: cfg.batch_size])
@@ -166,7 +181,8 @@ def main(cfg: FinetuneConfig) -> None:
                 # finetune.py:326-335); the merged export happens ONCE at the
                 # end, leaf-by-leaf on the host
                 ckpt.save_checkpoint(run_dir / f"{tag}-adapter",
-                                     {"lora": lora_params}, step=step, loss=loss_val)
+                                     {"lora": lora_params, "opt_state": opt_state},
+                                     step=step, loss=loss_val)
                 overwatch.info(f"Saved adapter checkpoint at step {step}")
                 if step == cfg.max_steps:
                     merged = merge_and_unload_host(params, lora_params, lcfg)

@@ -190,3 +190,31 @@ def test_host_merge_matches_device_merge(tiny_setup):
     dq = np.asarray(devq["llm"]["layers"]["q_proj"]["q"], np.int32)
     hq = np.asarray(hostq["llm"]["layers"]["q_proj"]["q"], np.int32)
     assert np.abs(dq - hq).max() <= 1
+
+
+def test_adapter_checkpoint_roundtrip(tiny_setup, tmp_path):
+    """QLoRA adapter + Adam-state checkpointing: the finetune resume path.
+    Quantized {q,s} leaves and None (non-target) leaves survive orbax."""
+    from openvla_probe_tpu.training import checkpointing as ckpt
+    from openvla_probe_tpu.training.train_state import OptimizerConfig, make_optimizer
+
+    cfg, params, codec, batch = tiny_setup
+    qparams = quantize_params(params)
+    lcfg = lora.LoRAConfig(r=4)
+    lp = lora.init_lora_params(qparams, lcfg, jax.random.key(7))
+    lp = jax.tree.map(lambda x: x + 0.03 if x is not None else None, lp,
+                      is_leaf=lambda x: x is None)
+    opt = make_optimizer(OptimizerConfig(learning_rate=1e-3, lr_schedule_type="constant",
+                                         max_steps=5), lp)
+    opt_state = opt.init(lp)
+
+    path = ckpt.save_checkpoint(tmp_path / "adapter", {"lora": lp, "opt_state": opt_state},
+                                step=3, loss=1.25)
+    assert ckpt.parse_checkpoint_name(path.name)[0] == 3
+
+    template = {"lora": lora.init_lora_params(qparams, lcfg, jax.random.key(0)),
+                "opt_state": opt.init(lora.init_lora_params(qparams, lcfg, jax.random.key(0)))}
+    restored = ckpt.load_checkpoint(path, template)
+    for a, b in zip(jax.tree.leaves(restored["lora"]), jax.tree.leaves(lp)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert ckpt.latest_checkpoint(tmp_path / "adapter") == path
