@@ -175,6 +175,14 @@ def _build_prompt(question: str, prompt_builder_factory: Optional[Callable]) -> 
 def _pixels_for(cfg, image_cfg, image: Optional[np.ndarray]):
     if image is None:
         return None
+    if image_cfg is None:
+        # a caller who forgets image_cfg must not get a silently-blind vision
+        # benchmark (ADVICE r2 #2): strip images from the examples explicitly
+        # if a text-only ablation is intended
+        raise ValueError(
+            "example carries an image but image_cfg is None — pass the "
+            "model's ImageTransformConfig, or set ex.image=None for a "
+            "deliberate text-only ablation")
     import jax.numpy as jnp
 
     from ..ops.image import apply_image_transform
@@ -234,7 +242,7 @@ def evaluate_closed_set(
                 raise
             skipped.append({"id": ex.example_id, "error": str(e)})
             continue
-        px = _pixels_for(cfg, image_cfg, ex.image) if image_cfg is not None else None
+        px = _pixels_for(cfg, image_cfg, ex.image)
         scores = np.asarray(score_fn(params, cfg, rows, pixel_values=px), np.float64)
         if length_normalize:
             scores = scores / np.maximum([len(f) - s for f, s in rows], 1)
@@ -280,7 +288,7 @@ def evaluate_open_ended(
         assert ex.answers, f"open-ended example {ex.example_id} has no answers"
         prompt = _build_prompt(ex.question, prompt_builder_factory)
         prompt_ids = list(tokenizer.encode(prompt))
-        px = _pixels_for(cfg, image_cfg, ex.image) if image_cfg is not None else None
+        px = _pixels_for(cfg, image_cfg, ex.image)
         pred = generate_fn(params, cfg, tokenizer, prompt_ids, px)
         acc = grade(pred, ex.answers)
         total += acc

@@ -93,7 +93,8 @@ def init_lora_params(params: Any, cfg: LoRAConfig, key: jax.Array) -> Any:
     """Pytree of {'A': ..., 'B': ...} at target leaves, None elsewhere.
 
     Weights [*, out, in] -> A [*, r, in] gaussian, B [*, out, r] zeros.
-    Quantized {"q","s"} leaves count as single weights (adapters in bf16).
+    Quantized {"q","s"} leaves count as single weights; adapters are fp32
+    masters (see _weight_shape_dtype) cast to the activation dtype at use.
     """
     from ..ops.linear import is_quantized
 

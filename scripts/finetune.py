@@ -154,7 +154,16 @@ def main(cfg: FinetuneConfig) -> None:
     metrics = VLAMetrics(("jsonl", "wandb") if cfg.wandb else ("jsonl",),
                          run_id=exp_id, run_dir=run_dir)
 
-    it = iter(dataset)
+    # data-order-checkpointable stream: adapter checkpoints alone would
+    # restart RLDS from its earliest batches on resume (re-training on seen
+    # data, never reaching what the original run would have) — the cursor
+    # saves/restores alongside the adapters (ADVICE r2 #1)
+    stream = dataset.checkpointable_iterator(run_dir)
+    if cfg.resume_adapter and start_step > 1:
+        if not stream.restore_latest():
+            overwatch.info("No data-order checkpoint found; the resumed run "
+                           "re-reads the stream from the start")
+    it = iter(stream)
     buf = []
     for step in range(start_step, cfg.max_steps + 1):
         while len(buf) < cfg.batch_size:
@@ -174,6 +183,7 @@ def main(cfg: FinetuneConfig) -> None:
         if step % cfg.save_steps == 0 or step == cfg.max_steps:
             tag = "latest" if cfg.save_latest_checkpoint_only else f"step-{step:06d}"
             loss_val = float(jax.device_get(m["loss"]))
+            stream.save(step)
             if cfg.stream_lora or cfg.quantize_base:
                 # full-scale path: the device cannot hold base + merged
                 # simultaneously (13.5 GB each at 7B) — periodic saves are
