@@ -54,8 +54,13 @@ def main() -> None:
                else vlm.VLMConfig.openvla_7b())
         if quant == "int8":
             cfg = cfg.turbo()  # THE turbo numerics (single definition in vlm)
-        serving = vla.VLAServingConfig(vlm=cfg, prompt_pad_len=prompt_pad, action_dim=action_dim)
+        serving = vla.VLAServingConfig(vlm=cfg, prompt_pad_len=prompt_pad,
+                                       action_dim=action_dim,
+                                       tier="turbo" if quant == "int8" else "parity")
         img_hw = (256, 256)
+    # the A/B env knobs (OVLA_LEGACY_DECODE/SPLIT_PREFILL/KV_INT8/
+    # DECODE_UNROLL) are config fields now; apply them once, here
+    serving = serving.with_env_overrides()
 
     # init weights directly on device (bf16) — value-independent benchmark
     llm_suffixes = ("q_proj", "k_proj", "v_proj", "o_proj",

@@ -628,6 +628,7 @@ def decode_step(
     dec_k: jnp.ndarray,        # [L, B, A, Hkv, Dh] generated-token K buffer
     dec_v: jnp.ndarray,
     t: jnp.ndarray,            # scalar int32: decode-step index (slot for this token)
+    unroll_layers: bool = True,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """One greedy decode step. Returns (last_hidden [B, D], dec_k, dec_v)."""
     B = x.shape[0]
@@ -641,10 +642,8 @@ def decode_step(
     add_dec = jnp.where(dec_valid > 0, 0.0, NEG_INF)[:, None, None, :].astype(jnp.float32)
     valid_info = (pre_mask, dec_valid)
 
-    import os
-
     quantized_kv = isinstance(kv_pre, PrefillKVQ)
-    if os.environ.get("OVLA_DECODE_UNROLL", "1") == "1":
+    if unroll_layers:
         # unrolled layer loop: every slice index is STATIC, so XLA fuses the
         # per-layer reads of weights and frozen prefill K/V straight into the
         # dots (the scan's dynamic xs slicing materializes per-layer copies)
@@ -717,6 +716,7 @@ def greedy_decode(
     first_token: jnp.ndarray,  # [B] int32 (from the prefill logits)
     start_pos: jnp.ndarray,    # [B] absolute position of first_token
     n_steps: int,              # number of ADDITIONAL tokens to generate
+    unroll_layers: bool = True,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Greedy-decode `n_steps` tokens after `first_token`.
     Returns (tokens [B, n_steps], top1-top2 logit margins [B, n_steps])."""
@@ -733,7 +733,8 @@ def greedy_decode(
         e = embed_tokens(params, tok[:, None])
         pos = (start_pos + t)[:, None]
         hidden, dec_k, dec_v = decode_step(
-            params, cfg, e, pos, kv_pre, pre_mask, dec_k, dec_v, t
+            params, cfg, e, pos, kv_pre, pre_mask, dec_k, dec_v, t,
+            unroll_layers=unroll_layers,
         )
         logits = matmul_t(hidden, params["lm_head"]).astype(jnp.float32)
         nxt = logits.argmax(-1).astype(jnp.int32)

@@ -83,6 +83,10 @@ def load_vla(
     serving = vla.VLAServingConfig(
         vlm=bundle["cfg"], prompt_pad_len=prompt_pad_len,
         codec_vocab_size=_codec_vocab_size(path, bundle["cfg"]),
+        # int8 weights already forgo bit-parity, so the config says so — this
+        # is what unlocks turbo-tier features (speculative drafts) on the
+        # serving-tier matrix (VLAServingConfig docstring)
+        tier="turbo" if quantize_int8 else "parity",
     )
     return vla.OpenVLA(
         params, serving, bundle["tokenizer"], norm_stats, bundle["image_cfg"]

@@ -27,10 +27,23 @@ OPENVLA_IMAGE_SIZE = 224
 
 def get_vla(cfg: Any) -> OpenVLA:
     """Load the serving model from cfg.pretrained_checkpoint (local dir)."""
+    import dataclasses
+
     model = load_vla(
         cfg.pretrained_checkpoint,
         quantize_int8=getattr(cfg, "load_in_8bit", False),
     )
+    if getattr(cfg, "speculative_decode", False) and model.cfg.tier == "parity":
+        # the eval harness makes this trade explicitly and loudly: in parity
+        # tier, speculative greedy equality is margin-certified (PARITY_r03
+        # trained-weight measurement), not bit-guaranteed — callers wanting
+        # the hard bit-equality contract should disable speculative_decode
+        # or serve int8 (load_in_8bit=True)
+        overwatch.warning(
+            "speculative_decode with a bf16 parity-tier model: greedy "
+            "equality is margin-certified, not bit-guaranteed; opting in "
+            "via speculative_in_parity='allow'")
+        model.cfg = dataclasses.replace(model.cfg, speculative_in_parity="allow")
     # optional stats override sidecar next to the checkpoint (reference :60-72)
     sidecar = Path(cfg.pretrained_checkpoint) / "dataset_statistics.json"
     if sidecar.exists():

@@ -128,7 +128,8 @@ def _full_model(quant: bool, quant_vit: bool):
     params = init(jax.random.key(0))   # SAME seed both modes
     jax.block_until_ready(params)
 
-    serving = vla.VLAServingConfig(vlm=cfg, prompt_pad_len=32)
+    serving = vla.VLAServingConfig(vlm=cfg, prompt_pad_len=32,
+                                   tier="turbo" if quant else "parity")
 
     class _Tok:
         def encode(self, t):

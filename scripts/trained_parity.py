@@ -233,6 +233,13 @@ def run_train(cfg, img_cfg, pad_len, base, images, targets, pc: TrainedParityCon
     lcfg = lora.LoRAConfig(r=pc.rank, include_lm_head=True)
     lora_params = jax.jit(
         lambda k: lora.init_lora_params(base, lcfg, k))(jax.random.key(pc.seed + 1))
+    prev = ckpt.latest_checkpoint(pc.run_dir)
+    if prev is not None:
+        # continue from the previous run's adapters (fresh Adam moments:
+        # they re-warm within ~20 steps) — lets a follow-up run push the
+        # margins further without repaying the converged steps
+        lora_params = ckpt.load_checkpoint(prev, {"lora": lora_params})["lora"]
+        overwatch.info(f"resuming adapters from {prev}")
     loss_fn = lora.make_lora_loss_with_base(
         functools.partial(vla_loss_fn, codec=codec, with_per_example=False),
         lcfg, stream=True)
@@ -355,13 +362,18 @@ def merge_requantize_on_device(holder, lcfg):
     return jax.tree_util.tree_unflatten(ptree, pflat)
 
 
-def make_model(params, cfg, img_cfg, pad_len):
+def make_model(params, cfg, img_cfg, pad_len, tier: str = "parity"):
     import numpy as np
 
     from openvla_probe_tpu.models import vla
 
-    serving = vla.VLAServingConfig(vlm=cfg, prompt_pad_len=pad_len,
-                                   codec_vocab_size=min(cfg.llm.vocab_size, 32000))
+    serving = vla.VLAServingConfig(
+        vlm=cfg, prompt_pad_len=pad_len,
+        codec_vocab_size=min(cfg.llm.vocab_size, 32000),
+        tier=tier,
+        # this harness MEASURES the parity-tier speculative disagreement the
+        # serving gate exists to prevent — explicit opt-in
+        speculative_in_parity="allow")
     stats = {"bridge_orig": {"action": {
         "q01": -np.ones(7, np.float32), "q99": np.ones(7, np.float32),
         "mask": np.array([True] * 6 + [False]),
@@ -540,7 +552,7 @@ def main(pc: TrainedParityConfig) -> None:
     turbo_tree = merge_requantize_on_device(holder, lcfg)
     gc.collect()
     tcfg = cfg.turbo() if pc.scale == "full" else cfg
-    model = make_model(turbo_tree, tcfg, img_cfg, pad_len)
+    model = make_model(turbo_tree, tcfg, img_cfg, pad_len, tier="turbo")
     t0 = time.time()
     t_toks, t_margins, t_fl = run_eval_mode(model, images, pc.int8_batch)
     overwatch.info(f"int8 eval done in {time.time() - t0:.0f}s")

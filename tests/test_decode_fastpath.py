@@ -62,15 +62,16 @@ def _run(params, serving, ex, collect=False):
 
 
 @pytest.mark.parametrize("kv_heads", [4, 2])  # MHA and GQA
-def test_fastpath_matches_legacy(kv_heads, monkeypatch):
+def test_fastpath_matches_legacy(kv_heads):
+    import dataclasses
+
     llm_cfg = _tiny_cfg(num_key_value_heads=kv_heads)
     cfg, serving, params = _serving(llm_cfg)
     ex = _example(serving)
 
-    monkeypatch.setenv("OVLA_LEGACY_DECODE", "1")
     legacy = _run(params, serving, ex, collect=True)
-    monkeypatch.setenv("OVLA_LEGACY_DECODE", "0")
-    fast = _run(params, serving, ex, collect=True)
+    fast = _run(params, dataclasses.replace(serving, decode_impl="frozen_kv"),
+                ex, collect=True)
 
     np.testing.assert_array_equal(
         np.asarray(legacy["action_tokens"]), np.asarray(fast["action_tokens"])
@@ -160,28 +161,26 @@ def test_fused_serving_weights_token_identical(quantized):
     np.testing.assert_array_equal(
         np.asarray(want["actions"]), np.asarray(got["actions"]))
     # fast path too
-    os.environ["OVLA_LEGACY_DECODE"] = "0"
-    try:
-        got_fast = _run(fused, serving, ex)
-    finally:
-        os.environ.pop("OVLA_LEGACY_DECODE")
+    import dataclasses
+
+    got_fast = _run(fused, dataclasses.replace(serving, decode_impl="frozen_kv"), ex)
     np.testing.assert_array_equal(
         np.asarray(want["action_tokens"]), np.asarray(got_fast["action_tokens"]))
 
 
 @pytest.mark.parametrize("kv_heads", [4, 2])
-def test_split_prefill_matches_carry(kv_heads, monkeypatch):
+def test_split_prefill_matches_carry(kv_heads):
     """Hybrid path (ys-emitted prefill KV padded into the S-slot cache) must be
     token- and capture-identical to the carry-based cached prefill."""
+    import dataclasses
+
     llm_cfg = _tiny_cfg(num_key_value_heads=kv_heads)
     cfg, serving, params = _serving(llm_cfg)
     ex = _example(serving, seed=3)
 
-    monkeypatch.setenv("OVLA_LEGACY_DECODE", "1")
-    monkeypatch.setenv("OVLA_SPLIT_PREFILL", "0")
     carry = _run(params, serving, ex, collect=True)
-    monkeypatch.setenv("OVLA_SPLIT_PREFILL", "1")
-    hybrid = _run(params, serving, ex, collect=True)
+    hybrid = _run(params, dataclasses.replace(serving, split_prefill=True),
+                  ex, collect=True)
 
     np.testing.assert_array_equal(
         np.asarray(carry["action_tokens"]), np.asarray(hybrid["action_tokens"])
@@ -216,18 +215,19 @@ def test_split_attention_i8_close_to_bf16():
     np.testing.assert_allclose(got, exact, atol=0.05, rtol=0.05)
 
 
-def test_kv_int8_e2e_actions_close(monkeypatch):
-    """Full predict_action with OVLA_KV_INT8: decodes run, outputs stay close
+def test_kv_int8_e2e_actions_close():
+    """Full predict_action with kv_int8: decodes run, outputs stay close
     to the bf16 split path (same structure, int8 prefill KV)."""
+    import dataclasses
+
     llm_cfg = _tiny_cfg(num_key_value_heads=2)
     cfg, serving, params = _serving(llm_cfg)
     ex = _example(serving, seed=11)
 
-    monkeypatch.setenv("OVLA_LEGACY_DECODE", "0")
-    monkeypatch.setenv("OVLA_KV_INT8", "0")
-    ref = _run(params, serving, ex)
-    monkeypatch.setenv("OVLA_KV_INT8", "1")
-    got = _run(params, serving, ex)
+    frozen = dataclasses.replace(serving, decode_impl="frozen_kv")
+    kv8 = dataclasses.replace(frozen, kv_int8=True)
+    ref = _run(params, frozen, ex)
+    got = _run(params, kv8, ex)
     assert got["action_tokens"].shape == ref["action_tokens"].shape
     # normalized actions live in [-1,1]; int8 KV drift must stay small where
     # the reference margins are not degenerate (random weights -> compare
@@ -235,9 +235,8 @@ def test_kv_int8_e2e_actions_close(monkeypatch):
     np.testing.assert_array_equal(
         np.asarray(ref["action_tokens"][:, 0]), np.asarray(got["action_tokens"][:, 0])
     )
-    # scan path (OVLA_DECODE_UNROLL=0) agrees with the unrolled int8 path
-    monkeypatch.setenv("OVLA_DECODE_UNROLL", "0")
-    got_scan = _run(params, serving, ex)
+    # layer-scan decode (decode_unroll=False) agrees with the unrolled int8 path
+    got_scan = _run(params, dataclasses.replace(kv8, decode_unroll=False), ex)
     np.testing.assert_array_equal(
         np.asarray(got["action_tokens"]), np.asarray(got_scan["action_tokens"])
     )

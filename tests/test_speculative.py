@@ -136,8 +136,14 @@ def test_position_convention_under_extreme_rope():
 
 
 def test_openvla_wrapper_draft_roundtrip(model):
-    """The robot-loop usage: feed the previous call's tokens as the draft."""
+    """The robot-loop usage: feed the previous call's tokens as the draft.
+
+    Drafts are turbo-tier (the parity tier's gate is tested separately in
+    test_serving_tiers.py) — the wrapper here carries a turbo-tier config."""
+    import dataclasses
+
     serving, params, args, want = model
+    serving = dataclasses.replace(serving, tier="turbo")
 
     class _Tok:
         def encode(self, t):
