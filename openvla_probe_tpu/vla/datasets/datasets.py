@@ -114,12 +114,22 @@ class RLDSDataset:
         # balance_weights=True is hardcoded in the reference's rlds_config
         # (datasets.py:115): sampling probability = weight x frame count, and
         # __len__ is the expected-epoch length over primary datasets.
+        # multi-host training: each process reads a DISJOINT file-level shard
+        # of every mixture member (identical global statistics; the train loop
+        # assembles the global batch from per-process locals via
+        # jax.make_array_from_process_local_data). Single-process runs are
+        # unaffected (num_shards=None).
+        import jax
+
+        n_proc = jax.process_count()
         self.dataset, self.dataset_length, self.dataset_statistics = rlds_dataset.make_interleaved_dataset(
             per_dataset_kwargs,
             weights,
             train=train,
             shuffle_buffer_size=shuffle_buffer_size,
             balance_weights=True,
+            num_shards=n_proc if n_proc > 1 else None,
+            shard_index=jax.process_index(),
             traj_transform_threads=len(mixture_spec),
             traj_read_threads=len(mixture_spec),
             traj_transform_kwargs={

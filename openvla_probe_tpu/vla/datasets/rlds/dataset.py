@@ -34,22 +34,37 @@ overwatch = initialize_overwatch(__name__)
 def _tfds_trajectory_dataset(
     name: str, data_dir: str, split: str, num_parallel_reads: int,
     shuffle: bool = False,
+    num_shards: Optional[int] = None,
+    shard_index: int = 0,
 ) -> Tuple[tf.data.Dataset, Any]:
     """Build a trajectory dataset from a TFDS RLDS builder (steps -> batched
     into one tensor-stack per trajectory, the dlimp 'as_dataset' behavior).
     `shuffle` shuffles the tfrecord FILES (the reference's
     dl.DLataset.from_rlds(shuffle=True)) — without it trajectories stream in
     identical shard order every epoch and the frame shuffle buffer only
-    locally decorrelates."""
+    locally decorrelates.
+
+    `num_shards`/`shard_index`: multi-host data parallelism — shard at the
+    tfrecord-FILE level via the reader's input_context (shard-before-shuffle,
+    so per-host streams are disjoint by construction even with shuffled file
+    order; an after-the-shuffle ds.shard would overlap across hosts). The
+    reference reaches the same property through dlimp's reader
+    (/root/reference/prismatic/vla/datasets/rlds/dataset.py:527-532)."""
     import tensorflow_datasets as tfds
 
     builder = tfds.builder(name, data_dir=data_dir)
+    input_context = None
+    if num_shards is not None and num_shards > 1:
+        input_context = tf.distribute.InputContext(
+            num_input_pipelines=num_shards, input_pipeline_id=shard_index)
     ds = builder.as_dataset(
         split=split,
         shuffle_files=shuffle,
         decoders={"steps": tfds.decode.SkipDecoding()},
         read_config=tfds.ReadConfig(
-            skip_prefetch=True, num_parallel_calls_for_interleave_files=num_parallel_reads
+            skip_prefetch=True,
+            num_parallel_calls_for_interleave_files=num_parallel_reads,
+            input_context=input_context,
         ),
     )
 
@@ -85,6 +100,8 @@ def make_dataset_from_rlds(
     # per-dataset FRAME transforms (e.g. droid's chunk_filter_fn) are applied
     # after flattening by make_interleaved_dataset / make_single_dataset —
     # accepted here so oxe kwargs pass through intact (reference :543-551)
+    num_shards: Optional[int] = None,   # multi-host: per-process disjoint stream
+    shard_index: int = 0,
 ) -> Tuple[tf.data.Dataset, Dict[str, Any]]:
     """One RLDS dataset -> standardized trajectory dataset + statistics.
 
@@ -140,6 +157,10 @@ def make_dataset_from_rlds(
     if trajectory_dataset_fn is not None:
         split = "train" if train else "val"
         ds = trajectory_dataset_fn(split)
+        if num_shards is not None and num_shards > 1:
+            # custom sources: trajectory-level shard (deterministic sources
+            # give disjoint per-host coverage; statistics below stay GLOBAL)
+            ds = ds.shard(num_shards, shard_index)
         full_ds_for_stats = lambda: trajectory_dataset_fn(split)  # noqa: E731
         split_dep = split   # stats computed on THIS split: key the cache by it
     else:
@@ -156,7 +177,10 @@ def make_dataset_from_rlds(
                 "validation metrics will be computed on TRAINING data."
             )
         ds, _ = _tfds_trajectory_dataset(name, data_dir, split, num_parallel_reads,
-                                         shuffle=shuffle and train)
+                                         shuffle=shuffle and train,
+                                         num_shards=num_shards, shard_index=shard_index)
+        # statistics must be GLOBAL (every host normalizes identically):
+        # the stats scan never shards
         full_ds_for_stats = lambda: _tfds_trajectory_dataset(  # noqa: E731
             name, data_dir, "all", num_parallel_reads)[0]
         split_dep = "all"   # TFDS stats always scan the full dataset
@@ -376,11 +400,14 @@ def make_single_dataset(
     train: bool = True,
     traj_transform_kwargs: Optional[Dict] = None,
     frame_transform_kwargs: Optional[Dict] = None,
+    num_shards: Optional[int] = None,
+    shard_index: int = 0,
 ) -> Tuple[tf.data.Dataset, Dict[str, Any]]:
     """Build one dataset end-to-end: restructure -> traj transforms -> flatten
     -> frame transforms."""
     dftk = dataset_kwargs.get("dataset_frame_transform_kwargs") or {}
-    ds, stats = make_dataset_from_rlds(**dataset_kwargs, train=train)
+    ds, stats = make_dataset_from_rlds(**dataset_kwargs, train=train,
+                                       num_shards=num_shards, shard_index=shard_index)
     ds = apply_trajectory_transforms(ds, train=train, **(traj_transform_kwargs or {}))
     ds = flatten_trajectories(ds)
     ds = apply_per_dataset_frame_transforms(ds, **dftk)
@@ -400,6 +427,8 @@ def make_interleaved_dataset(
     balance_weights: bool = False,
     traj_transform_threads: Optional[int] = None,
     traj_read_threads: Optional[int] = None,
+    num_shards: Optional[int] = None,   # multi-host: per-process disjoint streams
+    shard_index: int = 0,
 ) -> Tuple[tf.data.Dataset, int, Dict[str, Dict[str, Any]]]:
     """Weighted mixture of datasets -> one shuffled frame stream
     (reference dataset.py:457-588): per-dataset threads allocated
@@ -449,6 +478,8 @@ def make_interleaved_dataset(
             num_parallel_calls=int(t_threads) if t_threads != tf.data.AUTOTUNE else tf.data.AUTOTUNE,
             num_parallel_reads=int(r_threads) if r_threads != tf.data.AUTOTUNE else tf.data.AUTOTUNE,
             dataset_statistics=_jsonable(all_stats[kwargs["name"]]),
+            num_shards=num_shards,
+            shard_index=shard_index,
         )
         ds = apply_trajectory_transforms(ds, train=train, **(traj_transform_kwargs or {}))
         ds = flatten_trajectories(ds)
