@@ -304,6 +304,94 @@ def params_to_hf_state(params: Dict[str, Any], cfg: vlm.VLMConfig) -> Dict[str, 
     return state
 
 
+def remap_prismatic_state(
+    model_state: Dict[str, Dict[str, Any]],
+    fused_vision: bool = True,
+) -> Dict[str, np.ndarray]:
+    """Reference-native component state dicts -> the HF-extern flat key scheme
+    `params_from_hf_state` consumes.
+
+    Mirrors the reference's remap (vla-scripts/extern/
+    convert_openvla_weights_to_hf.py:76-117): sequential projector indices ->
+    fc{1,2,3}, `llm.` -> `language_model.`, dino/siglip featurizer prefixes ->
+    vision_backbone.{featurizer,fused_featurizer}., DINOv2 LayerScale `gamma`
+    -> `scale_factor`. Values convert to numpy fp32 (torch bf16 has no numpy
+    dtype)."""
+    def np32(v):
+        if hasattr(v, "detach"):   # torch tensor
+            return v.detach().to("cpu").float().numpy()
+        return np.asarray(v, np.float32)
+
+    proj_map = {"projector.0": "projector.fc1", "projector.2": "projector.fc2",
+                "projector.4": "projector.fc3"}
+    out: Dict[str, np.ndarray] = {}
+    for key, v in model_state["projector"].items():
+        stem, leaf = key.rsplit(".", 1)
+        out[f"{proj_map[stem]}.{leaf}"] = np32(v)
+    for key, v in model_state["llm_backbone"].items():
+        out[key.replace("llm.", "language_model.", 1)] = np32(v)
+    for key, v in model_state["vision_backbone"].items():
+        if fused_vision and key.startswith("dino_featurizer."):
+            if key.endswith(".gamma"):
+                key = key.replace(".gamma", ".scale_factor")
+            out[key.replace("dino_featurizer.", "vision_backbone.featurizer.", 1)] = np32(v)
+        elif fused_vision and key.startswith("siglip_featurizer."):
+            out[key.replace("siglip_featurizer.", "vision_backbone.fused_featurizer.", 1)] = np32(v)
+        else:
+            out["vision_backbone." + key] = np32(v)
+    return out
+
+
+def load_prismatic_checkpoint(
+    config_json: Union[str, Path],
+    checkpoint_pt: Union[str, Path],
+    dataset_statistics_json: Optional[Union[str, Path]] = None,
+    dtype=jnp.bfloat16,
+) -> Dict[str, Any]:
+    """Load a reference-NATIVE training-run checkpoint (`config.json` +
+    `checkpoints/*.pt`) — the format the reference's `load()`/`load_vla()`
+    consume and the hub repos TRI-ML/prismatic-vlms + openvla/openvla-dev
+    store (reference prismatic/models/load.py:51-226).
+
+    config.json carries either {"model": {...}} (VLM run) or
+    {"vla": {"base_vlm": <ModelConfig id>}} (VLA run)."""
+    import torch
+
+    with open(config_json) as f:
+        raw = json.load(f)
+    if "vla" in raw:
+        from ..conf.models import ModelConfig
+
+        mc = ModelConfig.get_choice_class(raw["vla"]["base_vlm"])()
+        vision_id, llm_id = mc.vision_backbone_id, mc.llm_backbone_id
+        arch, resize = mc.arch_specifier, mc.image_resize_strategy
+    else:
+        m = raw["model"]
+        vision_id, llm_id = m["vision_backbone_id"], m["llm_backbone_id"]
+        arch = m.get("arch_specifier", "no-align+fused-gelu-mlp")
+        resize = m.get("image_resize_strategy", "resize-naive")
+    cfg, img_cfg, prompt_cls = build_vlm_config(vision_id, llm_id, arch, resize,
+                                                dtype=dtype)
+    model_state = torch.load(checkpoint_pt, map_location="cpu",
+                             weights_only=True)["model"]
+    state = remap_prismatic_state(model_state, fused_vision=len(cfg.vision) == 2)
+    emb = state.get("language_model.model.embed_tokens.weight")
+    if emb is not None and emb.shape[0] != cfg.llm.vocab_size:
+        # VLA runs resize the vocab for the pad token (32000 -> 32064); the
+        # checkpoint is the source of truth
+        import dataclasses
+
+        cfg = dataclasses.replace(
+            cfg, llm=dataclasses.replace(cfg.llm, vocab_size=int(emb.shape[0])))
+    params = params_from_hf_state(state, cfg)
+    norm_stats = {}
+    if dataset_statistics_json and Path(dataset_statistics_json).exists():
+        with open(dataset_statistics_json) as f:
+            norm_stats = json.load(f)
+    return {"params": params, "cfg": cfg, "image_cfg": img_cfg,
+            "prompt_builder": prompt_cls, "norm_stats": norm_stats}
+
+
 def load_openvla_hf_checkpoint(
     checkpoint_dir: Union[str, Path],
     dtype=jnp.bfloat16,
