@@ -200,9 +200,14 @@ def score_continuation_rows(
     starts[C:] = starts[0]
     pix = None
     if pixel_values is not None:
-        pix = jnp.broadcast_to(
-            jnp.asarray(pixel_values), (Cb, *np.shape(pixel_values)[-3:])
-        )
+        pv = jnp.asarray(pixel_values)
+        if pv.ndim == 4 and pv.shape[0] == C:
+            # per-row pixels (cross-example batching): pad rows to the bucket
+            pad = jnp.broadcast_to(pv[:1], (Cb - C, *pv.shape[1:]))
+            pix = jnp.concatenate([pv, pad], axis=0) if Cb > C else pv
+        else:
+            # one shared image for every row (single-example scoring)
+            pix = jnp.broadcast_to(pv, (Cb, *pv.shape[-3:]))
     scores = _score_jit(
         params, cfg, jnp.asarray(ids), jnp.asarray(row_len),
         jnp.asarray(starts), pix,

@@ -99,7 +99,20 @@ def test_closed_set_with_injected_scorer():
     assert report["results"][0]["correct"] is True
     assert report["results"][1]["correct"] is False
     assert report["accuracy"] == 0.5
+    # cross-example batching: both examples' rows share ONE scorer call
+    assert len(calls) == 1 and len(calls[0]) == 4
+
+    # per-example fallback (examples_per_batch=1) gives identical results
+    calls.clear()
+    solo = evaluate_closed_set(
+        params={}, cfg=None, tokenizer=FakeTok(), examples=examples,
+        score_fn=score_fn, examples_per_batch=1,
+    )
     assert len(calls) == 2
+    assert [r["predicted_idx"] for r in solo["results"]] == \
+        [r["predicted_idx"] for r in report["results"]]
+    assert [r["scores"] for r in solo["results"]] == \
+        [r["scores"] for r in report["results"]]
 
     # length normalization flips the longest-total-score preference
     report = evaluate_closed_set(
