@@ -16,7 +16,7 @@ from __future__ import annotations
 
 import re
 from pathlib import Path
-from typing import Dict, Iterator, List, Optional, Sequence, Union
+from typing import Any, Dict, Iterator, List, Optional, Sequence, Union
 
 import numpy as np
 
@@ -75,6 +75,33 @@ def load_episode(path: Union[str, Path]) -> Dict[str, np.ndarray]:
                 out[k] = np.asarray(v)
         return out
     raise ValueError(f"Unknown episode format: {path}")
+
+
+def export_episode_pt(src: Union[str, Path], dst: Optional[Union[str, Path]] = None) -> Path:
+    """Write a reference-schema `episode_N.pt` from one of our `.npz` episodes
+    (inverse of the `.pt` branch in `load_episode`), so the reference's
+    downstream scripts (train_linear_probes.py etc.) consume this repo's
+    rollouts directly: `visual_semantic_encoding` becomes a {layer: [T, D]
+    tensor} dict, label matrices become tensors (reference
+    run_libero_eval_object.py:352-366)."""
+    import torch
+
+    src = Path(src)
+    dst = Path(dst) if dst is not None else src.with_suffix(".pt")
+    dst.parent.mkdir(parents=True, exist_ok=True)
+    ep = load_episode(src)
+    hidden = np.asarray(ep["visual_semantic_encoding"], np.float32)  # [L+1, T, D]
+    payload: Dict[str, Any] = {
+        "visual_semantic_encoding": {
+            layer: torch.from_numpy(np.ascontiguousarray(hidden[layer]))
+            for layer in range(hidden.shape[0])
+        }
+    }
+    for k, v in ep.items():
+        if k != "visual_semantic_encoding":
+            payload[k] = torch.from_numpy(np.atleast_1d(np.asarray(v)))
+    torch.save(payload, dst)
+    return dst
 
 
 def list_episodes(data_dir: Union[str, Path]) -> List[Path]:

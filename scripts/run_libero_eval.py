@@ -58,6 +58,13 @@ class GenerateConfig:
     load_in_8bit: bool = False
     speculative_decode: bool = True          # draft = previous step's tokens
                                              # (token-exact; big latency win)
+    export_pt: bool = False                  # also write reference-schema
+                                             # episode_N.pt next to each .npz
+    # optional wandb logging (reference run_libero_eval_object.py:369-403)
+    use_wandb: bool = False
+    wandb_project: str = "openvla"
+    wandb_entity: Optional[str] = None
+    run_id_note: Optional[str] = None
 
 
 def load_label_keys(task_suite_name: str):
@@ -98,6 +105,16 @@ def main(cfg: GenerateConfig) -> None:
     run_dir.mkdir(parents=True, exist_ok=True)
     log = open(run_dir / "eval.log", "a")
 
+    wandb_run = None
+    if cfg.use_wandb:
+        import wandb
+
+        run_id = f"EVAL-{cfg.task_suite_name}-{Path(cfg.pretrained_checkpoint).name}"
+        if cfg.run_id_note:
+            run_id += f"--{cfg.run_id_note}"
+        wandb_run = wandb.init(entity=cfg.wandb_entity, project=cfg.wandb_project,
+                               name=run_id)
+
     writer = EpisodeWriter(run_dir)
     episode_counter, successes, total = 0, 0, 0
     for task_id in range(suite.n_tasks):
@@ -105,6 +122,7 @@ def main(cfg: GenerateConfig) -> None:
         init_states = suite.get_task_init_states(task_id)
         env, task_description = libero_utils.get_libero_env(task, cfg.model_family)
         detector = object_detectors.for_task(env, rel_keys, act_keys)
+        task_successes, task_episodes = 0, 0
 
         for ep in range(cfg.num_trials_per_task):
             env.reset()
@@ -155,7 +173,11 @@ def main(cfg: GenerateConfig) -> None:
                     )
                     obs, _, _, _ = env.step(libero_utils.get_libero_dummy_action())
 
-            writer.flush(episode_counter, success=success)
+            ep_path = writer.flush(episode_counter, success=success)
+            if cfg.export_pt:
+                from openvla_probe_tpu.probe.episodes import export_episode_pt
+
+                export_episode_pt(ep_path)
             if cfg.save_videos:
                 libero_utils.save_rollout_video(
                     frames, episode_counter, success, task_description, run_dir, log
@@ -163,14 +185,29 @@ def main(cfg: GenerateConfig) -> None:
             log.write(f"Episode {episode_counter} success: {success}\n")
             log.flush()
             successes += int(success)
+            task_successes += int(success)
+            task_episodes += 1
             total += 1
             episode_counter += 1
             overwatch.info(
                 f"[{cfg.task_suite_name}] task {task_id} ep {ep}: success={success} "
                 f"({successes}/{total} = {successes/total:.3f})"
             )
+        if wandb_run is not None:
+            # per-task rates, reference run_libero_eval_object.py:383-390
+            wandb_run.log({
+                f"success_rate/{task_description}": task_successes / max(task_episodes, 1),
+                f"num_episodes/{task_description}": task_episodes,
+            })
     log.write(f"FINAL success rate: {successes}/{total} = {successes/total:.4f}\n")
     log.close()
+    if wandb_run is not None:
+        wandb_run.log({
+            "success_rate/total": successes / max(total, 1),
+            "num_episodes/total": total,
+        })
+        wandb_run.save(str(run_dir / "eval.log"))
+        wandb_run.finish()
 
 
 if __name__ == "__main__":
