@@ -179,6 +179,39 @@ def main() -> None:
     dt = (time.time() - t0) / n_calls
 
     calls_per_s = batch / dt
+
+    # bs=1 speculative robot-loop point (BENCH_BS1=0 to skip): rides every
+    # BENCH artifact next to the throughput point, so the latency story isn't
+    # only in the README table. Draft = the model's own row-0 tokens (the
+    # steady-state full-acceptance operating mode).
+    extra = {}
+    if (scale != "tiny" and not speculative and not capture
+            and action_dim == 7 and os.environ.get("BENCH_BS1", "1") == "1"):
+        from openvla_probe_tpu.ops.image import apply_image_transform
+
+        def spec1(params, image_u8, input_ids, prompt_len, draft_tokens,
+                  q01, q99, action_mask):
+            pixels = apply_image_transform(image_u8, img_cfg).astype(cfg.llm.dtype)
+            return vla.predict_action_speculative_core(
+                params, serving, pixels, input_ids, prompt_len, draft_tokens,
+                q01, q99, action_mask)
+
+        spec1_fn = jax.jit(spec1)
+        args1 = {k: v[:1] for k, v in args.items()}
+        args1["draft_tokens"] = jnp.asarray(
+            np.asarray(out["action_tokens"])[:1], jnp.int32)
+        _ = np.asarray(spec1_fn(params, **args1)["action_tokens"])  # compile
+        for _ in range(3):
+            _ = np.asarray(spec1_fn(params, **args1)["action_tokens"])
+        t0 = time.time()
+        n1 = max(n_calls, 20)
+        for _ in range(n1):
+            o1 = spec1_fn(params, **args1)
+        _ = np.asarray(o1["action_tokens"])
+        dt1 = (time.time() - t0) / n1
+        extra = {"bs1_spec_p50_ms": round(dt1 * 1e3, 2),
+                 "bs1_spec_accepted": int(np.asarray(o1["n_accepted"])[0])}
+
     print(json.dumps({
         "metric": "predict_action calls/sec/chip (7-DoF @ 224px)",
         "value": round(calls_per_s, 3),
@@ -193,6 +226,7 @@ def main() -> None:
         **({"speculative": True,
             "n_accepted": int(np.asarray(out["n_accepted"])[0])} if speculative else {}),
         **({"capture": True} if capture else {}),
+        **extra,
     }))
 
 
