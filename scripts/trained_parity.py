@@ -87,6 +87,10 @@ class TrainedParityConfig:
     int8_batch: int = 16
     spec_images: int = 32                # spec-vs-sequential check set size
     rollout_steps: int = 24              # morphing-frame acceptance rollout
+    # which quantized serving tier the int8 phase certifies: "turbo" (the
+    # bench headline) or "turbo_kv8" (+ int8 frozen prefill KV — the wider
+    # perturbation row of the tier matrix)
+    int8_tier: str = "turbo"
 
 
 class CRC32Tokenizer:
@@ -371,6 +375,8 @@ def make_model(params, cfg, img_cfg, pad_len, tier: str = "parity"):
         vlm=cfg, prompt_pad_len=pad_len,
         codec_vocab_size=min(cfg.llm.vocab_size, 32000),
         tier=tier,
+        decode_impl="frozen_kv" if tier == "turbo_kv8" else "stacked",
+        kv_int8=(tier == "turbo_kv8"),
         # this harness MEASURES the parity-tier speculative disagreement the
         # serving gate exists to prevent — explicit opt-in
         speculative_in_parity="allow")
@@ -552,7 +558,7 @@ def main(pc: TrainedParityConfig) -> None:
     turbo_tree = merge_requantize_on_device(holder, lcfg)
     gc.collect()
     tcfg = cfg.turbo() if pc.scale == "full" else cfg
-    model = make_model(turbo_tree, tcfg, img_cfg, pad_len, tier="turbo")
+    model = make_model(turbo_tree, tcfg, img_cfg, pad_len, tier=pc.int8_tier)
     t0 = time.time()
     t_toks, t_margins, t_fl = run_eval_mode(model, images, pc.int8_batch)
     overwatch.info(f"int8 eval done in {time.time() - t0:.0f}s")
@@ -569,6 +575,7 @@ def main(pc: TrainedParityConfig) -> None:
     payload = {
         "kind": "trained_weight_certificate",
         "scale": pc.scale,
+        "tier": pc.int8_tier,
         "backend": jax.default_backend(),
         "train_steps": pc.steps,
         "rank": pc.rank,
