@@ -38,8 +38,10 @@ def _flash_kernel(
     """One (batch*head, q-block) program: scan KV blocks with running softmax.
 
     Block shapes carry a leading singleton (batch*head) axis:
-    q_ref [1, Bq, Dh]; k_ref/v_ref [1, S, Dh]; valid_ref [1, S] (1 = attend);
-    o_ref like q. Causal + padding masking computed from indices in-kernel.
+    q_ref [1, Bq, Dh]; k_ref/v_ref [1, S, Dh]; valid_ref [1, 1, S]
+    (1 = attend; the singleton middle axis satisfies Mosaic's last-two-dims
+    tiling rule for the int32 vector); o_ref like q. Causal + padding masking
+    computed from indices in-kernel.
     """
     qi = pl.program_id(1) * block_q + lax.broadcasted_iota(jnp.int32, (block_q, 1), 0)
     q = q_ref[0].astype(jnp.float32) * scale
@@ -53,7 +55,7 @@ def _flash_kernel(
         v = v_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
         s = q @ k.T                                                   # [Bq, block_k]
         ki = i * block_k + lax.broadcasted_iota(jnp.int32, (1, block_k), 1)
-        ok = valid_ref[0, pl.ds(i * block_k, block_k)][None, :] > 0
+        ok = valid_ref[0, 0, pl.ds(i * block_k, block_k)][None, :] > 0
         if causal:
             ok = ok & (ki <= qi + offset)
         s = jnp.where(ok, s, NEG_INF)
@@ -96,7 +98,7 @@ def flash_attention(
     if k_pad:
         k = jnp.pad(k, ((0, 0), (0, k_pad), (0, 0), (0, 0)))
         v = jnp.pad(v, ((0, 0), (0, k_pad), (0, 0), (0, 0)))
-    valid = jnp.pad(kv_valid.astype(jnp.int32), ((0, 0), (0, k_pad)))
+    valid = jnp.pad(kv_valid.astype(jnp.int32), ((0, 0), (0, k_pad)))[:, None, :]
     Tqp, Tkp = Tq + q_pad, Tk + k_pad
 
     # layout: merge (B, H) into the grid's leading axis
@@ -116,7 +118,7 @@ def flash_attention(
             pl.BlockSpec((1, Tkp, Dh), lambda b, i: (b, 0, 0)),
             pl.BlockSpec((1, Tkp, Dh), lambda b, i: (b, 0, 0)),
             # one validity row per batch element, shared across its H heads
-            pl.BlockSpec((1, Tkp), lambda b, i, H=H: (b // H, 0)),
+            pl.BlockSpec((1, 1, Tkp), lambda b, i, H=H: (b // H, 0, 0)),
         ],
         out_specs=pl.BlockSpec((1, block_q, Dh), lambda b, i: (b, i, 0)),
         out_shape=jax.ShapeDtypeStruct((B * H, Tqp, Dh), q.dtype),

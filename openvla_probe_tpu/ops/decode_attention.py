@@ -33,15 +33,17 @@ def _decode_kernel(q_ref, kp_ref, vp_ref, kd_ref, vd_ref,
                    pv_ref, dv_ref, o_ref, *, scale: float):
     """One (batch*head) program.
 
-    q_ref [1, Dh]; kp_ref/vp_ref [1, T, Dh]; kd_ref/vd_ref [1, A, Dh];
-    pv_ref [1, T] prefill validity; dv_ref [1, A] decode-slot validity;
-    o_ref [1, Dh].
+    q_ref [1, 1, Dh]; kp_ref/vp_ref [1, T, Dh]; kd_ref/vd_ref [1, A, Dh];
+    pv_ref [1, 1, T] prefill validity; dv_ref [1, 1, A] decode-slot validity;
+    o_ref [1, 1, Dh]. Singleton axes keep every block's last-two-dims either
+    tile-aligned or equal to the array dims (Mosaic's lowering rule); all
+    math stays 2D ([1, x] rows) — Mosaic vectorizes 2D ops natively.
     """
-    q = q_ref[0].astype(jnp.float32) * scale                    # [Dh]
+    q = q_ref[0].astype(jnp.float32) * scale                    # [1, Dh]
     kp = kp_ref[0].astype(jnp.float32)                          # [T, Dh]
     kd = kd_ref[0].astype(jnp.float32)                          # [A, Dh]
-    sp = kp @ q                                                 # [T]
-    sd = kd @ q                                                 # [A]
+    sp = q @ kp.T                                               # [1, T]
+    sd = q @ kd.T                                               # [1, A]
     sp = jnp.where(pv_ref[0] > 0, sp, NEG_INF)
     sd = jnp.where(dv_ref[0] > 0, sd, NEG_INF)
     m = jnp.maximum(sp.max(), sd.max())
@@ -51,7 +53,7 @@ def _decode_kernel(q_ref, kp_ref, vp_ref, kd_ref, vd_ref,
     out = (
         ep @ vp_ref[0].astype(jnp.float32)
         + ed @ vd_ref[0].astype(jnp.float32)
-    ) / denom
+    ) / denom                                                   # [1, Dh]
     o_ref[0] = out.astype(o_ref.dtype)
 
 
@@ -70,30 +72,30 @@ def decode_flash_attention(
     T, A = kp.shape[1], kd.shape[1]
     scale = 1.0 / np.sqrt(Dh)
 
-    qr = q[:, 0].transpose(0, 1, 2).reshape(B * H, Dh)
+    qr = q[:, 0].transpose(0, 1, 2).reshape(B * H, 1, Dh)
     kpr = kp.transpose(0, 2, 1, 3).reshape(B * H, T, Dh)
     vpr = vp.transpose(0, 2, 1, 3).reshape(B * H, T, Dh)
     kdr = kd.transpose(0, 2, 1, 3).reshape(B * H, A, Dh)
     vdr = vd.transpose(0, 2, 1, 3).reshape(B * H, A, Dh)
-    pvi = pre_valid.astype(jnp.int32)
-    dvi = dec_valid.astype(jnp.int32)
+    pvi = pre_valid.astype(jnp.int32)[:, None, :]
+    dvi = dec_valid.astype(jnp.int32)[:, None, :]
 
     kernel = functools.partial(_decode_kernel, scale=scale)
     out = pl.pallas_call(
         kernel,
         grid=(B * H,),
         in_specs=[
-            pl.BlockSpec((1, Dh), lambda b: (b, 0)),
+            pl.BlockSpec((1, 1, Dh), lambda b: (b, 0, 0)),
             pl.BlockSpec((1, T, Dh), lambda b: (b, 0, 0)),
             pl.BlockSpec((1, T, Dh), lambda b: (b, 0, 0)),
             pl.BlockSpec((1, A, Dh), lambda b: (b, 0, 0)),
             pl.BlockSpec((1, A, Dh), lambda b: (b, 0, 0)),
             # one validity row per batch element, shared across its H heads
-            pl.BlockSpec((1, T), lambda b, H=H: (b // H, 0)),
-            pl.BlockSpec((1, A), lambda b, H=H: (b // H, 0)),
+            pl.BlockSpec((1, 1, T), lambda b, H=H: (b // H, 0, 0)),
+            pl.BlockSpec((1, 1, A), lambda b, H=H: (b // H, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, Dh), lambda b: (b, 0)),
-        out_shape=jax.ShapeDtypeStruct((B * H, Dh), q.dtype),
+        out_specs=pl.BlockSpec((1, 1, Dh), lambda b: (b, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((B * H, 1, Dh), q.dtype),
         interpret=interpret,
     )(qr, kpr, vpr, kdr, vdr, pvi, dvi)
-    return out.reshape(B, H, Dh)[:, None, :, :]
+    return out.reshape(B, H, 1, Dh).transpose(0, 2, 1, 3)
