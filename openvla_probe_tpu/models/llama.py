@@ -175,6 +175,7 @@ def attention(
 
     if (
         os.environ.get("OVLA_PALLAS", "0") == "1"
+        and os.environ.get("OVLA_PALLAS_ATTN", "1") == "1"
         and jax.default_backend() == "tpu"
         and q.shape[1] > 1          # prefill-sized; decode stays on XLA
         and kv_valid is not None
@@ -539,6 +540,7 @@ def _split_attention(
 
     if (
         os.environ.get("OVLA_PALLAS", "0") == "1"
+        and os.environ.get("OVLA_PALLAS_DECODE", "1") == "1"
         and jax.default_backend() == "tpu"
         and valid_info is not None
     ):

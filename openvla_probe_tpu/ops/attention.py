@@ -49,7 +49,9 @@ def _flash_kernel(
     S = k_ref.shape[1]
     n_blocks = S // block_k
 
-    def body(carry, i):
+    def body(i, carry):
+        # fori_loop, not scan-with-xs: Mosaic's scan lowering does not
+        # support extensive inputs (lowering.py _scan_lowering_rule)
         m_prev, l_prev, acc = carry
         k = k_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
         v = v_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
@@ -64,14 +66,14 @@ def _flash_kernel(
         corr = jnp.exp(m_prev - m_new)
         l_new = l_prev * corr + p.sum(axis=-1, keepdims=True)
         acc = acc * corr + p @ v
-        return (m_new, l_new, acc), ()
+        return (m_new, l_new, acc)
 
     init = (
         jnp.full((Bq, 1), NEG_INF, jnp.float32),
         jnp.zeros((Bq, 1), jnp.float32),
         jnp.zeros((Bq, Dh), jnp.float32),
     )
-    (m, l, acc), _ = lax.scan(body, init, jnp.arange(n_blocks))
+    m, l, acc = lax.fori_loop(0, n_blocks, body, init)
     o_ref[0] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
 
 

@@ -46,10 +46,14 @@ def _decode_kernel(q_ref, kp_ref, vp_ref, kd_ref, vd_ref,
     sd = q @ kd.T                                               # [1, A]
     sp = jnp.where(pv_ref[0] > 0, sp, NEG_INF)
     sd = jnp.where(dv_ref[0] > 0, sd, NEG_INF)
-    m = jnp.maximum(sp.max(), sd.max())
+    # keepdims 2D reductions throughout (0-d intermediates are a Mosaic
+    # lowering hazard); [1, 1] maxima/denominator broadcast cleanly
+    m = jnp.maximum(sp.max(axis=-1, keepdims=True),
+                    sd.max(axis=-1, keepdims=True))             # [1, 1]
     ep = jnp.exp(sp - m)
     ed = jnp.exp(sd - m)
-    denom = jnp.maximum(ep.sum() + ed.sum(), 1e-30)
+    denom = jnp.maximum(ep.sum(axis=-1, keepdims=True)
+                        + ed.sum(axis=-1, keepdims=True), 1e-30)
     out = (
         ep @ vp_ref[0].astype(jnp.float32)
         + ed @ vd_ref[0].astype(jnp.float32)

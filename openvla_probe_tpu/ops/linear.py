@@ -113,13 +113,17 @@ def _wi8_matmul_2d(
 
 
 def _use_pallas() -> bool:
-    """Pallas int8 path is opt-in (OVLA_PALLAS=1): the current axon-tunneled
-    TPU backend hangs in Mosaic compilation; the XLA dequant fallback is
-    correct everywhere and XLA fuses the int8->bf16 convert into the dot on
-    TPU. Flip the default when running on a directly-attached TPU runtime."""
+    """Pallas int8-matmul path: opt-in via OVLA_PALLAS=1, with a per-kernel
+    override OVLA_PALLAS_MATMUL=0 (round 3: all three kernels now COMPILE
+    through the tunnel after the BlockSpec/fori_loop fixes, so the granular
+    gates exist to A/B each kernel's contribution independently — the wi8
+    kernel competes with the w8a8 int8-MXU path on compute-bound prefills
+    and only clearly wins on weight-stream-bound decode shapes)."""
     import os
 
-    return jax.default_backend() == "tpu" and os.environ.get("OVLA_PALLAS", "0") == "1"
+    return (jax.default_backend() == "tpu"
+            and os.environ.get("OVLA_PALLAS", "0") == "1"
+            and os.environ.get("OVLA_PALLAS_MATMUL", "1") == "1")
 
 
 @jax.custom_vjp
