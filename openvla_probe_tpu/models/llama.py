@@ -310,6 +310,7 @@ def forward(
     collect_hidden_states: bool = False,
     pool_mask: Optional[jnp.ndarray] = None,   # [B, T] override for the tap pooling
     compute_logits: bool = True,
+    static_zero_offset: bool = False,   # caller KNOWS cache_index == 0 (prefill)
 ) -> Dict[str, Any]:
     """Run the decoder stack via lax.scan over the stacked layer params.
 
@@ -345,13 +346,12 @@ def forward(
     if cache is not None:
         # cached PREFILL (T>1) at a statically-zero offset may still use the
         # flash kernel: causal-by-slot + the padded validity row are exactly
-        # its in-kernel rule. Decode (T=1) and traced/nonzero offsets fall
-        # back to the XLA path (the kernel's offset is compile-time).
-        try:
-            offset_static: Optional[int] = int(cache_index)  # raises on tracers
-        except Exception:
-            offset_static = None
-        cached_kv_valid = attn_mask if (offset_static == 0 and T > 1) else None
+        # its in-kernel rule. The caller declares the static fact via
+        # `static_zero_offset` — an int() sniff on cache_index no longer
+        # works (constants created inside a trace are tracers in current
+        # JAX, so the sniff silently disabled the kernel everywhere).
+        # Decode (T=1) and nonzero offsets fall back to the XLA path.
+        cached_kv_valid = attn_mask if (static_zero_offset and T > 1) else None
 
         # cache rides the CARRY: per-layer writes stay in place instead of
         # re-stacking the multi-GB cache through scan outputs each step

@@ -233,6 +233,7 @@ def predict_action_core(
                 cache=cache, cache_index=jnp.int32(0),
                 collect_hidden_states=collect_hidden_states, pool_mask=pool_mask,
                 compute_logits=False,
+                static_zero_offset=True,   # prefill: the flash kernel may engage
             )
             cache = out["cache"]
     else:
@@ -407,6 +408,7 @@ def predict_action_speculative_core(
         cache=cache, cache_index=jnp.int32(0),
         collect_hidden_states=collect_hidden_states, pool_mask=pool_mask,
         compute_logits=False,
+        static_zero_offset=True,   # verify pass is a prefill: flash may engage
     )
     cache = out["cache"]
     hs = out["last_hidden_state"]                                       # [B, T+A, D]
