@@ -91,6 +91,7 @@ class TrainedParityConfig:
     # bench headline) or "turbo_kv8" (+ int8 frozen prefill KV — the wider
     # perturbation row of the tier matrix)
     int8_tier: str = "turbo"
+    fleet_batch: int = 24                # steady-state fleet-serving batch
 
 
 class CRC32Tokenizer:
@@ -440,6 +441,56 @@ def run_spec_checks(model, images, ref_tokens, batch: int, n_images: int):
             "spec_accept_hist": np.bincount(accepted, minlength=A + 1).tolist()}
 
 
+def run_fleet_bench(model, images, batch: int, n_calls: int = 30):
+    """Steady-state fleet serving: B independent control streams, each
+    drafting with its own previous step's tokens. At trained margins the
+    verify pass equals sequential decode (measured: 0/1792 mismatches), so
+    stable frames accept 7/7 and the whole batch step costs ~one verify
+    prefill — the sequential-decode share vanishes. Random-weight benches
+    cannot show this: hairline margins cap acceptance at ~2 and the
+    batch-uniform restart (min over rows) re-runs the decode."""
+    import numpy as np
+
+    import jax.numpy as jnp
+
+    frames = np.stack((images * ((batch // len(images)) + 1))[:batch])
+    out = model.predict_action(frames, PROMPT, unnorm_key="bridge_orig")
+    draft = np.asarray(out["action_tokens"], np.int32)
+
+    # bench-style timing: drive the spec jit directly, feed the DEVICE token
+    # array back as the next draft, fetch values once at the end — the
+    # wrapper's per-call np.asarray fetches cost ~200 ms of tunnel round
+    # trips per call on this backend (verify skill: only a fetch truly waits)
+    stats = model.get_action_stats("bridge_orig")
+    ids, plen = model.prepare_ids(PROMPT)
+    fn = model._get_spec_jit(False)
+    common = dict(
+        image_u8=jnp.asarray(frames),
+        input_ids=jnp.broadcast_to(jnp.asarray(ids), (batch, ids.shape[0])),
+        prompt_len=jnp.full((batch,), plen, jnp.int32),
+        q01=jnp.asarray(np.asarray(stats["q01"], np.float32)),
+        q99=jnp.asarray(np.asarray(stats["q99"], np.float32)),
+        action_mask=jnp.asarray(np.asarray(stats["mask"], bool)),
+    )
+    o = fn(model.params, draft_tokens=jnp.asarray(draft), **common)
+    accepted = np.asarray(o["n_accepted"])           # fetch = warmup sync
+    for _ in range(2):
+        o = fn(model.params, draft_tokens=o["action_tokens"], **common)
+    _ = np.asarray(o["n_accepted"])
+    t0 = time.time()
+    for _ in range(n_calls):
+        o = fn(model.params, draft_tokens=o["action_tokens"], **common)
+    _ = np.asarray(o["action_tokens"])
+    dt = (time.time() - t0) / n_calls
+    return {
+        "fleet_batch": batch,
+        "fleet_p50_ms": round(dt * 1e3, 2),
+        "fleet_calls_per_s": round(batch / dt, 2),
+        "fleet_min_accepted": int(accepted.min()),
+        "fleet_mean_accepted": round(float(accepted.mean()), 2),
+    }
+
+
 def run_rollout_acceptance(model, images, steps: int):
     """Morphing-frame rollout: draft = previous step's tokens (the robot-loop
     operating mode). Reports the acceptance distribution at trained weights."""
@@ -567,6 +618,9 @@ def main(pc: TrainedParityConfig) -> None:
     overwatch.info(f"int8 spec checks: {results['int8_spec']}")
     results["rollout"] = run_rollout_acceptance(model, images, pc.rollout_steps)
     overwatch.info(f"rollout acceptance: {results['rollout']}")
+    if pc.scale == "full":
+        results["fleet"] = run_fleet_bench(model, images, batch=pc.fleet_batch)
+        overwatch.info(f"fleet steady state: {results['fleet']}")
 
     stats = split_stats(ref_toks, ref_margins, ref_fl, t_toks, t_fl,
                         pc.n_train_images)
@@ -586,6 +640,7 @@ def main(pc: TrainedParityConfig) -> None:
         **{f"bf16_{k}": v for k, v in results["bf16_spec"].items()},
         **{f"int8_{k}": v for k, v in results["int8_spec"].items()},
         **results["rollout"],
+        **results.get("fleet", {}),
     }
     line = json.dumps(payload)
     if pc.report:
