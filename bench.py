@@ -63,15 +63,18 @@ def main() -> None:
     serving = serving.with_env_overrides()
 
     # init weights directly on device (bf16) — value-independent benchmark
-    llm_suffixes = ("q_proj", "k_proj", "v_proj", "o_proj",
-                    "gate_proj", "up_proj", "down_proj", "lm_head")
-    vit_suffixes = ("qkv_w", "proj_w", "fc1_w", "fc2_w")
     if quant == "int8":
-        from openvla_probe_tpu.ops.linear import quantize_params
+        from openvla_probe_tpu.ops.linear import (
+            _DEFAULT_QUANT_SUFFIXES,
+            TURBO_QUANT_SUFFIXES,
+            quantize_params,
+        )
 
-        suffixes = llm_suffixes
-        if os.environ.get("BENCH_QUANT_VIT", "1") == "1":
-            suffixes = llm_suffixes + vit_suffixes
+        # single turbo suffix definition (ops.linear) shared with the parity
+        # harnesses — the certificate must quantize what the bench serves
+        suffixes = (TURBO_QUANT_SUFFIXES
+                    if os.environ.get("BENCH_QUANT_VIT", "1") == "1"
+                    else _DEFAULT_QUANT_SUFFIXES)
         # generate the QUANTIZED tree directly (random int8 + scales): the
         # throughput is value-independent, and init->quantize would have to
         # co-materialize a bf16 stack (5.7 GB/leaf at 13B) with the int8 tree
@@ -197,7 +200,12 @@ def main() -> None:
                 q01, q99, action_mask)
 
         spec1_fn = jax.jit(spec1)
-        args1 = {k: v[:1] for k, v in args.items()}
+        # slice ONLY the batch-dim inputs: q01/q99/action_mask are [7]
+        # per-action-dim vectors (a [:1] slice would broadcast dim 0's
+        # bounds over all dims and drop the gripper's mask=False)
+        args1 = dict(args)
+        for key in ("image_u8", "input_ids", "prompt_len"):
+            args1[key] = args1[key][:1]
         args1["draft_tokens"] = jnp.asarray(
             np.asarray(out["action_tokens"])[:1], jnp.int32)
         _ = np.asarray(spec1_fn(params, **args1)["action_tokens"])  # compile

@@ -182,6 +182,9 @@ def _load_model_registry() -> Dict[str, Dict[str, Any]]:
     registry.setdefault("openvla-7b", {
         "model_id": "openvla-7b",
         "names": ["OpenVLA 7B"],
+        # released policies live in their OWN HF repos (HF-layout), not the
+        # TRI-ML prismatic-vlms run-dir repo — loaders route by this field
+        "hf_repo": "openvla/openvla-7b",
         "description": {
             "name": "OpenVLA 7B",
             "description": "OpenVLA 7B policy (prism-dinosiglip-224px backbone) "

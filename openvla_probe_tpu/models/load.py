@@ -124,6 +124,14 @@ def load(
     model_id = str(model_path)
     if model_id in catalog.GLOBAL_REGISTRY or model_id in catalog.MODEL_REGISTRY:
         meta = catalog.GLOBAL_REGISTRY.get(model_id) or catalog.MODEL_REGISTRY[model_id]
+        if meta.get("hf_repo"):
+            # released policies (openvla-7b etc.) ship as standalone
+            # HF-layout repos, not TRI-ML run dirs — a per-file fetch
+            # against prismatic-vlms would 404
+            snap = _hub_snapshot(meta["hf_repo"], cache_dir, hf_token)
+            bundle = catalog.load_openvla_hf_checkpoint(snap, dtype=dtype)
+            bundle["tokenizer"] = _tokenizer_for(snap, bundle)
+            return bundle
         hub_id = meta.get("model_id", model_id)
         overwatch.info(f"Downloading `{hub_id}` from {HF_HUB_REPO}")
         config_json = _hub_download(HF_HUB_REPO, f"{hub_id}/config.json",
@@ -189,6 +197,13 @@ def load_vla(
             run_dir / "dataset_statistics.json", dtype=dtype)
         bundle["tokenizer"] = _tokenizer_for(run_dir, bundle)
         path = run_dir
+    elif (not path.is_dir()
+          and (str(checkpoint_path) in catalog.GLOBAL_REGISTRY
+               or str(checkpoint_path) in catalog.MODEL_REGISTRY)):
+        # registry ids route through load() (which honors hf_repo for
+        # released standalone policies like openvla-7b)
+        bundle = load(checkpoint_path, dtype=dtype, cache_dir=cache_dir,
+                      hf_token=hf_token)
     elif not path.is_dir() and "/" not in str(checkpoint_path):
         # openvla-dev run id: {model_type}/{id}/... with step discovery
         bundle, path = _load_vla_from_hub(str(checkpoint_path), model_type,

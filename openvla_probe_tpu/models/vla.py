@@ -60,7 +60,10 @@ def _serving_env_snapshot() -> Tuple[Tuple[str, str], ...]:
     import os
 
     keys = ("OVLA_LEGACY_DECODE", "OVLA_SPLIT_PREFILL", "OVLA_KV_INT8",
-            "OVLA_DECODE_UNROLL", "OVLA_PALLAS", "OVLA_W8A8")
+            "OVLA_DECODE_UNROLL", "OVLA_PALLAS", "OVLA_W8A8",
+            # per-kernel Pallas gates are trace-time reads too (llama.py,
+            # ops/linear.py): flipping one mid-session must raise, not no-op
+            "OVLA_PALLAS_MATMUL", "OVLA_PALLAS_ATTN", "OVLA_PALLAS_DECODE")
     return tuple((k, os.environ.get(k, "")) for k in keys)
 
 
@@ -145,16 +148,26 @@ class VLAServingConfig:
         c = self
         legacy = env.get("OVLA_LEGACY_DECODE")
         kv8 = env.get("OVLA_KV_INT8", "0") == "1"
+        split = env.get("OVLA_SPLIT_PREFILL", "0") == "1"
         if kv8 and legacy == "1":
             raise ValueError("OVLA_KV_INT8=1 requires the frozen-KV decode; "
                              "unset OVLA_LEGACY_DECODE")
+        if kv8 and split:
+            # conflicting knobs RAISE — silently dropping the quantization
+            # request would mislabel an A/B measurement (the exact failure
+            # class this refactor exists to eliminate)
+            raise ValueError("OVLA_KV_INT8=1 (frozen-KV) conflicts with "
+                             "OVLA_SPLIT_PREFILL=1 (stacked-path option); "
+                             "unset one")
         if kv8:
-            c = dataclasses.replace(c, decode_impl="frozen_kv", kv_int8=True)
+            # int8 prefill KV is a numerics change: the tier label follows
+            c = dataclasses.replace(c, decode_impl="frozen_kv", kv_int8=True,
+                                    tier="turbo_kv8")
         elif legacy is not None:
             c = dataclasses.replace(
                 c, decode_impl="stacked" if legacy == "1" else "frozen_kv",
                 kv_int8=False if legacy == "1" else c.kv_int8)
-        if env.get("OVLA_SPLIT_PREFILL", "0") == "1":
+        if split:
             c = dataclasses.replace(c, split_prefill=True, decode_impl="stacked",
                                     kv_int8=False)
         if "OVLA_DECODE_UNROLL" in env:

@@ -256,6 +256,13 @@ _DEFAULT_QUANT_SUFFIXES = (
     "lm_head",
 )
 
+# ViT tower linear leaves; _DEFAULT + VIT == the FULL shipped turbo weight
+# set (the single source of truth for bench.py / check_parity / the
+# trained-weight certificate — a drifted copy would certify a different
+# quantization than the one served)
+VIT_QUANT_SUFFIXES = ("qkv_w", "proj_w", "fc1_w", "fc2_w")
+TURBO_QUANT_SUFFIXES = _DEFAULT_QUANT_SUFFIXES + VIT_QUANT_SUFFIXES
+
 
 def quantize_params(
     params: Any,

@@ -117,10 +117,13 @@ def _full_model(quant: bool, quant_vit: bool):
         # Single definition (vlm.VLMConfig.turbo) so the certificate can
         # never drift from the shipped bench config.
         cfg = cfg.turbo()
-        llm_suffixes = ("q_proj", "k_proj", "v_proj", "o_proj",
-                        "gate_proj", "up_proj", "down_proj", "lm_head")
-        vit_suffixes = ("qkv_w", "proj_w", "fc1_w", "fc2_w")
-        suffixes = llm_suffixes + (vit_suffixes if quant_vit else ())
+        from openvla_probe_tpu.ops.linear import (
+            _DEFAULT_QUANT_SUFFIXES,
+            TURBO_QUANT_SUFFIXES,
+        )
+
+        # single turbo suffix definition (ops.linear), shared with bench.py
+        suffixes = TURBO_QUANT_SUFFIXES if quant_vit else _DEFAULT_QUANT_SUFFIXES
         init = jax.jit(lambda key: quantize_params(
             vlm.init_params(cfg, key), suffixes=suffixes))
     else:

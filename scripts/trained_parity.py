@@ -155,10 +155,8 @@ def _configs(scale: str):
     return cfg, img_cfg, pad
 
 
-# the full shipped turbo quantization set (bench.py:61-69 / check_parity.py)
-_LLM_SUFFIXES = ("q_proj", "k_proj", "v_proj", "o_proj",
-                 "gate_proj", "up_proj", "down_proj", "lm_head")
-_VIT_SUFFIXES = ("qkv_w", "proj_w", "fc1_w", "fc2_w")
+# the full shipped turbo quantization set — single definition in ops.linear
+from openvla_probe_tpu.ops.linear import TURBO_QUANT_SUFFIXES
 
 
 def make_base_params(cfg, seed: int):
@@ -174,9 +172,9 @@ def make_base_params(cfg, seed: int):
     from openvla_probe_tpu.models import vlm
     from openvla_probe_tpu.ops.linear import quantize_params, random_params_like
 
-    suffixes = _LLM_SUFFIXES + _VIT_SUFFIXES
     shapes = jax.eval_shape(
-        lambda key: quantize_params(vlm.init_params(cfg, key), suffixes=suffixes),
+        lambda key: quantize_params(vlm.init_params(cfg, key),
+                                    suffixes=TURBO_QUANT_SUFFIXES),
         jax.random.key(seed))
     return jax.jit(lambda key: random_params_like(shapes, key))(jax.random.key(seed))
 

@@ -153,6 +153,43 @@ def test_hub_vla_run_id_offline_step_discovery(tiny_run_dir, tmp_path, monkeypat
         load_mod.load_vla("tiny-vla", cache_dir=cache, step_to_load=7)
 
 
+def test_released_policy_id_routes_to_its_own_repo(tiny_run_dir, tmp_path, monkeypatch):
+    """'openvla-7b' is a released STANDALONE HF repo (openvla/openvla-7b),
+    not a TRI-ML run dir — the registry's hf_repo field must route there
+    (a per-file fetch against prismatic-vlms would 404)."""
+    import shutil
+
+    run, _, _ = tiny_run_dir
+    # HF-layout snapshot content: reuse the converter output shape by
+    # exporting the native run dir through load + params_to_hf_state
+    bundle = load_mod.load(run)
+    from safetensors.numpy import save_file
+
+    hf_dir = tmp_path / "snap"
+    hf_dir.mkdir()
+    state = catalog.params_to_hf_state(bundle["params"], bundle["cfg"])
+    save_file(state, str(hf_dir / "model.safetensors"))
+    (hf_dir / "config.json").write_text(json.dumps({
+        "model_type": "openvla",
+        "vision_backbone_id": VIS_ID,
+        "llm_backbone_id": LLM_ID,
+        "arch_specifier": ARCH,
+        "image_resize_strategy": "resize-naive",
+        "text_config": {"vocab_size": bundle["cfg"].llm.vocab_size},
+        "pad_to_multiple_of": 0,
+        "norm_stats": {"bridge_orig": {"action": {"q01": [-1.0] * 7,
+                                                  "q99": [1.0] * 7}}},
+    }))
+    cache = _make_hub_cache(tmp_path, "openvla/openvla-7b", {})
+    snap_root = (cache / "models--openvla--openvla-7b" / "snapshots" / ("0" * 40))
+    snap_root.mkdir(parents=True, exist_ok=True)
+    for p in hf_dir.iterdir():
+        shutil.copy(p, snap_root / p.name)
+    monkeypatch.setenv("OVLA_HUB_OFFLINE", "1")
+    model = load_mod.load_vla("openvla-7b", cache_dir=cache)
+    assert "bridge_orig" in model.norm_stats
+
+
 def test_vla_config_shape_resolves_base_vlm(tmp_path):
     """{'vla': {'base_vlm': <ModelConfig id>}} configs resolve backbone ids
     through the conf registry (the reference load_vla config path) — checked

@@ -87,14 +87,28 @@ def test_env_overrides(monkeypatch):
     monkeypatch.delenv("OVLA_LEGACY_DECODE")
     c = base.with_env_overrides()
     assert c.kv_int8 and c.decode_impl == "frozen_kv"   # implied, never a no-op
+    assert c.tier == "turbo_kv8"   # numerics change => the tier label follows
     monkeypatch.setenv("OVLA_LEGACY_DECODE", "1")
     with pytest.raises(ValueError, match="OVLA_KV_INT8"):
         base.with_env_overrides()
+    monkeypatch.delenv("OVLA_LEGACY_DECODE")
+    monkeypatch.setenv("OVLA_SPLIT_PREFILL", "1")
+    with pytest.raises(ValueError, match="conflicts"):
+        base.with_env_overrides()   # KV8 + SPLIT must never silently drop KV8
     monkeypatch.delenv("OVLA_KV_INT8")
     monkeypatch.setenv("OVLA_DECODE_UNROLL", "0")
-    assert base.with_env_overrides().decode_unroll is False
-    monkeypatch.setenv("OVLA_SPLIT_PREFILL", "1")
-    assert base.with_env_overrides().split_prefill is True
+    c = base.with_env_overrides()
+    assert c.decode_unroll is False and c.split_prefill is True
+
+
+def test_pallas_subgate_flip_raises(wrapper_parts, monkeypatch):
+    """The per-kernel Pallas gates are trace-time reads too — flipping one
+    after construction must raise, not silently keep the cached graph."""
+    m = _model(wrapper_parts[0], wrapper_parts)
+    m.predict_action(wrapper_parts[4], "pick up the mug", unnorm_key="x")
+    monkeypatch.setenv("OVLA_PALLAS_ATTN", "0")
+    with pytest.raises(RuntimeError, match="env knobs changed"):
+        m.predict_action(wrapper_parts[4], "pick up the mug", unnorm_key="x")
 
 
 # --- the enforced contract: take effect or raise -----------------------------
