@@ -147,7 +147,7 @@ def main() -> None:
     n_llm = {"full": 6.74e9, "13b": 13.0e9}.get(scale, 1e6)
     flops = 3 * 2 * n_llm * seq * B
     print(json.dumps({
-        "metric": "7B LoRA finetune examples/sec/chip",
+        "metric": f"{'13B' if scale == '13b' else '7B'} LoRA finetune examples/sec/chip",
         "value": round(B / dt, 3),
         "unit": "examples/s",
         "step_ms": round(dt * 1e3, 1),
