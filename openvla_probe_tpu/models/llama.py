@@ -177,7 +177,12 @@ def attention(
         os.environ.get("OVLA_PALLAS", "0") == "1"
         and os.environ.get("OVLA_PALLAS_ATTN", "1") == "1"
         and jax.default_backend() == "tpu"
-        and q.shape[1] > 1          # prefill-sized; decode stays on XLA
+        # prefill-sized only: decode (Tq=1) stays on XLA, and so do the SHORT
+        # speculative verify-prefills (Tq ~ 2A+1) — the verify pass must share
+        # the sequential decode path's reduction-order dust or hairline-margin
+        # drafts get rejected (measured: bs=1 acceptance 6 -> 1 when the
+        # verify prefill alone switched kernels)
+        and q.shape[1] >= 64
         and kv_valid is not None
     ):
         from ..ops.attention import flash_attention

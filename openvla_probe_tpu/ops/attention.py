@@ -11,10 +11,13 @@ materialized [B*H, Tq, Tk] fp32 additive mask (~450 MB at B=24) which partially
 defeated the "scores never touch HBM" point (VERDICT r1 weak #4). The only
 mask traffic now is O(B·Tk).
 
-Env-gated like the int8 kernel (OVLA_PALLAS=1): Mosaic compilation hangs on
-the axon-tunneled backend this build runs against; the kernel is validated in
-interpret mode on CPU (tests/test_attention_kernel.py) and slots in on a
-directly-attached TPU runtime.
+Env-gated like the int8 kernel (OVLA_PALLAS=1, per-kernel OVLA_PALLAS_ATTN).
+Two code paths: the blockwise running-softmax loop for long sequences, and a
+ONE-SHOT path (OVLA_FLASH_ONESHOT=1, default) for Tk <= 1024 where the whole
+fp32 score tile fits in VMEM — at VLA serving shapes (Tq=Tk=288) the loop's
+rescale work, fp32 upcasts, and per-q-block K/V re-DMA are pure overhead.
+Validated in interpret mode on CPU (tests/test_attention_kernel.py) and
+compiled/measured on the chip (PERF_r03.md).
 """
 
 from __future__ import annotations
@@ -77,6 +80,118 @@ def _flash_kernel(
     o_ref[0] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
 
 
+# one-shot path bound: fp32 score tile Tq x Tk stays well under the VMEM
+# budget (1024^2 fp32 = 4 MB; serving shapes are 288 x 288)
+_ONESHOT_MAX_TK = 1024
+
+
+def _flash_flat_kernel(
+    q_ref, k_ref, v_ref, valid_ref, o_ref, *,
+    scale: float, offset: int, causal: bool, dh: int, heads: int,
+    tk_pad: int = 0,
+):
+    """One (batch, head-group) program over the FLAT [1, T, G*Dh] layout.
+
+    The first one-shot variant transposed q/k/v to [B*H, T, Dh] on the way in
+    and the output back on the way out — four materialized HBM passes
+    (~18 ms/prefill at B=24) that ate the kernel's entire win (measured 42.6
+    vs 43.3 calls/s). This variant reads the projection outputs in their
+    natural [B, T, H*Dh] layout (a reshape of [B, T, H, Dh] — a free bitcast)
+    and statically unrolls the heads of the group, slicing each head's Dh
+    lanes in VMEM. No layout traffic in or out.
+    """
+    Tk = k_ref.shape[1]
+    Tq = q_ref.shape[1]
+    Tkp = Tk + tk_pad
+    qi = lax.broadcasted_iota(jnp.int32, (Tq, 1), 0)
+    ki = lax.broadcasted_iota(jnp.int32, (1, Tkp), 1)
+    ok = valid_ref[0, 0, :][None, :] > 0   # valid row arrives pre-padded [Tkp]
+    if causal:
+        ok = ok & (ki <= qi + offset)
+    zpad = ((0, tk_pad), (0, 0))
+    for h in range(heads):                 # static unroll: aligned VMEM slices
+        sl = slice(h * dh, (h + 1) * dh)
+        q = q_ref[0, :, sl]                # [Tq, Dh] bf16
+        # pad K/V sublanes to the 128-multiple IN VMEM: keeps the [Tq, Tkp]
+        # score tile lane-aligned (load-bearing for MXU/VPU tiling — measured
+        # 0.57 -> 1.84 ms/layer without it) at zero HBM cost. Padded score
+        # cols get NEG_INF from `ok`, so p is exactly 0 there and the
+        # zero-padded V rows contribute nothing.
+        k = jnp.pad(k_ref[0, :, sl], zpad) if tk_pad else k_ref[0, :, sl]
+        s = jax.lax.dot_general(
+            q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale
+        s = jnp.where(ok, s, NEG_INF)
+        m = s.max(axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        l = p.sum(axis=-1, keepdims=True)
+        v = jnp.pad(v_ref[0, :, sl], zpad) if tk_pad else v_ref[0, :, sl]
+        pv = jax.lax.dot_general(
+            p.astype(v_ref.dtype), v,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        o_ref[0, :, sl] = (pv / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+
+
+def _head_group(H: int, Dh: int, budget: int = 1024) -> int:
+    """Largest divisor G of H with G*Dh <= budget lanes (VMEM block sizing:
+    4 tiles x [Tq, G*Dh] bf16 x 2 pipeline buffers + the fp32 score tile must
+    fit the 16 MB scoped-vmem limit; G=16 at Dh=128 measured 17.35 MB)."""
+    if H * Dh <= budget:
+        return H
+    g = max(1, budget // Dh)
+    while H % g:
+        g -= 1
+    return g
+
+
+def _flash_oneshot(q, k, v, kv_valid, offset, causal, interpret):
+    B, Tq, H, Dh = q.shape
+    Tk = k.shape[1]
+    scale = 1.0 / np.sqrt(Dh)
+    q_pad = (-Tq) % 8                 # sublane multiple only (not a block size)
+    # K/V need only the sublane multiple in HBM; the 128-lane alignment the
+    # score tile wants is restored by a VMEM-only pad inside the kernel
+    # (HBM-padding K/V to 128 cost two full copies — measured: it gave back
+    # the kernel's whole in-graph win at T=288).
+    k_pad = (-Tk) % 8
+    tk_pad = (-(Tk + k_pad)) % 128    # VMEM-side score-lane pad
+    if q_pad:
+        q = jnp.pad(q, ((0, 0), (0, q_pad), (0, 0), (0, 0)))
+    if k_pad:
+        k = jnp.pad(k, ((0, 0), (0, k_pad), (0, 0), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, k_pad), (0, 0), (0, 0)))
+    valid = jnp.pad(
+        kv_valid.astype(jnp.int32), ((0, 0), (0, k_pad + tk_pad))
+    )[:, None, :]
+    Tqp, Tkp = Tq + q_pad, Tk + k_pad
+
+    G = _head_group(H, Dh)
+    qr = q.reshape(B, Tqp, H * Dh)    # free bitcast: head dim stays minor
+    kr = k.reshape(B, Tkp, H * Dh)
+    vr = v.reshape(B, Tkp, H * Dh)
+    kernel = functools.partial(
+        _flash_flat_kernel, scale=scale, offset=offset, causal=causal,
+        dh=Dh, heads=G, tk_pad=tk_pad,
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=(B, H // G),
+        in_specs=[
+            pl.BlockSpec((1, Tqp, G * Dh), lambda b, g: (b, 0, g)),
+            pl.BlockSpec((1, Tkp, G * Dh), lambda b, g: (b, 0, g)),
+            pl.BlockSpec((1, Tkp, G * Dh), lambda b, g: (b, 0, g)),
+            pl.BlockSpec((1, 1, Tkp + tk_pad), lambda b, g: (b, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, Tqp, G * Dh), lambda b, g: (b, 0, g)),
+        out_shape=jax.ShapeDtypeStruct((B, Tqp, H * Dh), q.dtype),
+        interpret=interpret,
+    )(qr, kr, vr, valid)
+    return out.reshape(B, Tqp, H, Dh)[:, :Tq]
+
+
 def flash_attention(
     q: jnp.ndarray,            # [B, Tq, H, Dh]
     k: jnp.ndarray,            # [B, Tk, H, Dh]  (kv heads pre-repeated)
@@ -88,6 +203,10 @@ def flash_attention(
     block_k: int = 128,
     interpret: bool = False,
 ) -> jnp.ndarray:
+    import os
+    if (k.shape[1] <= _ONESHOT_MAX_TK
+            and os.environ.get("OVLA_FLASH_ONESHOT", "1") == "1"):
+        return _flash_oneshot(q, k, v, kv_valid, offset, causal, interpret)
     B, Tq, H, Dh = q.shape
     Tk = k.shape[1]
     scale = 1.0 / np.sqrt(Dh)

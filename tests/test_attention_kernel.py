@@ -34,8 +34,12 @@ def test_flash_cached_prefill_geometry(rng):
     np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-4)
 
 
+@pytest.mark.parametrize("oneshot", ["1", "0"])
 @pytest.mark.parametrize("tq,tk", [(16, 16), (33, 47)])
-def test_flash_matches_reference_attention(tq, tk, rng):
+def test_flash_matches_reference_attention(tq, tk, oneshot, rng, monkeypatch):
+    # oneshot="0" pins the blockwise running-softmax loop path (used above
+    # _ONESHOT_MAX_TK), which no small-shape test would otherwise reach
+    monkeypatch.setenv("OVLA_FLASH_ONESHOT", oneshot)
     B, H, Dh = 2, 3, 8
     q = jnp.asarray(rng.normal(size=(B, tq, H, Dh)).astype(np.float32))
     k = jnp.asarray(rng.normal(size=(B, tk, H, Dh)).astype(np.float32))
@@ -51,6 +55,24 @@ def test_flash_matches_reference_attention(tq, tk, rng):
         block_q=16, block_k=16, interpret=True,
     ))
     np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-4)
+
+
+def test_flash_oneshot_bf16_serving_shape(rng):
+    """bf16 inputs at a (scaled-down) serving geometry: the one-shot kernel's
+    bf16-MXU/fp32-softmax numerics must track the XLA path within bf16 dust."""
+    B, H, Dh, T = 2, 2, 16, 36   # Tq=Tk, sublane-aligned like the 288 case
+    q = jnp.asarray(rng.normal(size=(B, T, H, Dh))).astype(jnp.bfloat16)
+    k = jnp.asarray(rng.normal(size=(B, T, H, Dh))).astype(jnp.bfloat16)
+    v = jnp.asarray(rng.normal(size=(B, T, H, Dh))).astype(jnp.bfloat16)
+    am = np.ones((B, T), np.int64)
+    am[1, 30:] = 0
+    mask = llama.make_causal_mask(jnp.asarray(am), T, T, offset=0)
+
+    want = np.asarray(llama.attention(q, k, v, mask)).astype(np.float32)
+    got = np.asarray(flash_attention(
+        q, k, v, jnp.asarray(am), offset=0, interpret=True,
+    )).astype(np.float32)
+    np.testing.assert_allclose(got, want, atol=3e-2, rtol=3e-2)
 
 
 def test_flash_noncausal_padding_only(rng):
