@@ -175,11 +175,19 @@ def main() -> None:
     # so fetching the final output's value bounds the whole batch of calls
     for _ in range(3):
         _ = np.asarray(fn(params, **args)["action_tokens"])
-    t0 = time.time()
-    for _ in range(n_calls):
-        out = fn(params, **args)
-    _ = np.asarray(out["action_tokens"])
-    dt = (time.time() - t0) / n_calls
+    # BENCH_PROFILE=<dir>: wrap the timed loop in a jax.profiler trace —
+    # device-side XLA op timings DO come through the tunneled backend
+    # (PERF_r03.md), so this is the per-fusion accounting tool
+    import contextlib
+
+    prof_dir = os.environ.get("BENCH_PROFILE", "")
+    ctx = jax.profiler.trace(prof_dir) if prof_dir else contextlib.nullcontext()
+    with ctx:
+        t0 = time.time()
+        for _ in range(n_calls):
+            out = fn(params, **args)
+        _ = np.asarray(out["action_tokens"])
+        dt = (time.time() - t0) / n_calls
 
     calls_per_s = batch / dt
 
