@@ -755,6 +755,106 @@ def greedy_decode(
     return toks.T, margins.T
 
 
+# --- stacked-carry int8 decode (pallas_kv8 tier) -----------------------------
+#
+# The A/B-measured fastest decode keeps the WHOLE S-slot cache on the decode
+# scan's carry (PERF_r03.md) — but XLA streams it in bf16, and every lax
+# formulation of an int8 cache (turbo_kv8) re-materialized dequantized K/V in
+# HBM and lost. This path stores the carry cache itself in int8 (flat
+# [L, B, S, H*Dh] + per-(slot, head) scales) and hands attention to a Pallas
+# kernel whose BlockSpec index maps consume the layer index via scalar
+# prefetch: the DMA streams exactly one layer's int8 blocks and the dequant
+# happens in VMEM — the cache's HBM traffic halves by construction.
+
+
+class KVCacheQ(NamedTuple):
+    """int8 stacked KV cache, FLAT head-minor layout.
+
+    kq/vq: s8 [L, B, S, H*Dh] (a free bitcast of [L, B, S, H, Dh] — the
+    projection-output layout, no transposes anywhere); ks/vs: f32
+    [L, B, S, H] per-(slot, head) absmax scales. Generated tokens are
+    quantized into the SAME cache (one segment, one softmax) — unlike
+    turbo_kv8's bf16 side-buffer, so its numerics tier is its own row.
+    """
+
+    kq: jnp.ndarray
+    ks: jnp.ndarray
+    vq: jnp.ndarray
+    vs: jnp.ndarray
+
+
+def _quant_heads(x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """[..., H, Dh] -> (s8 [..., H*Dh] flat, f32 scales [..., H])."""
+    xf = x.astype(jnp.float32)
+    s = jnp.maximum(jnp.max(jnp.abs(xf), axis=-1), 1e-8) / 127.0
+    qi = jnp.clip(jnp.round(xf / s[..., None]), -127, 127).astype(jnp.int8)
+    return qi.reshape(*x.shape[:-2], x.shape[-2] * x.shape[-1]), s
+
+
+def quantize_kv_cache(cache: KVCache) -> KVCacheQ:
+    """One-shot post-prefill quantization of the stacked bf16 cache."""
+    kq, ks = _quant_heads(cache.k)
+    vq, vs = _quant_heads(cache.v)
+    return KVCacheQ(kq, ks, vq, vs)
+
+
+def decode_step_stacked_i8(
+    params: Params,
+    cfg: LlamaConfig,
+    x: jnp.ndarray,          # [B, 1, D] current-token embedding
+    positions: jnp.ndarray,  # [B, 1] absolute position
+    cq: KVCacheQ,
+    valid: jnp.ndarray,      # [B, S] slot validity for THIS step (incl. self)
+    slot: jnp.ndarray,       # scalar int32 cache slot of this token
+    interpret: Optional[bool] = None,
+) -> Tuple[jnp.ndarray, KVCacheQ]:
+    """One greedy decode step over the int8 stacked cache.
+
+    Mirrors `forward`'s cached branch (cache on the scan carry, per-layer
+    one-token writes) with the new token's K/V absmax-quantized into the int8
+    cache and attention computed by the fused-dequant Pallas kernel
+    (ops/decode_attention.stacked_decode_attention_i8). Returns
+    (last_hidden [B, D] post-norm, updated cache).
+    """
+    B = x.shape[0]
+    L = cfg.num_hidden_layers
+    if cfg.num_key_value_heads != cfg.num_attention_heads:
+        raise NotImplementedError(
+            "stacked_kv8 serves MHA models only (the kernel's flat per-head "
+            "slices assume H == Hkv); GQA models use the turbo tier")
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    cos, sin = rope_tables(cfg, positions)
+    from ..ops.decode_attention import stacked_decode_attention_i8
+
+    def body(carry, inp):
+        x, kq, ks, vq, vs = carry
+        lp, li = inp
+        h = rms_norm(x, lp["input_layernorm"], cfg.rms_norm_eps)
+        q, k, v = _qkv(cfg, lp, h, B, 1)
+        q, k = apply_rope(q, k, cos, sin, cfg.rope_dtype)
+        kq_t, ks_t = _quant_heads(k)   # [B, 1, H*Dh], [B, 1, H]
+        vq_t, vs_t = _quant_heads(v)
+        kq = jax.lax.dynamic_update_slice(kq, kq_t[None], (li, 0, slot, 0))
+        ks = jax.lax.dynamic_update_slice(ks, ks_t[None], (li, 0, slot, 0))
+        vq = jax.lax.dynamic_update_slice(vq, vq_t[None], (li, 0, slot, 0))
+        vs = jax.lax.dynamic_update_slice(vs, vs_t[None], (li, 0, slot, 0))
+        attn = stacked_decode_attention_i8(
+            q, kq, ks, vq, vs, valid, li, interpret=interpret
+        ).reshape(B, 1, cfg.hidden_size)
+        x = x + matmul_t(attn, lp["o_proj"])
+        h = rms_norm(x, lp["post_attention_layernorm"], cfg.rms_norm_eps)
+        x = x + _mlp(cfg, lp, h)
+        return (x, kq, ks, vq, vs), None
+
+    (x, kq, ks, vq, vs), _ = jax.lax.scan(
+        body, (x, cq.kq, cq.ks, cq.vq, cq.vs),
+        (params["layers"], jnp.arange(L, dtype=jnp.int32)),
+    )
+    x = rms_norm(x, params["norm"], cfg.rms_norm_eps)
+    return x[:, 0], KVCacheQ(kq, ks, vq, vs)
+
+
 # --- init + HF weight import ------------------------------------------------
 
 def init_params(cfg: LlamaConfig, key: jax.Array) -> Params:

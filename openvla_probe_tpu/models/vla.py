@@ -60,7 +60,7 @@ def _serving_env_snapshot() -> Tuple[Tuple[str, str], ...]:
     import os
 
     keys = ("OVLA_LEGACY_DECODE", "OVLA_SPLIT_PREFILL", "OVLA_KV_INT8",
-            "OVLA_DECODE_UNROLL", "OVLA_PALLAS", "OVLA_W8A8",
+            "OVLA_STACKED_KV8", "OVLA_DECODE_UNROLL", "OVLA_PALLAS", "OVLA_W8A8",
             # per-kernel Pallas gates are trace-time reads too (llama.py,
             # ops/linear.py): flipping one mid-session must raise, not no-op
             "OVLA_PALLAS_MATMUL", "OVLA_PALLAS_ATTN", "OVLA_PALLAS_DECODE")
@@ -82,6 +82,7 @@ class VLAServingConfig:
     | turbo       | int8      | vlm.turbo(): bf16 scores   | stacked-cache scan    | margin-certified (PARITY_r03) |
     | turbo_kv8   | int8      | turbo + int8 prefill KV    | frozen-KV split decode| margin-certified, wider perturbation |
     | pallas      | int8      | turbo + Pallas kernels     | frozen-KV split decode| OVLA_PALLAS=1 ops gate (direct-runtime only) |
+    | pallas_kv8  | int8      | turbo + int8 WHOLE cache   | stacked-carry Pallas fused-dequant kernel | margin-certified like turbo_kv8 (int8 decode-token KV too) |
 
     Build tiers with `for_tier(vlm_cfg, "turbo")`; `tier` records which row a
     config is, and gates tier-dependent features (speculative decoding is
@@ -96,12 +97,16 @@ class VLAServingConfig:
     codec_vocab_size: int = 32000  # text vocab minus the 64-row pad round-up
 
     # --- serving-tier knobs (formerly OVLA_* env vars) ---------------------
-    tier: str = "parity"           # parity | turbo | turbo_kv8 | pallas (doc table)
+    tier: str = "parity"           # parity | turbo | turbo_kv8 | pallas | pallas_kv8
     # "stacked": decode over the S-slot cache riding the scan carry — the
     # A/B-measured fastest under XLA (B=24: 613 vs 641/654 ms). "frozen_kv":
     # prefill emits frozen per-layer K/V, decode attends [frozen | tiny
     # generated buffer] — the structural basis for the Pallas decode kernel.
-    decode_impl: str = "stacked"   # stacked | frozen_kv
+    # "stacked_kv8": the stacked-carry cache itself stored int8 (flat layout
+    # + per-slot-head scales), attention via the Pallas fused-dequant kernel
+    # with a scalar-prefetched layer index (llama.decode_step_stacked_i8) —
+    # halves the decode cache stream where the lax turbo_kv8 could not.
+    decode_impl: str = "stacked"   # stacked | frozen_kv | stacked_kv8
     split_prefill: bool = False    # stacked only: prefill via scan-ys + one pad
     kv_int8: bool = False          # frozen_kv only: int8 frozen prefill KV
     decode_unroll: bool = True     # frozen_kv only: unrolled layer loop vs scan
@@ -112,9 +117,10 @@ class VLAServingConfig:
     speculative_in_parity: str = "reject"   # reject | allow
 
     def __post_init__(self):
-        if self.decode_impl not in ("stacked", "frozen_kv"):
-            raise ValueError(f"decode_impl must be stacked|frozen_kv, got {self.decode_impl}")
-        if self.tier not in ("parity", "turbo", "turbo_kv8", "pallas"):
+        if self.decode_impl not in ("stacked", "frozen_kv", "stacked_kv8"):
+            raise ValueError("decode_impl must be stacked|frozen_kv|"
+                             f"stacked_kv8, got {self.decode_impl}")
+        if self.tier not in ("parity", "turbo", "turbo_kv8", "pallas", "pallas_kv8"):
             raise ValueError(f"unknown serving tier {self.tier!r}")
         if self.kv_int8 and self.decode_impl != "frozen_kv":
             raise ValueError("kv_int8 lives on the frozen-KV decode path; "
@@ -122,6 +128,11 @@ class VLAServingConfig:
                              "a silent env-knob no-op)")
         if self.split_prefill and self.decode_impl != "stacked":
             raise ValueError("split_prefill is a stacked-decode option")
+        if (self.tier == "pallas_kv8") != (self.decode_impl == "stacked_kv8"):
+            raise ValueError("the pallas_kv8 tier and decode_impl='stacked_kv8' "
+                             "imply each other (the int8 stacked cache IS the "
+                             "tier's numerics row); build via "
+                             "for_tier(vlm_cfg, 'pallas_kv8')")
 
     @classmethod
     def for_tier(cls, vlm_cfg: vlm.VLMConfig, tier: str = "parity", **kw) -> "VLAServingConfig":
@@ -134,6 +145,8 @@ class VLAServingConfig:
         if tier in ("turbo_kv8", "pallas"):
             return cls(vlm=turbo_vlm, tier=tier, decode_impl="frozen_kv",
                        kv_int8=(tier == "turbo_kv8"), **kw)
+        if tier == "pallas_kv8":
+            return cls(vlm=turbo_vlm, tier=tier, decode_impl="stacked_kv8", **kw)
         raise ValueError(f"unknown serving tier {tier!r}")
 
     def with_env_overrides(self) -> "VLAServingConfig":
@@ -149,6 +162,15 @@ class VLAServingConfig:
         legacy = env.get("OVLA_LEGACY_DECODE")
         kv8 = env.get("OVLA_KV_INT8", "0") == "1"
         split = env.get("OVLA_SPLIT_PREFILL", "0") == "1"
+        stacked8 = env.get("OVLA_STACKED_KV8", "0") == "1"
+        if stacked8:
+            if kv8 or split or legacy is not None:
+                raise ValueError(
+                    "OVLA_STACKED_KV8=1 selects the pallas_kv8 tier outright; "
+                    "unset OVLA_KV_INT8/OVLA_SPLIT_PREFILL/OVLA_LEGACY_DECODE")
+            return dataclasses.replace(c, decode_impl="stacked_kv8",
+                                       tier="pallas_kv8", kv_int8=False,
+                                       split_prefill=False)
         if kv8 and legacy == "1":
             raise ValueError("OVLA_KV_INT8=1 requires the frozen-KV decode; "
                              "unset OVLA_LEGACY_DECODE")
@@ -223,8 +245,14 @@ def predict_action_core(
     # Pallas decode kernel. Tier knobs are CONFIG fields (VLAServingConfig
     # docstring table); env vars apply only via with_env_overrides.
     legacy = cfg.decode_impl == "stacked"
-    if legacy:
+    stacked8 = cfg.decode_impl == "stacked_kv8"
+    if legacy or stacked8:
         S = cfg.cache_len
+        if stacked8:
+            # the slot axis is the Pallas kernel's score-LANE dim: pad it to a
+            # 128-multiple (misaligned score tiles measured 3x slower —
+            # PERF_r03's flash-kernel lesson). Padded slots stay invalid.
+            S = -(-S // 128) * 128
         if cfg.split_prefill:
             # hybrid path: prefill emits each layer's K/V through scan YS
             # (no S-slot cache riding the layer-scan carry), then ONE
@@ -249,6 +277,10 @@ def predict_action_core(
                 static_zero_offset=True,   # prefill: the flash kernel may engage
             )
             cache = out["cache"]
+        if stacked8:
+            # one-shot cache quantization: the bf16 prefill cache is read once
+            # and never streamed again — every decode step reads int8 bytes
+            cache = llama.quantize_kv_cache(cache)
     else:
         # serving fast path: prefill emits frozen per-layer K/V; decode
         # attends over [frozen prefill KV | tiny generated-token buffer]
@@ -276,8 +308,8 @@ def predict_action_core(
     margin0 = _top2_margin(last_logits, first_tok)                    # argmax robustness
 
     # --- greedy decode of the remaining A-1 tokens -------------------------
-    if legacy:
-        S = cfg.cache_len
+    if legacy or stacked8:
+        # S keeps the (possibly lane-padded) slot count from the prefill above
         slot0 = T
         slots = jnp.arange(S)[None, :]
 
@@ -286,13 +318,21 @@ def predict_action_core(
             e = llama.embed_tokens(params["llm"], tok[:, None])       # [B,1,D]
             pos = (mm_len + t)[:, None]                               # true RoPE position
             valid = (slots < mm_len[:, None]) | ((slots >= slot0) & (slots <= slot0 + t))
-            step_out = llama.forward(
-                params["llm"], c.llm, e, valid.astype(jnp.int32), pos,
-                cache=cache, cache_index=jnp.int32(slot0) + t,
-            )
-            lg = step_out["logits"][:, -1]
+            if stacked8:
+                hidden, new_cache = llama.decode_step_stacked_i8(
+                    params["llm"], c.llm, e, pos, cache,
+                    valid.astype(jnp.int32), jnp.int32(slot0) + t,
+                )
+                lg = matmul_t(hidden, params["llm"]["lm_head"]).astype(jnp.float32)
+            else:
+                step_out = llama.forward(
+                    params["llm"], c.llm, e, valid.astype(jnp.int32), pos,
+                    cache=cache, cache_index=jnp.int32(slot0) + t,
+                )
+                new_cache = step_out["cache"]
+                lg = step_out["logits"][:, -1]
             nxt = lg.argmax(-1).astype(jnp.int32)
-            return (step_out["cache"], nxt), (nxt, _top2_margin(lg, nxt))
+            return (new_cache, nxt), (nxt, _top2_margin(lg, nxt))
 
         (_, _), (toks, step_margins) = jax.lax.scan(
             step, (cache, first_tok), jnp.arange(A - 1, dtype=jnp.int32))

@@ -25,6 +25,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -2.3819763e38
 
@@ -103,3 +104,97 @@ def decode_flash_attention(
         interpret=interpret,
     )(qr, kpr, vpr, kdr, vdr, pvi, dvi)
     return out.reshape(B, H, 1, Dh).transpose(0, 2, 1, 3)
+
+
+# --- stacked-carry int8 cache decode (fused dequant, scalar-prefetched layer)
+
+
+def _stacked_i8_kernel(li_ref, q_ref, kq_ref, ks_ref, vq_ref, vs_ref,
+                       valid_ref, o_ref, *, scale: float, dh: int, heads: int):
+    """One batch-element program over the FLAT int8 stacked cache.
+
+    The layer index arrives via scalar prefetch (`li_ref`, SMEM) and is
+    consumed ONLY by the BlockSpec index maps — the DMA engine streams
+    exactly layer li's [S, H*Dh] int8 K/V blocks out of the full
+    [L, B, S, H*Dh] cache that rides the decode scan carry. Nothing else of
+    the cache moves, and the bf16 dequant lives in VMEM: the int8 bytes are
+    the only HBM cache traffic. This is the formulation XLA refused — the
+    lax dequant-in-attention (turbo_kv8) re-materialized bf16 K/V in HBM
+    and measured SLOWER than streaming the bf16 cache (PERF_r03.md).
+
+    q_ref [1, 1, H*Dh] bf16 (flat head-minor — a free bitcast of the
+    projection output, the flash-kernel layout lesson); kq/vq [1, 1, S, H*Dh]
+    int8; ks/vs [1, 1, S, H] f32 per-(slot, head) absmax scales;
+    valid_ref [1, 1, S] int32 (1 = attend; covers prefill AND generated
+    slots — the whole cache is one segment, so ONE softmax, no split);
+    o_ref [1, 1, H*Dh]. Heads statically unrolled over aligned 128-lane
+    slices; all math 2D rows with keepdims reductions (Mosaic rules).
+    """
+    ok = valid_ref[0, 0, :][None, :] > 0                          # [1, S]
+    for h in range(heads):
+        sl = slice(h * dh, (h + 1) * dh)
+        qh = q_ref[0, :, sl].astype(jnp.float32) * scale          # [1, Dh]
+        ksc = ks_ref[0, 0, :, h:h + 1]                            # [S, 1]
+        kf = kq_ref[0, 0, :, sl].astype(jnp.float32) * ksc        # [S, Dh]
+        s = jax.lax.dot_general(
+            qh, kf, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                                         # [1, S]
+        s = jnp.where(ok, s, NEG_INF)
+        m = s.max(axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        l = p.sum(axis=-1, keepdims=True)
+        vsc = vs_ref[0, 0, :, h:h + 1]
+        vf = vq_ref[0, 0, :, sl].astype(jnp.float32) * vsc        # [S, Dh]
+        pv = jax.lax.dot_general(
+            p, vf, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                                         # [1, Dh]
+        o_ref[0, :, sl] = (pv / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+
+
+def stacked_decode_attention_i8(
+    q: jnp.ndarray,       # [B, 1, H, Dh] bf16 post-RoPE query
+    kq: jnp.ndarray,      # [L, B, S, H*Dh] int8 flat stacked K cache
+    ks: jnp.ndarray,      # [L, B, S, H] f32 scales
+    vq: jnp.ndarray,
+    vs: jnp.ndarray,
+    valid: jnp.ndarray,   # [B, S] slot validity (1 = attend)
+    li: jnp.ndarray,      # scalar int32 layer index (traced)
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """softmax(q·K[li]) @ V[li] over the int8 stacked cache, dequant fused.
+
+    S (the slot axis) should be a 128-multiple: it is the score row's LANE
+    dim, and lane alignment of the [1, S] tile is load-bearing on Mosaic
+    (the flash-kernel measurement: 0.62 vs 1.84 ms/layer). The serving
+    config pads cache_len up for this tier.
+    """
+    B, _, H, Dh = q.shape
+    L, _, S, HDh = kq.shape
+    assert HDh == H * Dh, "stacked_kv8 requires H == Hkv (no GQA)"
+    scale = 1.0 / np.sqrt(Dh)
+
+    qr = q.reshape(B, 1, H * Dh)
+    validr = valid.astype(jnp.int32)[:, None, :]
+    kernel = functools.partial(_stacked_i8_kernel, scale=scale, dh=Dh, heads=H)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, 1, HDh), lambda b, li_ref: (b, 0, 0)),
+            pl.BlockSpec((1, 1, S, HDh), lambda b, li_ref: (li_ref[0], b, 0, 0)),
+            pl.BlockSpec((1, 1, S, H), lambda b, li_ref: (li_ref[0], b, 0, 0)),
+            pl.BlockSpec((1, 1, S, HDh), lambda b, li_ref: (li_ref[0], b, 0, 0)),
+            pl.BlockSpec((1, 1, S, H), lambda b, li_ref: (li_ref[0], b, 0, 0)),
+            pl.BlockSpec((1, 1, S), lambda b, li_ref: (b, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, 1, HDh), lambda b, li_ref: (b, 0, 0)),
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, 1, HDh), q.dtype),
+        interpret=interpret,
+    )(jnp.asarray(li, jnp.int32).reshape(1), qr, kq, ks, vq, vs, validr)
+    return out.reshape(B, 1, H, Dh)
