@@ -161,12 +161,23 @@ def embed_patches(params: Params, cfg: ViTConfig, pixels: jnp.ndarray) -> jnp.nd
     return out
 
 
-def _block(cfg: ViTConfig, bp: Params, x: jnp.ndarray) -> jnp.ndarray:
-    B, N, D = x.shape
+def _block(cfg: ViTConfig, bp: Params, x: jnp.ndarray, B: int, N: int) -> jnp.ndarray:
+    """One transformer block over FLAT [B*N, D] activations.
+
+    The tower scan carries activations flattened to 2D: with N not a
+    sublane multiple (DINOv2-reg4's 261 tokens), [B, N, D] and [B*N, D] have
+    DIFFERENT physical tile padding, so every reshape between them is a real
+    HBM relayout pass — the profiled [B, N, D]-carry block spent ~0.6 ms/layer
+    on reshape/bias/copy passes around its four matmuls (8 boundary reshapes:
+    matmul_t flattens internally). Flat activations make the matmul
+    boundaries identity and let bias adds fuse into the matmul epilogue;
+    only attention's [B, N, H, Dh] view needs the relayout (2 per block).
+    """
     H, Dh = cfg.num_heads, cfg.head_dim
+    D = x.shape[-1]
 
     h = layer_norm(x, bp["norm1_scale"], bp["norm1_bias"], cfg.layer_norm_eps)
-    qkv = matmul_t(h, bp["qkv_w"]) + bp["qkv_b"]  # [B, N, 3D]
+    qkv = matmul_t(h, bp["qkv_w"]) + bp["qkv_b"]  # [B*N, 3D]
     q, k, v = jnp.split(qkv, 3, axis=-1)
     q = q.reshape(B, N, H, Dh)
     k = k.reshape(B, N, H, Dh)
@@ -181,7 +192,7 @@ def _block(cfg: ViTConfig, bp: Params, x: jnp.ndarray) -> jnp.ndarray:
     scores = (scores * (1.0 / np.sqrt(Dh))).astype(cfg.attn_scores_dtype)
     probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(x.dtype)
     attn = jnp.einsum("bhts,bshd->bthd", probs, v, preferred_element_type=jnp.float32)
-    attn = attn.astype(x.dtype).reshape(B, N, D)
+    attn = attn.astype(x.dtype).reshape(B * N, D)
     attn = matmul_t(attn, bp["proj_w"]) + bp["proj_b"]
     if cfg.use_layerscale:
         attn = attn * bp["ls1"]
@@ -246,8 +257,12 @@ def forward_features(
 
     k = layer_index % cfg.num_layers  # -2 -> num_layers - 2; run blocks 0..k
     blocks_k = jax.tree.map(lambda a: a[: k + 1], params["blocks"])
-    block = jax.checkpoint(_block, static_argnums=(0,)) if cfg.remat else _block
-    x, _ = jax.lax.scan(lambda c, bp: (block(cfg, bp, c), ()), x, blocks_k)
+    block = jax.checkpoint(_block, static_argnums=(0, 3, 4)) if cfg.remat else _block
+    B, N, D = x.shape
+    # flat [B*N, D] carry: one relayout in, one out (see _block docstring)
+    x2, _ = jax.lax.scan(
+        lambda c, bp: (block(cfg, bp, c, B, N), ()), x.reshape(B * N, D), blocks_k)
+    x = x2.reshape(B, N, D)
     return x[:, cfg.num_prefix_tokens :, :]
 
 
