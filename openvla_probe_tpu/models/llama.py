@@ -798,6 +798,25 @@ def quantize_kv_cache(cache: KVCache) -> KVCacheQ:
     return KVCacheQ(kq, ks, vq, vs)
 
 
+def quantize_prefill_to_stacked(kv: PrefillKV, s_slots: int) -> KVCacheQ:
+    """ys-emitted prefill K/V [L, B, T, H, Dh] -> int8 stacked cache with
+    `s_slots` slots (T prefill + generated-token room, tile-aligned).
+
+    The pad runs BEFORE the quantize so XLA fuses it into the quantize's
+    read: one pass, bf16 in / int8 + scales out. Quantizing the carry-path
+    cache instead read XLA's transposed prefill-scan layout {4,2,3,1,0} and
+    lowered to a 106 ms looped 5D transpose (profiled, B=24) — the ys
+    emission keeps the source in natural layout, where the same pass costs
+    ~8 ms. Padded slots quantize from zeros (scale floor 1e-8) and stay
+    masked out by the decode validity row.
+    """
+    pad = s_slots - kv.k.shape[2]
+    widths = ((0, 0), (0, 0), (0, pad), (0, 0), (0, 0))
+    kq, ks = _quant_heads(jnp.pad(kv.k, widths))
+    vq, vs = _quant_heads(jnp.pad(kv.v, widths))
+    return KVCacheQ(kq, ks, vq, vs)
+
+
 def decode_step_stacked_i8(
     params: Params,
     cfg: LlamaConfig,

@@ -246,13 +246,8 @@ def predict_action_core(
     # docstring table); env vars apply only via with_env_overrides.
     legacy = cfg.decode_impl == "stacked"
     stacked8 = cfg.decode_impl == "stacked_kv8"
-    if legacy or stacked8:
+    if legacy:
         S = cfg.cache_len
-        if stacked8:
-            # the slot axis is the Pallas kernel's score-LANE dim: pad it to a
-            # 128-multiple (misaligned score tiles measured 3x slower —
-            # PERF_r03's flash-kernel lesson). Padded slots stay invalid.
-            S = -(-S // 128) * 128
         if cfg.split_prefill:
             # hybrid path: prefill emits each layer's K/V through scan YS
             # (no S-slot cache riding the layer-scan carry), then ONE
@@ -277,10 +272,19 @@ def predict_action_core(
                 static_zero_offset=True,   # prefill: the flash kernel may engage
             )
             cache = out["cache"]
-        if stacked8:
-            # one-shot cache quantization: the bf16 prefill cache is read once
-            # and never streamed again — every decode step reads int8 bytes
-            cache = llama.quantize_kv_cache(cache)
+    elif stacked8:
+        # pallas_kv8 tier: ys-emitted prefill K/V (natural layout — the
+        # carry-path cache quantized through XLA's transposed prefill layout
+        # at 106 ms/call, profiled), then ONE fused pad+quantize pass into
+        # the int8 stacked cache. Prefill attention runs at Tk = T (narrower
+        # than the legacy S-slot prefill); S is int8-sublane-tile aligned
+        # (32) so the decode kernel's DMA blocks stay tiled.
+        out = llama.prefill(
+            params["llm"], c.llm, embeds, mm_mask, positions,
+            collect_hidden_states=collect_hidden_states, pool_mask=pool_mask,
+        )
+        S = -(-cfg.cache_len // 32) * 32
+        cache = llama.quantize_prefill_to_stacked(out["kv"], S)
     else:
         # serving fast path: prefill emits frozen per-layer K/V; decode
         # attends over [frozen prefill KV | tiny generated-token buffer]
@@ -309,7 +313,8 @@ def predict_action_core(
 
     # --- greedy decode of the remaining A-1 tokens -------------------------
     if legacy or stacked8:
-        # S keeps the (possibly lane-padded) slot count from the prefill above
+        # S comes from the matching prefill branch above (cache_len for
+        # legacy; the tile-aligned slot count for stacked_kv8)
         slot0 = T
         slots = jnp.arange(S)[None, :]
 

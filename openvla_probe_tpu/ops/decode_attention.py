@@ -110,7 +110,8 @@ def decode_flash_attention(
 
 
 def _stacked_i8_kernel(li_ref, q_ref, kq_ref, ks_ref, vq_ref, vs_ref,
-                       valid_ref, o_ref, *, scale: float, dh: int, heads: int):
+                       valid_ref, o_ref, *, scale: float, dh: int, heads: int,
+                       s_pad: int):
     """One batch-element program over the FLAT int8 stacked cache.
 
     The layer index arrives via scalar prefetch (`li_ref`, SMEM) and is
@@ -130,22 +131,31 @@ def _stacked_i8_kernel(li_ref, q_ref, kq_ref, ks_ref, vq_ref, vs_ref,
     o_ref [1, 1, H*Dh]. Heads statically unrolled over aligned 128-lane
     slices; all math 2D rows with keepdims reductions (Mosaic rules).
     """
-    ok = valid_ref[0, 0, :][None, :] > 0                          # [1, S]
+    # the score row's lane dim is S: pad K/V/scales to the 128-multiple IN
+    # VMEM (zero HBM cost — the flash-kernel lesson; an HBM-padded cache
+    # instead widened every PREFILL layer's score tile 295->384, measured
+    # -1.8 calls/s end-to-end). Padded lanes get validity 0 -> NEG_INF -> 0.
+    ok = valid_ref[0, 0, :][None, :] > 0                          # [1, Sp]
+    zpad = ((0, s_pad), (0, 0))
     for h in range(heads):
         sl = slice(h * dh, (h + 1) * dh)
         qh = q_ref[0, :, sl].astype(jnp.float32) * scale          # [1, Dh]
         ksc = ks_ref[0, 0, :, h:h + 1]                            # [S, 1]
         kf = kq_ref[0, 0, :, sl].astype(jnp.float32) * ksc        # [S, Dh]
+        if s_pad:
+            kf = jnp.pad(kf, zpad)
         s = jax.lax.dot_general(
             qh, kf, dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )                                                         # [1, S]
+        )                                                         # [1, Sp]
         s = jnp.where(ok, s, NEG_INF)
         m = s.max(axis=-1, keepdims=True)
         p = jnp.exp(s - m)
         l = p.sum(axis=-1, keepdims=True)
         vsc = vs_ref[0, 0, :, h:h + 1]
         vf = vq_ref[0, 0, :, sl].astype(jnp.float32) * vsc        # [S, Dh]
+        if s_pad:
+            vf = jnp.pad(vf, zpad)
         pv = jax.lax.dot_general(
             p, vf, dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -165,19 +175,21 @@ def stacked_decode_attention_i8(
 ) -> jnp.ndarray:
     """softmax(q·K[li]) @ V[li] over the int8 stacked cache, dequant fused.
 
-    S (the slot axis) should be a 128-multiple: it is the score row's LANE
-    dim, and lane alignment of the [1, S] tile is load-bearing on Mosaic
-    (the flash-kernel measurement: 0.62 vs 1.84 ms/layer). The serving
-    config pads cache_len up for this tier.
+    The slot axis S is the score row's LANE dim; lane alignment of the
+    [1, S] tile is load-bearing on Mosaic (flash-kernel measurement: 0.62 vs
+    1.84 ms/layer). S stays the natural cache_len in HBM — the kernel pads
+    K/V to the next 128-multiple in VMEM (padded lanes masked exactly).
     """
     B, _, H, Dh = q.shape
     L, _, S, HDh = kq.shape
     assert HDh == H * Dh, "stacked_kv8 requires H == Hkv (no GQA)"
     scale = 1.0 / np.sqrt(Dh)
+    s_pad = (-S) % 128
 
     qr = q.reshape(B, 1, H * Dh)
-    validr = valid.astype(jnp.int32)[:, None, :]
-    kernel = functools.partial(_stacked_i8_kernel, scale=scale, dh=Dh, heads=H)
+    validr = jnp.pad(valid.astype(jnp.int32), ((0, 0), (0, s_pad)))[:, None, :]
+    kernel = functools.partial(_stacked_i8_kernel, scale=scale, dh=Dh, heads=H,
+                               s_pad=s_pad)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(B,),
@@ -187,7 +199,7 @@ def stacked_decode_attention_i8(
             pl.BlockSpec((1, 1, S, H), lambda b, li_ref: (li_ref[0], b, 0, 0)),
             pl.BlockSpec((1, 1, S, HDh), lambda b, li_ref: (li_ref[0], b, 0, 0)),
             pl.BlockSpec((1, 1, S, H), lambda b, li_ref: (li_ref[0], b, 0, 0)),
-            pl.BlockSpec((1, 1, S), lambda b, li_ref: (b, 0, 0)),
+            pl.BlockSpec((1, 1, S + s_pad), lambda b, li_ref: (b, 0, 0)),
         ],
         out_specs=pl.BlockSpec((1, 1, HDh), lambda b, li_ref: (b, 0, 0)),
     )

@@ -88,8 +88,9 @@ class TrainedParityConfig:
     spec_images: int = 32                # spec-vs-sequential check set size
     rollout_steps: int = 24              # morphing-frame acceptance rollout
     # which quantized serving tier the int8 phase certifies: "turbo" (the
-    # bench headline) or "turbo_kv8" (+ int8 frozen prefill KV — the wider
-    # perturbation row of the tier matrix)
+    # bench headline), "turbo_kv8" (+ int8 frozen prefill KV — the wider
+    # perturbation row of the tier matrix), or "pallas_kv8" (int8 stacked
+    # cache + fused-dequant Pallas decode kernel)
     int8_tier: str = "turbo"
     fleet_batch: int = 24                # steady-state fleet-serving batch
 
@@ -370,11 +371,13 @@ def make_model(params, cfg, img_cfg, pad_len, tier: str = "parity"):
 
     from openvla_probe_tpu.models import vla
 
+    decode_impl = {"turbo_kv8": "frozen_kv", "pallas_kv8": "stacked_kv8"}.get(
+        tier, "stacked")
     serving = vla.VLAServingConfig(
         vlm=cfg, prompt_pad_len=pad_len,
         codec_vocab_size=min(cfg.llm.vocab_size, 32000),
         tier=tier,
-        decode_impl="frozen_kv" if tier == "turbo_kv8" else "stacked",
+        decode_impl=decode_impl,
         kv_int8=(tier == "turbo_kv8"),
         # this harness MEASURES the parity-tier speculative disagreement the
         # serving gate exists to prevent — explicit opt-in
