@@ -62,15 +62,24 @@ class VLMConfig:
     def turbo(self) -> "VLMConfig":
         """THE turbo serving numerics (single definition — bench.py and
         scripts/check_parity.py both ship/certify exactly this): bf16
-        attention-score materialization in trunk + towers and bf16 RoPE (HF's
-        own rope convention). Rides with int8 weights in the turbo tier;
-        bf16 weights + this config is NOT the bit-parity mode."""
+        attention-score materialization in trunk + towers, bf16 RoPE (HF's
+        own rope convention), and tanh-approximated GELU where a tower
+        specifies exact erf GELU. The erf polynomial is pure VPU work that
+        cannot overlap the tiny K=1024 MXU pass — profiled at ~0.3 ms of the
+        DINOv2 fc1 fusion's 0.49 ms/layer (SigLIP's native tanh-GELU fc1
+        runs at 89% of its matmul floor). max |gelu_tanh - gelu_erf| ~ 1e-3
+        absolute — orders below the certified action-token margins. Rides
+        with int8 weights in the turbo tier; bf16 weights + this config is
+        NOT the bit-parity mode."""
         return dataclasses.replace(
             self,
             llm=dataclasses.replace(self.llm, attn_scores_dtype=jnp.bfloat16,
                                     rope_dtype=jnp.bfloat16),
-            vision=tuple(dataclasses.replace(v, attn_scores_dtype=jnp.bfloat16)
-                         for v in self.vision),
+            vision=tuple(
+                dataclasses.replace(
+                    v, attn_scores_dtype=jnp.bfloat16,
+                    act="gelu_tanh" if v.act == "gelu" else v.act)
+                for v in self.vision),
         )
 
     @staticmethod

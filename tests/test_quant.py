@@ -115,13 +115,18 @@ def test_turbo_config_fields():
     t = base.turbo()
     assert t.llm.attn_scores_dtype == jnp.bfloat16
     assert t.llm.rope_dtype == jnp.bfloat16
-    for v in t.vision:
+    for v, bv in zip(t.vision, base.vision):
         assert v.attn_scores_dtype == jnp.bfloat16
+        # erf-GELU towers run tanh-GELU in turbo (pure-VPU erf polynomial
+        # cannot overlap the small ViT MXU pass — profiled ~0.3 ms/layer);
+        # non-erf acts (gelu_tanh, quick_gelu) pass through unchanged
+        assert v.act == ("gelu_tanh" if bv.act == "gelu" else bv.act)
     # everything else identical
     assert dataclasses.replace(
         t,
         llm=dataclasses.replace(t.llm, attn_scores_dtype=base.llm.attn_scores_dtype,
                                 rope_dtype=base.llm.rope_dtype),
-        vision=tuple(dataclasses.replace(v, attn_scores_dtype=bv.attn_scores_dtype)
+        vision=tuple(dataclasses.replace(v, attn_scores_dtype=bv.attn_scores_dtype,
+                                         act=bv.act)
                      for v, bv in zip(t.vision, base.vision)),
     ) == base
