@@ -182,17 +182,31 @@ def _block(cfg: ViTConfig, bp: Params, x: jnp.ndarray, B: int, N: int) -> jnp.nd
     q = q.reshape(B, N, H, Dh)
     k = k.reshape(B, N, H, Dh)
     v = v.reshape(B, N, H, Dh)
-    scores = jnp.einsum("bthd,bshd->bhts", q, k,
-                        preferred_element_type=cfg.attn_scores_dtype)
-    # scale in scores_dtype, cast at the softmax boundary: with bf16 scores
-    # (turbo) XLA then materializes the [B, H, N, N] score array in bf16
-    # instead of fp32 (profiled: the f32 pattern wrote ~650 MB/tower-layer at
-    # B=24). fp32 scores (parity mode) are numerically unchanged — the scale
-    # multiply commutes with the no-op cast.
-    scores = (scores * (1.0 / np.sqrt(Dh))).astype(cfg.attn_scores_dtype)
-    probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(x.dtype)
-    attn = jnp.einsum("bhts,bshd->bthd", probs, v, preferred_element_type=jnp.float32)
-    attn = attn.astype(x.dtype).reshape(B * N, D)
+    import os
+
+    if (
+        os.environ.get("OVLA_PALLAS", "0") == "1"
+        and os.environ.get("OVLA_PALLAS_ATTN", "1") == "1"
+        and jax.default_backend() == "tpu"
+    ):
+        # tower flash kernel: the XLA chain materializes the [B, H, N, N]
+        # score tile twice + a softmax pass (~0.45 ms/layer at B=24) for
+        # ~0.03 ms of FLOPs; the kernel keeps the per-head problem in VMEM
+        from ..ops.attention import vit_flash_attention
+
+        attn = vit_flash_attention(q, k, v).reshape(B * N, D)
+    else:
+        scores = jnp.einsum("bthd,bshd->bhts", q, k,
+                            preferred_element_type=cfg.attn_scores_dtype)
+        # scale in scores_dtype, cast at the softmax boundary: with bf16
+        # scores (turbo) XLA then materializes the [B, H, N, N] score array
+        # in bf16 instead of fp32 (profiled: the f32 pattern wrote ~650
+        # MB/tower-layer at B=24). fp32 scores (parity mode) are numerically
+        # unchanged — the scale multiply commutes with the no-op cast.
+        scores = (scores * (1.0 / np.sqrt(Dh))).astype(cfg.attn_scores_dtype)
+        probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(x.dtype)
+        attn = jnp.einsum("bhts,bshd->bthd", probs, v, preferred_element_type=jnp.float32)
+        attn = attn.astype(x.dtype).reshape(B * N, D)
     attn = matmul_t(attn, bp["proj_w"]) + bp["proj_b"]
     if cfg.use_layerscale:
         attn = attn * bp["ls1"]

@@ -247,3 +247,74 @@ def flash_attention(
     )(qr, kr, vr, valid)
     out = out.reshape(B, H, Tqp, Dh).transpose(0, 2, 1, 3)
     return out[:, :Tq]
+
+
+# --- ViT one-shot flash attention (Dh=64 towers) -----------------------------
+
+
+def _vit_flash_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, n_pad: int,
+                      n_real: int):
+    """One (batch, head) program over [1, 1, N, Dh] blocks.
+
+    ViT attention is tiny in FLOPs (~0.03 ms/layer at B=24) but the XLA
+    chain materializes the [B, H, N, N] score tile twice plus a softmax pass
+    (~0.45 ms/layer profiled). Here the whole per-head problem lives in VMEM.
+    Dh=64 defeats the flat-layout trick (a 128-lane slice spans two heads),
+    so q/k/v arrive head-major [B, H, N, Dh] — blocks' last two dims (N, Dh)
+    equal the array dims, satisfying Mosaic tiling for any N. K/V rows pad
+    to the 128-multiple in VMEM for score-lane alignment; ViT has no padding
+    mask (every token is real), so masking is just `col < N`.
+    """
+    q = q_ref[0, 0].astype(jnp.float32) * scale              # [N, Dh]
+    zpad = ((0, n_pad), (0, 0))
+    k = jnp.pad(k_ref[0, 0], zpad).astype(jnp.float32)       # [Np, Dh]
+    s = jax.lax.dot_general(
+        q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )                                                        # [N, Np]
+    ki = lax.broadcasted_iota(jnp.int32, (1, s.shape[1]), 1)
+    s = jnp.where(ki < n_real, s, NEG_INF)
+    m = s.max(axis=-1, keepdims=True)
+    p = jnp.exp(s - m)
+    l = p.sum(axis=-1, keepdims=True)
+    v = jnp.pad(v_ref[0, 0], zpad).astype(jnp.float32)
+    pv = jax.lax.dot_general(
+        p, v, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )                                                        # [N, Dh]
+    o_ref[0, 0] = (pv / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+
+
+def vit_flash_attention(
+    q: jnp.ndarray,   # [B, N, H, Dh]
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Full (unmasked) bidirectional attention for ViT towers.
+
+    Returns [B, N, H, Dh]. fp32 scores in-kernel (the turbo XLA path uses
+    bf16 score materialization — the kernel is numerically TIGHTER, but its
+    reduction order differs: gated behind OVLA_PALLAS with the other
+    kernels)."""
+    B, N, H, Dh = q.shape
+    scale = 1.0 / np.sqrt(Dh)
+    n_pad = (-N) % 128
+    qh = q.transpose(0, 2, 1, 3)
+    kh = k.transpose(0, 2, 1, 3)
+    vh = v.transpose(0, 2, 1, 3)
+    kernel = functools.partial(_vit_flash_kernel, scale=scale, n_pad=n_pad,
+                               n_real=N)
+    out = pl.pallas_call(
+        kernel,
+        grid=(B, H),
+        in_specs=[
+            pl.BlockSpec((1, 1, N, Dh), lambda b, h: (b, h, 0, 0)),
+            pl.BlockSpec((1, 1, N, Dh), lambda b, h: (b, h, 0, 0)),
+            pl.BlockSpec((1, 1, N, Dh), lambda b, h: (b, h, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, 1, N, Dh), lambda b, h: (b, h, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((B, H, N, Dh), q.dtype),
+        interpret=interpret,
+    )(qh, kh, vh)
+    return out.transpose(0, 2, 1, 3)

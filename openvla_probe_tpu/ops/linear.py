@@ -56,14 +56,18 @@ def dequantize_weight(qw: QuantWeight, dtype=jnp.bfloat16) -> jnp.ndarray:
 # --- Pallas weight-only int8 matmul -----------------------------------------
 
 def _wi8_kernel(x_ref, q_ref, s_ref, o_ref):
-    """o[M, TN] = (x[M, K] @ q[TN, K].T) * s[TN] — dequant in VMEM."""
+    """o[M, TN] = (x[M, K] @ q[TN, K].T) * s[1, TN] — dequant in VMEM.
+
+    Scales ride as a 2-D [1, N] row: a 1-D f32 operand's XLA tile (T(1024))
+    can disagree with the tile Mosaic derives from a 1-D block shape
+    (T(block_n)) — seen as a verify-layout failure at N=32256 lm_head."""
     x = x_ref[:]
     w = q_ref[:].astype(jnp.bfloat16)
     acc = jax.lax.dot_general(
         x, w, dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
-    o_ref[:] = (acc * s_ref[:][None, :].astype(jnp.float32)).astype(o_ref.dtype)
+    o_ref[:] = (acc * s_ref[0][None, :].astype(jnp.float32)).astype(o_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("block_m", "block_n"))
@@ -93,6 +97,7 @@ def _wi8_matmul_2d(
     if m_pad:
         x = jnp.pad(x, ((0, m_pad), (0, 0)))
     Mp, Np = M + m_pad, N + n_pad
+    s = s[None, :]  # 2-D scales row (see _wi8_kernel docstring)
 
     out = pl.pallas_call(
         _wi8_kernel,
@@ -100,7 +105,7 @@ def _wi8_matmul_2d(
         in_specs=[
             pl.BlockSpec((block_m, K), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((block_n, K), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_n,), lambda i, j: (j,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_n), lambda i, j: (0, j), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((block_m, block_n), lambda i, j: (i, j), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((Mp, Np), x.dtype),

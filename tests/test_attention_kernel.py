@@ -177,3 +177,26 @@ def test_decode_kernel_empty_decode_segment(rng):
     got = np.asarray(decode_flash_attention(
         q, kp, vp, kd, vd, pre_valid, dec_valid, interpret=True))
     np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-4)
+
+
+def test_vit_flash_matches_xla():
+    """ViT tower flash kernel (head-major blocks, unmasked bidirectional,
+    VMEM row-pad for score-lane alignment) == the einsum reference."""
+    import numpy as np
+
+    from openvla_probe_tpu.ops.attention import vit_flash_attention
+
+    rng = np.random.default_rng(0)
+    B, N, H, Dh = 2, 261, 3, 64   # N deliberately not a lane/sublane multiple
+    q = jnp.asarray(rng.normal(size=(B, N, H, Dh)), jnp.bfloat16)
+    k = jnp.asarray(rng.normal(size=(B, N, H, Dh)), jnp.bfloat16)
+    v = jnp.asarray(rng.normal(size=(B, N, H, Dh)), jnp.bfloat16)
+    out = vit_flash_attention(q, k, v, interpret=True)
+
+    s = np.einsum("bthd,bshd->bhts", np.asarray(q, np.float32),
+                  np.asarray(k, np.float32)) / np.sqrt(Dh)
+    p = np.exp(s - s.max(-1, keepdims=True))
+    p /= p.sum(-1, keepdims=True)
+    ref = np.einsum("bhts,bshd->bthd", p, np.asarray(v, np.float32))
+    err = np.abs(np.asarray(out, np.float32) - ref).max()
+    assert err < 0.02, err
