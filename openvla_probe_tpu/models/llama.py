@@ -107,6 +107,17 @@ class KVCache(NamedTuple):
         dtype = dtype or cfg.dtype
         return KVCache(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype))
 
+    @staticmethod
+    def zeros_flat(cfg: LlamaConfig, batch: int, max_len: int, dtype=None) -> "KVCache":
+        """Flat [L, B, S, Hkv*Dh] layout (see _layer_forward: denies XLA the
+        divergent prefill/decode cache layouts that cost two full-cache
+        copies). `max_len` should be a sublane multiple (8) so the per-layer
+        head view is a free bitcast."""
+        shape = (cfg.num_hidden_layers, batch, max_len,
+                 cfg.num_key_value_heads * cfg.head_dim)
+        dtype = dtype or cfg.dtype
+        return KVCache(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype))
+
 
 # --- building blocks --------------------------------------------------------
 
@@ -260,10 +271,24 @@ def _layer_forward(
 
     if cache_ref is not None:
         k_all, v_all, li, cache_index = cache_ref
-        k_all = jax.lax.dynamic_update_slice(k_all, k[None], (li, 0, cache_index, 0, 0))
-        v_all = jax.lax.dynamic_update_slice(v_all, v[None], (li, 0, cache_index, 0, 0))
-        k = jax.lax.dynamic_index_in_dim(k_all, li, 0, keepdims=False)
-        v = jax.lax.dynamic_index_in_dim(v_all, li, 0, keepdims=False)
+        if k_all.ndim == 4:
+            # FLAT cache [L, B, S, Hkv*Dh]: XLA assigns the 5D cache
+            # different layouts in the prefill and decode scans and copies
+            # the full 3.7 GB cache twice between them (profiled 11.3 ms at
+            # B=24). The flat form leaves no transposed-layout choice; with
+            # S a sublane multiple the 4D head view below is a free bitcast.
+            S = k_all.shape[2]
+            kf = k.reshape(B, T, Hkv * Dh)
+            vf = v.reshape(B, T, Hkv * Dh)
+            k_all = jax.lax.dynamic_update_slice(k_all, kf[None], (li, 0, cache_index, 0))
+            v_all = jax.lax.dynamic_update_slice(v_all, vf[None], (li, 0, cache_index, 0))
+            k = jax.lax.dynamic_index_in_dim(k_all, li, 0, keepdims=False).reshape(B, S, Hkv, Dh)
+            v = jax.lax.dynamic_index_in_dim(v_all, li, 0, keepdims=False).reshape(B, S, Hkv, Dh)
+        else:
+            k_all = jax.lax.dynamic_update_slice(k_all, k[None], (li, 0, cache_index, 0, 0))
+            v_all = jax.lax.dynamic_update_slice(v_all, v[None], (li, 0, cache_index, 0, 0))
+            k = jax.lax.dynamic_index_in_dim(k_all, li, 0, keepdims=False)
+            v = jax.lax.dynamic_index_in_dim(v_all, li, 0, keepdims=False)
         new_cache = (k_all, v_all)
     else:
         # no cache: hand back this block's (post-RoPE) K/V so `prefill` can

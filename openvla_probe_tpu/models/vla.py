@@ -60,7 +60,8 @@ def _serving_env_snapshot() -> Tuple[Tuple[str, str], ...]:
     import os
 
     keys = ("OVLA_LEGACY_DECODE", "OVLA_SPLIT_PREFILL", "OVLA_KV_INT8",
-            "OVLA_STACKED_KV8", "OVLA_DECODE_UNROLL", "OVLA_PALLAS", "OVLA_W8A8",
+            "OVLA_STACKED_KV8", "OVLA_FLAT_CACHE",
+            "OVLA_DECODE_UNROLL", "OVLA_PALLAS", "OVLA_W8A8",
             # per-kernel Pallas gates are trace-time reads too (llama.py,
             # ops/linear.py): flipping one mid-session must raise, not no-op
             "OVLA_PALLAS_MATMUL", "OVLA_PALLAS_ATTN", "OVLA_PALLAS_DECODE")
@@ -108,6 +109,13 @@ class VLAServingConfig:
     # halves the decode cache stream where the lax turbo_kv8 could not.
     decode_impl: str = "stacked"   # stacked | frozen_kv | stacked_kv8
     split_prefill: bool = False    # stacked only: prefill via scan-ys + one pad
+    # stacked only: carry the cache FLAT [L, B, S, Hkv*Dh] (S sublane-padded)
+    # — removes XLA's divergent prefill/decode cache layouts and their two
+    # full-cache copies (11.3 ms/call profiled at B=24). MEASURED LOSER:
+    # 36.6 vs 44.4 calls/s — the transposed 5D layouts XLA picks make the
+    # scan-internal attention much faster than they cost in copies; kept as
+    # a documented A/B switch (token-identical, tests pin it)
+    flat_cache: bool = False
     kv_int8: bool = False          # frozen_kv only: int8 frozen prefill KV
     decode_unroll: bool = True     # frozen_kv only: unrolled layer loop vs scan
     # speculative decoding's batched verify pass is not reduction-order
@@ -128,6 +136,9 @@ class VLAServingConfig:
                              "a silent env-knob no-op)")
         if self.split_prefill and self.decode_impl != "stacked":
             raise ValueError("split_prefill is a stacked-decode option")
+        if self.flat_cache and (self.decode_impl != "stacked" or self.split_prefill):
+            raise ValueError("flat_cache is a stacked-carry-decode option "
+                             "(and excludes split_prefill's 5D pad path)")
         if (self.tier == "pallas_kv8") != (self.decode_impl == "stacked_kv8"):
             raise ValueError("the pallas_kv8 tier and decode_impl='stacked_kv8' "
                              "imply each other (the int8 stacked cache IS the "
@@ -194,6 +205,8 @@ class VLAServingConfig:
                                     kv_int8=False)
         if "OVLA_DECODE_UNROLL" in env:
             c = dataclasses.replace(c, decode_unroll=env["OVLA_DECODE_UNROLL"] == "1")
+        if env.get("OVLA_FLAT_CACHE", "0") == "1":
+            c = dataclasses.replace(c, flat_cache=True)
         return c
 
     @property
@@ -248,6 +261,9 @@ def predict_action_core(
     stacked8 = cfg.decode_impl == "stacked_kv8"
     if legacy:
         S = cfg.cache_len
+        if cfg.flat_cache:
+            # sublane-align S so the flat<->head-view reshape is a bitcast
+            S = -(-S // 8) * 8
         if cfg.split_prefill:
             # hybrid path: prefill emits each layer's K/V through scan YS
             # (no S-slot cache riding the layer-scan carry), then ONE
@@ -262,7 +278,8 @@ def predict_action_core(
             pad = ((0, 0), (0, 0), (0, S - T), (0, 0), (0, 0))
             cache = llama.KVCache(jnp.pad(out["kv"].k, pad), jnp.pad(out["kv"].v, pad))
         else:
-            cache = llama.KVCache.zeros(c.llm, B, S, dtype=c.llm.dtype)
+            mk = llama.KVCache.zeros_flat if cfg.flat_cache else llama.KVCache.zeros
+            cache = mk(c.llm, B, S, dtype=c.llm.dtype)
             attn_mask_S = jnp.pad(mm_mask, ((0, 0), (0, S - T)))
             out = llama.forward(
                 params["llm"], c.llm, embeds, attn_mask_S, positions,

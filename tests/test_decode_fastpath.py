@@ -240,3 +240,41 @@ def test_kv_int8_e2e_actions_close():
     np.testing.assert_array_equal(
         np.asarray(got["action_tokens"]), np.asarray(got_scan["action_tokens"])
     )
+
+
+def test_flat_cache_matches_default(wrapper_or_parts=None):
+    """flat_cache (4D [L,B,S,Hkv*Dh] carry) is a pure layout change: greedy
+    tokens match the 5D default exactly on the same weights."""
+    import dataclasses
+
+    import numpy as np
+
+    import jax
+
+    from openvla_probe_tpu.models import vla, vlm
+    from openvla_probe_tpu.ops.image import BackboneTransformSpec, ImageTransformConfig
+
+    cfg = vlm.VLMConfig.tiny()
+    params = vlm.init_params(cfg, jax.random.key(3))
+    s = cfg.vision[0].image_size
+    img_cfg = ImageTransformConfig(specs=(
+        BackboneTransformSpec((s, s), "bicubic", (0.485, 0.456, 0.406), (0.229, 0.224, 0.225)),
+        BackboneTransformSpec((s, s), "bicubic", (0.5, 0.5, 0.5), (0.5, 0.5, 0.5)),
+    ))
+    stats = {"x": {"action": {"q01": -np.ones(5, np.float32),
+                              "q99": np.ones(5, np.float32)}}}
+    img = np.random.default_rng(1).integers(0, 256, (s, s, 3), dtype=np.uint8)
+
+    class _Tok:
+        def encode(self, t):
+            return [1] + [(len(w) % 300) + 3 for w in t.split()]
+
+    base = vla.VLAServingConfig(vlm=cfg, action_dim=5, prompt_pad_len=12,
+                                codec_vocab_size=cfg.llm.vocab_size)
+    a = vla.OpenVLA(params, base, _Tok(), stats, img_cfg).predict_action(
+        img, "pick up the mug", unnorm_key="x")
+    flat = dataclasses.replace(base, flat_cache=True)
+    b = vla.OpenVLA(params, flat, _Tok(), stats, img_cfg).predict_action(
+        img, "pick up the mug", unnorm_key="x")
+    np.testing.assert_array_equal(a["action_tokens"], b["action_tokens"])
+    np.testing.assert_array_equal(a["actions"], b["actions"])
