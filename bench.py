@@ -123,9 +123,9 @@ def main() -> None:
     ids[:, 1:prompt_len - 1] = rng.integers(min(1000, hi - 1), hi, (batch, prompt_len - 2))
     ids[:, prompt_len - 1] = vla.EMPTY_TOKEN_ID % cfg.llm.vocab_size
 
-    q01 = -np.ones(7, np.float32)
-    q99 = np.ones(7, np.float32)
-    mask = np.array([True] * 6 + [False])
+    q01 = -np.ones(action_dim, np.float32)
+    q99 = np.ones(action_dim, np.float32)
+    mask = np.array([True] * (action_dim - 1) + [False])
 
     import functools
 
