@@ -278,3 +278,43 @@ def test_flat_cache_matches_default(wrapper_or_parts=None):
         img, "pick up the mug", unnorm_key="x")
     np.testing.assert_array_equal(a["action_tokens"], b["action_tokens"])
     np.testing.assert_array_equal(a["actions"], b["actions"])
+
+
+def test_long_action_dim_serving():
+    """action_dim != 7 (action-chunking regime): codec, mask, cache sizing,
+    and the decode scan all follow the config (a 7-dim hardcode in synthetic
+    stats crashed the first A=64 bench)."""
+    import numpy as np
+
+    import jax
+
+    from openvla_probe_tpu.models import vla, vlm
+    from openvla_probe_tpu.ops.image import BackboneTransformSpec, ImageTransformConfig
+
+    cfg = vlm.VLMConfig.tiny()
+    params = vlm.init_params(cfg, jax.random.key(5))
+    s = cfg.vision[0].image_size
+    img_cfg = ImageTransformConfig(specs=(
+        BackboneTransformSpec((s, s), "bicubic", (0.485, 0.456, 0.406), (0.229, 0.224, 0.225)),
+        BackboneTransformSpec((s, s), "bicubic", (0.5, 0.5, 0.5), (0.5, 0.5, 0.5)),
+    ))
+    A = 11
+    stats = {"x": {"action": {"q01": -np.ones(A, np.float32),
+                              "q99": np.ones(A, np.float32),
+                              "mask": np.array([True] * (A - 1) + [False])}}}
+    img = np.random.default_rng(2).integers(0, 256, (s, s, 3), dtype=np.uint8)
+
+    class _Tok:
+        def encode(self, t):
+            return [1] + [(len(w) % 300) + 3 for w in t.split()]
+
+    serving = vla.VLAServingConfig(vlm=cfg, action_dim=A, prompt_pad_len=12,
+                                   codec_vocab_size=cfg.llm.vocab_size)
+    out = vla.OpenVLA(params, serving, _Tok(), stats, img_cfg).predict_action(
+        img, "pick up the mug", unnorm_key="x")
+    assert out["action_tokens"].shape == (A,)
+    assert out["actions"].shape == (A,)
+    assert np.isfinite(out["actions"]).all()
+    # the masked last dim passes through un-normalized
+    norm = out["normalized_actions"]
+    assert out["actions"][-1] == norm[-1]
