@@ -182,3 +182,24 @@ def test_serving_end_to_end_matches_turbo(tiny_parts):
     # same weights; the int8 cache is a sub-margin perturbation at these
     # scales — greedy tokens agree (margin-limited in general: PARITY_r03)
     np.testing.assert_array_equal(a["action_tokens"], b["action_tokens"])
+
+
+def test_long_action_chunk_matches_turbo(tiny_parts):
+    """The tier's target regime is LONG action chunks (decode-dominated):
+    over 16 generated slots the int8-cache writes land at slots well past
+    the prefill region and every step attends all prior generated tokens."""
+    cfg, params, img_cfg, stats_base, img = tiny_parts
+    A = 16
+    stats = {"x": {"action": {"q01": -np.ones(A, np.float32),
+                              "q99": np.ones(A, np.float32)}}}
+    kw = dict(action_dim=A, prompt_pad_len=12, codec_vocab_size=cfg.llm.vocab_size)
+    mt = vla.OpenVLA(params, vla.VLAServingConfig.for_tier(cfg, "turbo", **kw),
+                     _Tok(), stats, img_cfg)
+    mk = vla.OpenVLA(params, vla.VLAServingConfig.for_tier(cfg, "pallas_kv8", **kw),
+                     _Tok(), stats, img_cfg)
+    a = mt.predict_action(img, "pick up the mug", unnorm_key="x")
+    b = mk.predict_action(img, "pick up the mug", unnorm_key="x")
+    assert b["action_tokens"].shape == (A,)
+    # same weights; tiny-scale margins are wide enough that the int8 cache
+    # stays sub-margin across all 16 sequential steps
+    np.testing.assert_array_equal(a["action_tokens"], b["action_tokens"])
