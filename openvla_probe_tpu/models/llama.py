@@ -857,15 +857,12 @@ def decode_step_stacked_i8(
     Mirrors `forward`'s cached branch (cache on the scan carry, per-layer
     one-token writes) with the new token's K/V absmax-quantized into the int8
     cache and attention computed by the fused-dequant Pallas kernel
-    (ops/decode_attention.stacked_decode_attention_i8). Returns
+    (ops/decode_attention.stacked_decode_attention_i8; GQA handled in-kernel
+    — each kv head's dequantized tile serves its n_rep query heads). Returns
     (last_hidden [B, D] post-norm, updated cache).
     """
     B = x.shape[0]
     L = cfg.num_hidden_layers
-    if cfg.num_key_value_heads != cfg.num_attention_heads:
-        raise NotImplementedError(
-            "stacked_kv8 serves MHA models only (the kernel's flat per-head "
-            "slices assume H == Hkv); GQA models use the turbo tier")
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     cos, sin = rope_tables(cfg, positions)

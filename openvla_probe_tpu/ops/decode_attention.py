@@ -110,8 +110,8 @@ def decode_flash_attention(
 
 
 def _stacked_i8_kernel(li_ref, q_ref, kq_ref, ks_ref, vq_ref, vs_ref,
-                       valid_ref, o_ref, *, scale: float, dh: int, heads: int,
-                       s_pad: int):
+                       valid_ref, o_ref, *, scale: float, dh: int,
+                       kv_heads: int, n_rep: int, s_pad: int):
     """One batch-element program over the FLAT int8 stacked cache.
 
     The layer index arrives via scalar prefetch (`li_ref`, SMEM) and is
@@ -137,30 +137,35 @@ def _stacked_i8_kernel(li_ref, q_ref, kq_ref, ks_ref, vq_ref, vs_ref,
     # -1.8 calls/s end-to-end). Padded lanes get validity 0 -> NEG_INF -> 0.
     ok = valid_ref[0, 0, :][None, :] > 0                          # [1, Sp]
     zpad = ((0, s_pad), (0, 0))
-    for h in range(heads):
-        sl = slice(h * dh, (h + 1) * dh)
-        qh = q_ref[0, :, sl].astype(jnp.float32) * scale          # [1, Dh]
-        ksc = ks_ref[0, 0, :, h:h + 1]                            # [S, 1]
+    for kv_h in range(kv_heads):
+        # GQA: each kv head's dequantized tile is built once and reused by
+        # its n_rep query heads (statically unrolled — the flat cache makes
+        # the kv slice a compile-time lane offset)
+        sl = slice(kv_h * dh, (kv_h + 1) * dh)
+        ksc = ks_ref[0, 0, :, kv_h:kv_h + 1]                      # [S, 1]
         kf = kq_ref[0, 0, :, sl].astype(jnp.float32) * ksc        # [S, Dh]
-        if s_pad:
-            kf = jnp.pad(kf, zpad)
-        s = jax.lax.dot_general(
-            qh, kf, dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )                                                         # [1, Sp]
-        s = jnp.where(ok, s, NEG_INF)
-        m = s.max(axis=-1, keepdims=True)
-        p = jnp.exp(s - m)
-        l = p.sum(axis=-1, keepdims=True)
-        vsc = vs_ref[0, 0, :, h:h + 1]
+        vsc = vs_ref[0, 0, :, kv_h:kv_h + 1]
         vf = vq_ref[0, 0, :, sl].astype(jnp.float32) * vsc        # [S, Dh]
         if s_pad:
+            kf = jnp.pad(kf, zpad)
             vf = jnp.pad(vf, zpad)
-        pv = jax.lax.dot_general(
-            p, vf, dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )                                                         # [1, Dh]
-        o_ref[0, :, sl] = (pv / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+        for r in range(n_rep):
+            h = kv_h * n_rep + r
+            qsl = slice(h * dh, (h + 1) * dh)
+            qh = q_ref[0, :, qsl].astype(jnp.float32) * scale     # [1, Dh]
+            s = jax.lax.dot_general(
+                qh, kf, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )                                                     # [1, Sp]
+            s = jnp.where(ok, s, NEG_INF)
+            m = s.max(axis=-1, keepdims=True)
+            p = jnp.exp(s - m)
+            l = p.sum(axis=-1, keepdims=True)
+            pv = jax.lax.dot_general(
+                p, vf, dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )                                                     # [1, Dh]
+            o_ref[0, :, qsl] = (pv / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
 
 
 def stacked_decode_attention_i8(
@@ -181,32 +186,34 @@ def stacked_decode_attention_i8(
     K/V to the next 128-multiple in VMEM (padded lanes masked exactly).
     """
     B, _, H, Dh = q.shape
-    L, _, S, HDh = kq.shape
-    assert HDh == H * Dh, "stacked_kv8 requires H == Hkv (no GQA)"
+    L, _, S, KDh = kq.shape
+    Hkv = KDh // Dh
+    assert Hkv * Dh == KDh and H % Hkv == 0, "q/kv head dims inconsistent"
+    n_rep = H // Hkv
     scale = 1.0 / np.sqrt(Dh)
     s_pad = (-S) % 128
 
     qr = q.reshape(B, 1, H * Dh)
     validr = jnp.pad(valid.astype(jnp.int32), ((0, 0), (0, s_pad)))[:, None, :]
-    kernel = functools.partial(_stacked_i8_kernel, scale=scale, dh=Dh, heads=H,
-                               s_pad=s_pad)
+    kernel = functools.partial(_stacked_i8_kernel, scale=scale, dh=Dh,
+                               kv_heads=Hkv, n_rep=n_rep, s_pad=s_pad)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(B,),
         in_specs=[
-            pl.BlockSpec((1, 1, HDh), lambda b, li_ref: (b, 0, 0)),
-            pl.BlockSpec((1, 1, S, HDh), lambda b, li_ref: (li_ref[0], b, 0, 0)),
-            pl.BlockSpec((1, 1, S, H), lambda b, li_ref: (li_ref[0], b, 0, 0)),
-            pl.BlockSpec((1, 1, S, HDh), lambda b, li_ref: (li_ref[0], b, 0, 0)),
-            pl.BlockSpec((1, 1, S, H), lambda b, li_ref: (li_ref[0], b, 0, 0)),
+            pl.BlockSpec((1, 1, H * Dh), lambda b, li_ref: (b, 0, 0)),
+            pl.BlockSpec((1, 1, S, KDh), lambda b, li_ref: (li_ref[0], b, 0, 0)),
+            pl.BlockSpec((1, 1, S, Hkv), lambda b, li_ref: (li_ref[0], b, 0, 0)),
+            pl.BlockSpec((1, 1, S, KDh), lambda b, li_ref: (li_ref[0], b, 0, 0)),
+            pl.BlockSpec((1, 1, S, Hkv), lambda b, li_ref: (li_ref[0], b, 0, 0)),
             pl.BlockSpec((1, 1, S + s_pad), lambda b, li_ref: (b, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, 1, HDh), lambda b, li_ref: (b, 0, 0)),
+        out_specs=pl.BlockSpec((1, 1, H * Dh), lambda b, li_ref: (b, 0, 0)),
     )
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((B, 1, HDh), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((B, 1, H * Dh), q.dtype),
         interpret=interpret,
     )(jnp.asarray(li, jnp.int32).reshape(1), qr, kq, ks, vq, vs, validr)
     return out.reshape(B, 1, H, Dh)

@@ -103,15 +103,31 @@ def test_quantize_kv_cache_roundtrip():
     assert rel.max() < 0.005  # absmax int8: <= scale/2 per element
 
 
-def test_gqa_guard():
-    cfg = LlamaConfig.tiny(num_key_value_heads=2)
-    params = llama.init_params(cfg, jax.random.key(0))
-    cq = llama.quantize_kv_cache(llama.KVCache.zeros(cfg, 1, 8, jnp.float32))
-    with pytest.raises(NotImplementedError, match="MHA"):
-        llama.decode_step_stacked_i8(
-            params, cfg, jnp.zeros((1, 1, cfg.hidden_size)),
-            jnp.zeros((1, 1), jnp.int32), cq,
-            jnp.ones((1, 8), jnp.int32), jnp.int32(0))
+def test_gqa_kernel_matches_reference():
+    """GQA (Hkv < H): each kv head's dequantized tile serves its n_rep query
+    heads — kernel output matches the repeat_kv einsum reference."""
+    rng = np.random.default_rng(3)
+    L, B, S, H, Hkv, Dh = 2, 2, 128, 4, 2, 128
+    n_rep = H // Hkv
+    q = jnp.asarray(rng.normal(size=(B, 1, H, Dh)), jnp.bfloat16)
+    kf = rng.normal(size=(L, B, S, Hkv, Dh)).astype(np.float32)
+    vf = rng.normal(size=(L, B, S, Hkv, Dh)).astype(np.float32)
+    kq, ks = _quant_np(kf)
+    vq, vs = _quant_np(vf)
+    valid = np.ones((B, S), np.int32)
+    li = 1
+    out = stacked_decode_attention_i8(
+        q, jnp.asarray(kq.reshape(L, B, S, Hkv * Dh)), jnp.asarray(ks),
+        jnp.asarray(vq.reshape(L, B, S, Hkv * Dh)), jnp.asarray(vs),
+        jnp.asarray(valid), jnp.int32(li), interpret=True)
+    kd = np.repeat(kq[li].astype(np.float32) * ks[li][..., None], n_rep, axis=2)
+    vd = np.repeat(vq[li].astype(np.float32) * vs[li][..., None], n_rep, axis=2)
+    s = np.einsum("bthd,bshd->bhts", np.asarray(q, np.float32), kd) / np.sqrt(Dh)
+    p = np.exp(s - s.max(-1, keepdims=True))
+    p /= p.sum(-1, keepdims=True)
+    ref = np.einsum("bhts,bshd->bthd", p, vd)
+    err = np.abs(np.asarray(out, np.float32) - ref).max()
+    assert err < 0.02, err
 
 
 # --- config matrix -----------------------------------------------------------
