@@ -89,7 +89,10 @@ class VLAServingConfig:
     config is, and gates tier-dependent features (speculative decoding is
     turbo-only: its batched verify pass is not reduction-order-identical to
     the sequential decode, so it cannot ride the parity tier's bit-equality
-    contract).
+    contract). Note: the speculative path always runs the bf16 stacked-cache
+    verify/decode regardless of `decode_impl` — under the *_kv8 tiers drafts
+    are therefore numerically TIGHTER than the tier's sequential decode (the
+    int8-cache economics don't apply at the bs=1 shapes speculation targets).
     """
 
     vlm: vlm.VLMConfig
