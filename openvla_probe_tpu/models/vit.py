@@ -212,6 +212,27 @@ def _block(cfg: ViTConfig, bp: Params, x: jnp.ndarray, B: int, N: int) -> jnp.nd
         attn = attn * bp["ls1"]
     x = x + attn
 
+    from ..ops.linear import is_quantized
+
+    if (
+        os.environ.get("OVLA_PALLAS", "0") == "1"
+        and os.environ.get("OVLA_PALLAS_VITMLP", "1") == "1"
+        and is_quantized(bp["fc1_w"])
+        and is_quantized(bp["fc2_w"])
+        and jax.default_backend() == "tpu"
+    ):
+        # fused MLP half-block: LN2 + quantize + int8 fc1 + GELU + re-quantize
+        # + int8 fc2 + LayerScale + residual in ONE dispatch — the [B*N, F]
+        # intermediate never touches HBM (see ops/vit_mlp.py)
+        from ..ops.vit_mlp import fused_mlp_residual
+
+        ls2 = bp["ls2"] if cfg.use_layerscale else jnp.ones((D,), x.dtype)
+        return fused_mlp_residual(
+            x, bp["norm2_scale"], bp["norm2_bias"],
+            bp["fc1_w"], bp["fc1_b"], bp["fc2_w"], bp["fc2_b"], ls2,
+            eps=cfg.layer_norm_eps, act=cfg.act,
+        )
+
     h = layer_norm(x, bp["norm2_scale"], bp["norm2_bias"], cfg.layer_norm_eps)
     h = _act(matmul_t(h, bp["fc1_w"]) + bp["fc1_b"], cfg.act)
     h = matmul_t(h, bp["fc2_w"]) + bp["fc2_b"]
