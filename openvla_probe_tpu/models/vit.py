@@ -175,14 +175,32 @@ def _block(cfg: ViTConfig, bp: Params, x: jnp.ndarray, B: int, N: int) -> jnp.nd
     """
     H, Dh = cfg.num_heads, cfg.head_dim
     D = x.shape[-1]
+    import os
 
-    h = layer_norm(x, bp["norm1_scale"], bp["norm1_bias"], cfg.layer_norm_eps)
-    qkv = matmul_t(h, bp["qkv_w"]) + bp["qkv_b"]  # [B*N, 3D]
+    from ..ops.linear import is_quantized
+
+    fused_linears = (
+        os.environ.get("OVLA_PALLAS", "0") == "1"
+        and os.environ.get("OVLA_PALLAS_VITLIN", "1") == "1"
+        and is_quantized(bp["qkv_w"])
+        and is_quantized(bp["proj_w"])
+        and jax.default_backend() == "tpu"
+    )
+    if fused_linears:
+        # LN1 + activation-quantize + int8 qkv in one dispatch (ops/vit_mlp.py)
+        from ..ops.vit_mlp import fused_ln_w8a8
+
+        qkv = fused_ln_w8a8(
+            x, bp["qkv_w"], bp["qkv_b"],
+            ln=(bp["norm1_scale"], bp["norm1_bias"]), eps=cfg.layer_norm_eps,
+        )
+    else:
+        h = layer_norm(x, bp["norm1_scale"], bp["norm1_bias"], cfg.layer_norm_eps)
+        qkv = matmul_t(h, bp["qkv_w"]) + bp["qkv_b"]  # [B*N, 3D]
     q, k, v = jnp.split(qkv, 3, axis=-1)
     q = q.reshape(B, N, H, Dh)
     k = k.reshape(B, N, H, Dh)
     v = v.reshape(B, N, H, Dh)
-    import os
 
     if (
         os.environ.get("OVLA_PALLAS", "0") == "1"
@@ -207,12 +225,19 @@ def _block(cfg: ViTConfig, bp: Params, x: jnp.ndarray, B: int, N: int) -> jnp.nd
         probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(x.dtype)
         attn = jnp.einsum("bhts,bshd->bthd", probs, v, preferred_element_type=jnp.float32)
         attn = attn.astype(x.dtype).reshape(B * N, D)
-    attn = matmul_t(attn, bp["proj_w"]) + bp["proj_b"]
-    if cfg.use_layerscale:
-        attn = attn * bp["ls1"]
-    x = x + attn
+    if fused_linears:
+        # quantize + int8 proj + LayerScale + residual in one dispatch
+        from ..ops.vit_mlp import fused_ln_w8a8
 
-    from ..ops.linear import is_quantized
+        x = fused_ln_w8a8(
+            attn, bp["proj_w"], bp["proj_b"], res=x,
+            ls=bp["ls1"] if cfg.use_layerscale else None,
+        )
+    else:
+        attn = matmul_t(attn, bp["proj_w"]) + bp["proj_b"]
+        if cfg.use_layerscale:
+            attn = attn * bp["ls1"]
+        x = x + attn
 
     if (
         os.environ.get("OVLA_PALLAS", "0") == "1"

@@ -120,6 +120,107 @@ def _pick_block_m(D: int, F: int) -> int:
     return 16
 
 
+def _ln_w8a8_kernel(*refs, eps: float, has_ln: bool, has_res: bool,
+                    has_ls: bool):
+    """Generic fused single-matmul program:
+    out = [res +] [ls *] ( w8a8( LN?(x) ) + b ).
+
+    With the MLP kernel and the ViT flash-attention kernel this makes the
+    whole quantized tower block 4 dispatches (qkv-entry, attention,
+    proj-exit, MLP) with no standalone LayerNorm/quantize/elementwise passes.
+    Ref order: x, [lns, lnb], q, s, b, [res], [ls], out.
+    """
+    it = iter(refs[:-1])
+    x_ref = next(it)
+    lns_ref = next(it) if has_ln else None
+    lnb_ref = next(it) if has_ln else None
+    q_ref, s_ref, b_ref = next(it), next(it), next(it)
+    res_ref = next(it) if has_res else None
+    ls_ref = next(it) if has_ls else None
+    o_ref = refs[-1]
+
+    x = x_ref[:]
+    if has_ln:
+        xf = x.astype(jnp.float32)
+        mean = xf.mean(-1, keepdims=True)
+        var = ((xf - mean) ** 2).mean(-1, keepdims=True)
+        hf = (xf - mean) * lax.rsqrt(var + eps)
+        hf = hf * lns_ref[0][None, :].astype(jnp.float32) + lnb_ref[0][None, :].astype(jnp.float32)
+        h = hf.astype(x.dtype)
+    else:
+        h = x
+    hi8, sx = _quantize_rows(h.astype(jnp.float32))
+    acc = lax.dot_general(
+        hi8, q_ref[:], dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    y = (acc.astype(jnp.float32) * sx * s_ref[0][None, :]).astype(x.dtype)
+    y = y + b_ref[0][None, :].astype(x.dtype)
+    if has_ls:
+        y = y * ls_ref[0][None, :].astype(x.dtype)
+    if has_res:
+        y = res_ref[:] + y
+    o_ref[:] = y
+
+
+@functools.partial(jax.jit, static_argnames=("eps", "interpret"))
+def fused_ln_w8a8(
+    x: jnp.ndarray,                      # [M, K] bf16
+    w: QuantWeight,                      # {"q": [N, K] int8, "s": [N] f32}
+    b: jnp.ndarray,                      # [N]
+    ln: tuple | None = None,             # (scale [K], bias [K]) -> LN first
+    res: jnp.ndarray | None = None,      # [M, N] residual added last
+    ls: jnp.ndarray | None = None,       # [N] LayerScale before the residual
+    eps: float = 1e-6,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    M, K = x.shape
+    N = w["q"].shape[0]
+    bm = _pick_block_m(K, N)
+    m_pad = (-M) % bm
+    if m_pad:
+        x = jnp.pad(x, ((0, m_pad), (0, 0)))
+        if res is not None:
+            res = jnp.pad(res, ((0, m_pad), (0, 0)))
+    Mp = M + m_pad
+
+    row = lambda a: a.reshape(1, -1)
+    const = lambda i: (0, 0)
+    operands = [x]
+    in_specs = [pl.BlockSpec((bm, K), lambda i: (i, 0))]
+    if ln is not None:
+        operands += [row(ln[0]), row(ln[1])]
+        in_specs += [pl.BlockSpec((1, K), const)] * 2
+    operands += [w["q"], row(w["s"]), row(b)]
+    in_specs += [pl.BlockSpec((N, K), const), pl.BlockSpec((1, N), const),
+                 pl.BlockSpec((1, N), const)]
+    if res is not None:
+        operands.append(res)
+        in_specs.append(pl.BlockSpec((bm, N), lambda i: (i, 0)))
+    if ls is not None:
+        operands.append(row(ls))
+        in_specs.append(pl.BlockSpec((1, N), const))
+
+    kernel = functools.partial(
+        _ln_w8a8_kernel, eps=eps, has_ln=ln is not None,
+        has_res=res is not None, has_ls=ls is not None,
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=(Mp // bm,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((bm, N), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((Mp, N), x.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * Mp * K * N,
+            bytes_accessed=K * N + 2 * Mp * (K + N),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(*operands)
+    return out[:M]
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("eps", "act", "interpret"),

@@ -80,6 +80,48 @@ def test_block_gate_routes_to_fused_kernel(rng, monkeypatch):
     assert np.isfinite(np.asarray(out, np.float32)).all()
 
 
+@pytest.mark.parametrize("variant", ["qkv", "proj", "proj_noscale"])
+def test_fused_ln_w8a8_matches_xla(rng, variant, monkeypatch):
+    """The generic single-matmul kernel in its two block roles: qkv-entry
+    (LN + quantize + matmul + bias) and proj-exit (quantize + matmul + bias
+    + LayerScale + residual)."""
+    from openvla_probe_tpu.ops.linear import matmul_t
+    from openvla_probe_tpu.ops.vit_mlp import fused_ln_w8a8
+
+    monkeypatch.setenv("OVLA_W8A8", "1")
+    monkeypatch.setenv("OVLA_VITMLP_BM", "16")
+    M, K = 40, 128
+    N = 3 * K if variant == "qkv" else K
+    x = jnp.asarray(rng.normal(size=(M, K)).astype(np.float32) * 0.5, jnp.bfloat16)
+    w = quantize_weight(rng.normal(size=(N, K)).astype(np.float32) * 0.05)
+    b = jnp.asarray(0.05 * rng.normal(size=(N,)), jnp.bfloat16)
+
+    if variant == "qkv":
+        lns = jnp.asarray(1.0 + 0.1 * rng.normal(size=(K,)), jnp.bfloat16)
+        lnb = jnp.asarray(0.1 * rng.normal(size=(K,)), jnp.bfloat16)
+        want = matmul_t(vit.layer_norm(x, lns, lnb, 1e-6), w) + b
+        got = fused_ln_w8a8(x, w, b, ln=(lns, lnb), eps=1e-6, interpret=True)
+    else:
+        res = jnp.asarray(rng.normal(size=(M, N)).astype(np.float32) * 0.5, jnp.bfloat16)
+        ls = (jnp.asarray(0.9 + 0.1 * rng.normal(size=(N,)), jnp.bfloat16)
+              if variant == "proj" else None)
+        y = matmul_t(x, w) + b
+        want = res + (y * ls if ls is not None else y)
+        got = fused_ln_w8a8(x, w, b, res=res, ls=ls, interpret=True)
+
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(want, np.float32),
+        atol=0.05, rtol=0.05,
+    )
+    if variant != "qkv":
+        # no LayerNorm -> the int32 dot is order-exact; the fp32 scale
+        # epilogue can still differ by 1 bf16 ULP on a handful of elements
+        # (XLA's elementwise fusion may contract mul+add into FMA). Measured:
+        # <1% of elements at 1 ULP.
+        g, w_ = np.asarray(got, np.float32), np.asarray(want, np.float32)
+        assert np.mean(g == w_) > 0.98
+
+
 def test_fused_mlp_odd_ff_dim(rng):
     """SigLIP's mlp_dim=4304 is not a 128-multiple; full-array weight blocks
     must still work (scaled-down odd shape)."""
