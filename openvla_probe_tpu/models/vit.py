@@ -179,12 +179,20 @@ def _block(cfg: ViTConfig, bp: Params, x: jnp.ndarray, B: int, N: int) -> jnp.nd
 
     from ..ops.linear import is_quantized
 
-    fused_linears = (
+    # OVLA_PALLAS_INTERPRET=1 routes every tower kernel in interpret mode on
+    # CPU — exercises the exact _block wiring (stacked-tree scan slices,
+    # LayerScale fallbacks, flat-activation shapes) that otherwise only runs
+    # on a real chip (tests/test_vit_mlp_kernel.py e2e wiring test)
+    interpret = os.environ.get("OVLA_PALLAS_INTERPRET", "0") == "1"
+    kernels_on = (
         os.environ.get("OVLA_PALLAS", "0") == "1"
+        and (jax.default_backend() == "tpu" or interpret)
+    )
+    fused_linears = (
+        kernels_on
         and os.environ.get("OVLA_PALLAS_VITLIN", "1") == "1"
         and is_quantized(bp["qkv_w"])
         and is_quantized(bp["proj_w"])
-        and jax.default_backend() == "tpu"
     )
     if fused_linears:
         # LN1 + activation-quantize + int8 qkv in one dispatch (ops/vit_mlp.py)
@@ -193,6 +201,7 @@ def _block(cfg: ViTConfig, bp: Params, x: jnp.ndarray, B: int, N: int) -> jnp.nd
         qkv = fused_ln_w8a8(
             x, bp["qkv_w"], bp["qkv_b"],
             ln=(bp["norm1_scale"], bp["norm1_bias"]), eps=cfg.layer_norm_eps,
+            interpret=interpret,
         )
     else:
         h = layer_norm(x, bp["norm1_scale"], bp["norm1_bias"], cfg.layer_norm_eps)
@@ -202,17 +211,13 @@ def _block(cfg: ViTConfig, bp: Params, x: jnp.ndarray, B: int, N: int) -> jnp.nd
     k = k.reshape(B, N, H, Dh)
     v = v.reshape(B, N, H, Dh)
 
-    if (
-        os.environ.get("OVLA_PALLAS", "0") == "1"
-        and os.environ.get("OVLA_PALLAS_ATTN", "1") == "1"
-        and jax.default_backend() == "tpu"
-    ):
+    if kernels_on and os.environ.get("OVLA_PALLAS_ATTN", "1") == "1":
         # tower flash kernel: the XLA chain materializes the [B, H, N, N]
         # score tile twice + a softmax pass (~0.45 ms/layer at B=24) for
         # ~0.03 ms of FLOPs; the kernel keeps the per-head problem in VMEM
         from ..ops.attention import vit_flash_attention
 
-        attn = vit_flash_attention(q, k, v).reshape(B * N, D)
+        attn = vit_flash_attention(q, k, v, interpret=interpret).reshape(B * N, D)
     else:
         scores = jnp.einsum("bthd,bshd->bhts", q, k,
                             preferred_element_type=cfg.attn_scores_dtype)
@@ -232,6 +237,7 @@ def _block(cfg: ViTConfig, bp: Params, x: jnp.ndarray, B: int, N: int) -> jnp.nd
         x = fused_ln_w8a8(
             attn, bp["proj_w"], bp["proj_b"], res=x,
             ls=bp["ls1"] if cfg.use_layerscale else None,
+            interpret=interpret,
         )
     else:
         attn = matmul_t(attn, bp["proj_w"]) + bp["proj_b"]
@@ -240,11 +246,10 @@ def _block(cfg: ViTConfig, bp: Params, x: jnp.ndarray, B: int, N: int) -> jnp.nd
         x = x + attn
 
     if (
-        os.environ.get("OVLA_PALLAS", "0") == "1"
+        kernels_on
         and os.environ.get("OVLA_PALLAS_VITMLP", "1") == "1"
         and is_quantized(bp["fc1_w"])
         and is_quantized(bp["fc2_w"])
-        and jax.default_backend() == "tpu"
     ):
         # fused MLP half-block: LN2 + quantize + int8 fc1 + GELU + re-quantize
         # + int8 fc2 + LayerScale + residual in ONE dispatch — the [B*N, F]
@@ -255,7 +260,7 @@ def _block(cfg: ViTConfig, bp: Params, x: jnp.ndarray, B: int, N: int) -> jnp.nd
         return fused_mlp_residual(
             x, bp["norm2_scale"], bp["norm2_bias"],
             bp["fc1_w"], bp["fc1_b"], bp["fc2_w"], bp["fc2_b"], ls2,
-            eps=cfg.layer_norm_eps, act=cfg.act,
+            eps=cfg.layer_norm_eps, act=cfg.act, interpret=interpret,
         )
 
     h = layer_norm(x, bp["norm2_scale"], bp["norm2_bias"], cfg.layer_norm_eps)

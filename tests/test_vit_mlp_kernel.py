@@ -64,6 +64,40 @@ def test_fused_mlp_matches_xla_w8a8(rng, act, layerscale, monkeypatch):
     assert np.mean(got == want) > 0.3  # large share still bit-identical
 
 
+@pytest.mark.parametrize("tower", ["dino_like", "siglip_like"])
+def test_tower_kernel_wiring_e2e(rng, tower, monkeypatch):
+    """OVLA_PALLAS_INTERPRET=1 drives the FULL forward_features through every
+    tower kernel (qkv-entry, flash attention, proj-exit, fused MLP) in
+    interpret mode on CPU — the exact _block wiring (scan slices of the
+    stacked quantized tree, LayerScale fallbacks, flat shapes) that otherwise
+    only executes on a real chip."""
+    from openvla_probe_tpu.ops.linear import VIT_QUANT_SUFFIXES, quantize_params
+
+    monkeypatch.setenv("OVLA_W8A8", "1")
+    if tower == "dino_like":
+        cfg = vit.ViTConfig.tiny(num_register_tokens=2, no_embed_class=True,
+                                 use_layerscale=True, dtype=jnp.bfloat16)
+    else:
+        cfg = vit.ViTConfig.tiny(use_cls_token=False, act="gelu_tanh",
+                                 dtype=jnp.bfloat16)
+    params = quantize_params(vit.init_params(cfg, jax.random.PRNGKey(3)),
+                             VIT_QUANT_SUFFIXES)
+    px = jnp.asarray(rng.normal(size=(2, 3, 28, 28)), jnp.bfloat16)
+
+    monkeypatch.delenv("OVLA_PALLAS", raising=False)
+    want = np.asarray(vit.forward_features(params, cfg, px), np.float32)
+
+    monkeypatch.setenv("OVLA_PALLAS", "1")
+    monkeypatch.setenv("OVLA_PALLAS_INTERPRET", "1")
+    monkeypatch.setenv("OVLA_VITMLP_BM", "16")
+    got = np.asarray(vit.forward_features(params, cfg, px), np.float32)
+
+    assert got.shape == want.shape
+    # three stacked kernel layers of 1-ULP LayerNorm/fusion dust; the flash
+    # kernel's fp32 scores vs the XLA path's bf16/f32 chain add a bit more
+    np.testing.assert_allclose(got, want, atol=0.08, rtol=0.08)
+
+
 def test_block_gate_routes_to_fused_kernel(rng, monkeypatch):
     """_block(OVLA_PALLAS=1, quantized tower) must equal the XLA path —
     exercised end-to-end through forward_features in interpret-able CPU mode
