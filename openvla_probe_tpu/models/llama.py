@@ -184,10 +184,14 @@ def attention(
     v = _repeat_kv(v, n_rep)
     import os
 
+    # OVLA_PALLAS_INTERPRET=1: run the kernel wiring in interpret mode on CPU
+    # (same escape hatch as models/vit.py — exercises gate + call-site shapes
+    # without a chip)
+    interp = os.environ.get("OVLA_PALLAS_INTERPRET", "0") == "1"
     if (
         os.environ.get("OVLA_PALLAS", "0") == "1"
         and os.environ.get("OVLA_PALLAS_ATTN", "1") == "1"
-        and jax.default_backend() == "tpu"
+        and (jax.default_backend() == "tpu" or interp)
         # prefill-sized only: decode (Tq=1) stays on XLA, and so do the SHORT
         # speculative verify-prefills (Tq ~ 2A+1) — the verify pass must share
         # the sequential decode path's reduction-order dust or hairline-margin
@@ -198,7 +202,7 @@ def attention(
     ):
         from ..ops.attention import flash_attention
 
-        return flash_attention(q, k, v, kv_valid, offset=0)
+        return flash_attention(q, k, v, kv_valid, offset=0, interpret=interp)
     scale = 1.0 / np.sqrt(q.shape[-1])
     scores = jnp.einsum("bthd,bshd->bhts", q, k, preferred_element_type=scores_dtype)
     scores = (scores * scale + mask.astype(scores_dtype)).astype(scores_dtype)
@@ -568,15 +572,17 @@ def _split_attention(
     kd, vd = _repeat_kv(kd, n_rep), _repeat_kv(vd, n_rep)
     import os
 
+    interp = os.environ.get("OVLA_PALLAS_INTERPRET", "0") == "1"
     if (
         os.environ.get("OVLA_PALLAS", "0") == "1"
         and os.environ.get("OVLA_PALLAS_DECODE", "1") == "1"
-        and jax.default_backend() == "tpu"
+        and (jax.default_backend() == "tpu" or interp)
         and valid_info is not None
     ):
         from ..ops.decode_attention import decode_flash_attention
 
-        return decode_flash_attention(q, kp, vp, kd, vd, *valid_info)
+        return decode_flash_attention(q, kp, vp, kd, vd, *valid_info,
+                                      interpret=interp)
     scale = 1.0 / np.sqrt(q.shape[-1])
     sp = jnp.einsum("bthd,bshd->bhts", q, kp, preferred_element_type=scores_dtype)
     sd = jnp.einsum("bthd,bshd->bhts", q, kd, preferred_element_type=scores_dtype)

@@ -162,3 +162,32 @@ def test_parity_spec_explicit_opt_in(wrapper_parts):
     spec = m.predict_action(wrapper_parts[4], "pick up the mug", unnorm_key="x",
                             draft_tokens=base["action_tokens"])
     np.testing.assert_array_equal(spec["action_tokens"], base["action_tokens"])
+
+
+def test_pallas_tier_interpret_e2e(wrapper_parts, monkeypatch):
+    """The FULL pallas serving tier end-to-end on CPU (OVLA_PALLAS_INTERPRET):
+    quantized towers route through the fused qkv/proj/MLP + flash kernels and
+    the frozen-KV decode routes through the decode kernel — the exact serving
+    wiring that otherwise only executes on a chip. Determinism + sane outputs
+    (random-weight TOKEN agreement across tiers is margin-limited by design,
+    so no cross-tier token assert here — PARITY_r02.md)."""
+    from openvla_probe_tpu.ops.linear import TURBO_QUANT_SUFFIXES, quantize_params
+
+    serving, params, img_cfg, stats, img = wrapper_parts
+    monkeypatch.setenv("OVLA_PALLAS", "1")
+    monkeypatch.setenv("OVLA_PALLAS_INTERPRET", "1")
+    monkeypatch.setenv("OVLA_VITMLP_BM", "16")
+    pal = vla.VLAServingConfig.for_tier(
+        serving.vlm, "pallas", action_dim=serving.action_dim,
+        prompt_pad_len=serving.prompt_pad_len,
+        codec_vocab_size=serving.codec_vocab_size,
+    )
+    qparams = quantize_params(params, TURBO_QUANT_SUFFIXES)
+    m = vla.OpenVLA(qparams, pal, _Tok(), stats, img_cfg)
+    o1 = m.predict_action(img, "pick up the mug", unnorm_key="x")
+    o2 = m.predict_action(img, "pick up the mug", unnorm_key="x")
+    a1 = np.asarray(o1["actions"], np.float32)
+    a2 = np.asarray(o2["actions"], np.float32)
+    assert np.isfinite(a1).all() and a1.shape == (serving.action_dim,)
+    np.testing.assert_array_equal(a1, a2)
+    assert np.abs(a1).max() <= 1.0 + 1e-6  # inside the unnorm [q01, q99] box
