@@ -74,6 +74,8 @@ class OpenVLAServer:
         dynamic_batching: bool = False,
         max_batch: int = 24,
         max_wait_ms: float = 8.0,
+        speculative_streams: bool = True,
+        max_streams: int = 1024,
     ) -> None:
         self.model = model
         self.base_vlm = base_vlm
@@ -84,6 +86,22 @@ class OpenVLAServer:
 
             self.batcher = DynamicBatcher(model, max_batch=max_batch,
                                           max_wait_ms=max_wait_ms)
+        # per-stream verified speculation: a robot control loop posts with a
+        # stable "stream_id" and the server drafts each step with the stream's
+        # PREVIOUS action tokens (greedy outputs are identical by the verify
+        # construction; a fully-accepted draft skips the sequential decode —
+        # the measured 66 vs 82 ms bs=1 robot-loop lever, PERF_r03.md).
+        # Turbo-tier only: the parity tier rejects drafts by contract.
+        tier = getattr(getattr(model, "cfg", None), "tier", None)
+        self._spec_streams = (
+            speculative_streams
+            and self.batcher is None               # bs=1 path only
+            and hasattr(model, "predict_action")
+            and tier not in (None, "parity")
+        )
+        self._max_streams = max_streams
+        self._stream_drafts: "Dict[str, np.ndarray]" = {}
+        self._stream_lock = threading.Lock()
 
     def predict_action(self, payload: Dict[str, Any]) -> Dict[str, Any]:
         if "instruction" not in payload or "image" not in payload:
@@ -93,10 +111,30 @@ class OpenVLAServer:
             )
         image = np.asarray(payload["image"], dtype=np.uint8)
         prompt = get_openvla_prompt(str(payload["instruction"]), self.base_vlm)
+        stream_id = payload.get("stream_id")
         if self.batcher is not None:
             out = self.batcher.predict_action(
                 image, prompt, unnorm_key=payload.get("unnorm_key")
             )
+        elif self._spec_streams and stream_id is not None:
+            sid = str(stream_id)
+            with self._stream_lock:
+                draft = self._stream_drafts.get(sid)
+            # a stale/wrong draft only costs acceptance, never correctness:
+            # the verify pass re-derives the greedy tokens exactly
+            out = self.model.predict_action(
+                image, prompt, unnorm_key=payload.get("unnorm_key"),
+                draft_tokens=draft,
+            )
+            toks = out.get("action_tokens")
+            if toks is not None:
+                with self._stream_lock:
+                    if sid not in self._stream_drafts and len(
+                            self._stream_drafts) >= self._max_streams:
+                        # drop the oldest stream (insertion order) — a robot
+                        # fleet has a bounded, mostly-stable id set
+                        self._stream_drafts.pop(next(iter(self._stream_drafts)))
+                    self._stream_drafts[sid] = np.asarray(toks).reshape(-1)
         else:
             out = self.model.predict_action(
                 image, prompt, unnorm_key=payload.get("unnorm_key")
@@ -135,7 +173,11 @@ class OpenVLAServer:
                 if path == "/health":
                     self._send(200, {"status": "ok"})
                 elif path == "/stats":
-                    stats: Dict[str, Any] = {"dynamic_batching": server_self.batcher is not None}
+                    stats: Dict[str, Any] = {
+                        "dynamic_batching": server_self.batcher is not None,
+                        "speculative_streams": server_self._spec_streams,
+                        "active_streams": len(server_self._stream_drafts),
+                    }
                     if server_self.batcher is not None:
                         b = server_self.batcher
                         stats.update(b.stats)

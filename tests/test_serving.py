@@ -149,3 +149,91 @@ def test_stats_endpoint():
     finally:
         srv.shutdown()
         srv.batcher.shutdown()
+
+
+class SpecStubModel:
+    """Turbo-tier stub recording the draft_tokens the server passes."""
+
+    class _Cfg:
+        tier = "turbo"
+
+    cfg = _Cfg()
+
+    def __init__(self):
+        self.drafts = []
+
+    def predict_action(self, image, prompt, unnorm_key=None, draft_tokens=None):
+        self.drafts.append(None if draft_tokens is None
+                           else np.asarray(draft_tokens).copy())
+        return {"actions": np.arange(7, dtype=np.float32),
+                "action_tokens": np.arange(7) + 31000}
+
+
+def test_speculative_stream_drafts():
+    """A robot stream (stable stream_id) gets its previous step's tokens as
+    verified-speculation drafts; streams are isolated; no stream_id => no
+    draft. The bs=1 latency lever (66 vs 82 ms, PERF_r03.md) over plain HTTP."""
+    stub = SpecStubModel()
+    srv = OpenVLAServer(stub)
+    assert srv._spec_streams
+    srv.run(host="127.0.0.1", port=0, background=True)
+    try:
+        img = np.zeros((32, 32, 3), np.uint8)
+        p = {"image": img, "instruction": "go", "stream_id": "robot-a"}
+        _post(srv.port, "/act", p)
+        assert stub.drafts[-1] is None                    # first step: no draft
+        _post(srv.port, "/act", p)
+        np.testing.assert_array_equal(stub.drafts[-1], np.arange(7) + 31000)
+        _post(srv.port, "/act", {"image": img, "instruction": "go",
+                                 "stream_id": "robot-b"})
+        assert stub.drafts[-1] is None                    # new stream: no draft
+        _post(srv.port, "/act", {"image": img, "instruction": "go"})
+        assert stub.drafts[-1] is None                    # anonymous: no draft
+        # /stats reports the stream table
+        with urllib.request.urlopen(f"http://127.0.0.1:{srv.port}/stats") as r:
+            stats = json.loads(r.read())
+        assert stats["speculative_streams"] is True
+        assert stats["active_streams"] == 2
+    finally:
+        srv.shutdown()
+
+
+def test_parity_tier_never_drafts():
+    """A parity-tier model must not receive drafts (its contract rejects
+    them); the server detects the tier and disables stream speculation."""
+    class ParityStub(SpecStubModel):
+        class _Cfg:
+            tier = "parity"
+        cfg = _Cfg()
+
+    stub = ParityStub()
+    srv = OpenVLAServer(stub)
+    assert not srv._spec_streams
+    srv.run(host="127.0.0.1", port=0, background=True)
+    try:
+        img = np.zeros((32, 32, 3), np.uint8)
+        p = {"image": img, "instruction": "go", "stream_id": "robot-a"}
+        _post(srv.port, "/act", p)
+        _post(srv.port, "/act", p)
+        assert all(d is None for d in stub.drafts)
+    finally:
+        srv.shutdown()
+
+
+def test_stream_table_eviction():
+    stub = SpecStubModel()
+    srv = OpenVLAServer(stub, max_streams=2)
+    srv.run(host="127.0.0.1", port=0, background=True)
+    try:
+        img = np.zeros((16, 16, 3), np.uint8)
+        for sid in ("a", "b", "c"):
+            _post(srv.port, "/act", {"image": img, "instruction": "go",
+                                     "stream_id": sid})
+        assert len(srv._stream_drafts) == 2
+        assert "a" not in srv._stream_drafts      # oldest evicted
+        # evicted stream re-registers draft-free
+        _post(srv.port, "/act", {"image": img, "instruction": "go",
+                                 "stream_id": "a"})
+        assert stub.drafts[-1] is None
+    finally:
+        srv.shutdown()
