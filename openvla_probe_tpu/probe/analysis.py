@@ -166,17 +166,24 @@ REFERENCE_CSV_SCHEMAS: Dict[str, List[str]] = {
     "dual": ["layer", "pres_acc_va", "truth_acc_va", "pres_f1_va", "truth_f1_va", "status"],
     # experiment_images/probe_metrics_3class_direct.csv
     "3class": ["layer", "val_acc", "val_f1", "status"],
-    # experiment_images/per_label_metrics.csv & analysis/per_label_metrics.csv
+    # experiment_images/per_label_metrics.csv (no auprc column)
     "per_label": ["layer", "label_idx", "label", "family",
                   "prec", "recall", "f1", "mcc", "bal_acc"],
+    # analysis/per_label_metrics.csv (02_per_label_metrics.py adds auprc)
+    "per_label_auprc": ["layer", "label_idx", "label", "family",
+                        "prec", "recall", "f1", "auprc", "mcc", "bal_acc"],
     # analysis/family_auprc.csv
     "family_auprc": ["family", "prior", "auprc", "lift"],
+    # experiment_images/label_stats.csv (visualize_data_distribution)
+    "label_stats": ["label", "family", "n_pos", "n_neg", "n_missing",
+                    "p_pos", "p_neg", "p_missing"],
 }
 
 _REFERENCE_KEY_MAP = {
     "dual": {"pres_acc_va": "presence_acc", "truth_acc_va": "truth_acc",
              "pres_f1_va": "presence_f1", "truth_f1_va": "truth_f1"},
     "per_label": {"prec": "precision", "bal_acc": "balanced_acc"},
+    "per_label_auprc": {"prec": "precision", "bal_acc": "balanced_acc"},
 }
 
 
