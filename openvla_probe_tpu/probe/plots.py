@@ -117,6 +117,37 @@ def label_frequency_stats(
     }
 
 
+def label_stats_rows(
+    episodes: Sequence[Dict[str, np.ndarray]],
+    label_names: Sequence[str],
+    label_keys: Sequence[str] = ("symbolic_state_object_relations", "symbolic_state_action_subgoals"),
+) -> List[Dict[str, Any]]:
+    """Per-label count/fraction rows in the published label_stats.csv schema
+    (experiment_images/label_stats.csv: label, family, n_pos/n_neg/n_missing
+    counts + p_* fractions over all frames). Feed to
+    analysis.write_reference_csv("label_stats", ...)."""
+    Y = np.concatenate(
+        [np.concatenate([np.asarray(ep[k]) for k in label_keys], axis=1) for ep in episodes]
+    )
+    n = Y.shape[0]
+    rows = []
+    for k, name in enumerate(label_names):
+        n_pos = int((Y[:, k] == 1).sum())
+        n_neg = int((Y[:, k] == 0).sum())
+        n_missing = int((Y[:, k] == -1).sum())
+        rows.append({
+            "label": name,
+            "family": label_family(str(name)),
+            "n_pos": float(n_pos),
+            "n_neg": float(n_neg),
+            "n_missing": float(n_missing),
+            "p_pos": n_pos / n,
+            "p_neg": n_neg / n,
+            "p_missing": n_missing / n,
+        })
+    return rows
+
+
 def plot_label_frequencies(
     stats: Dict[str, np.ndarray], out_path: Union[str, Path], bins: int = 30
 ) -> Path:

@@ -118,6 +118,25 @@ def test_our_pipeline_csvs_pass_validator(tmp_path):
     assert regress.validate_file(p2) == []
 
 
+def test_label_stats_rows_pass_validator(tmp_path):
+    from openvla_probe_tpu.probe.plots import label_stats_rows
+
+    rng = np.random.default_rng(1)
+    names = [f"behind obj_{i} r_{i}" for i in range(5)]
+    eps = [
+        {
+            "symbolic_state_object_relations": rng.choice([-1, 0, 1], size=(50, 3)),
+            "symbolic_state_action_subgoals": rng.choice([-1, 0, 1], size=(50, 2)),
+        }
+        for _ in range(3)
+    ]
+    rows = label_stats_rows(eps, names)
+    assert len(rows) == 5
+    out = write_reference_csv("label_stats", rows, tmp_path / "label_stats.csv")
+    assert regress.validate_file(out) == []
+    assert _header(out) == _header(FIXDIR / "label_stats_sample.csv")
+
+
 # ---- compare mode: identical passes, perturbed fails -------------------------
 
 def test_compare_identical_and_perturbed(tmp_path):
