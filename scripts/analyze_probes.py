@@ -65,7 +65,10 @@ def main(cfg: AnalyzeConfig) -> None:
     out.mkdir(parents=True, exist_ok=True)
     from openvla_probe_tpu.probe.analysis import write_reference_csv
 
-    write_reference_csv("per_label", rows, out / "per_label_metrics_reference_schema.csv")
+    # analysis/02_per_label_metrics.py emits the auprc column; the
+    # experiment_images variant drops it — write both published schemas.
+    write_reference_csv("per_label_auprc", rows, out / "per_label_metrics_reference_schema.csv")
+    write_reference_csv("per_label", rows, out / "per_label_metrics_experiment_images_schema.csv")
     with open(out / "per_label_metrics.csv", "w", newline="") as f:
         w = csv.DictWriter(f, fieldnames=list(rows[0].keys()))
         w.writeheader()
@@ -75,6 +78,13 @@ def main(cfg: AnalyzeConfig) -> None:
         w = csv.DictWriter(f, fieldnames=list(fams[0].keys()))
         w.writeheader()
         w.writerows(fams)
+    # published label_stats.csv (visualize_data_distribution equivalent)
+    from openvla_probe_tpu.probe.episodes import iter_episodes
+
+    episodes = list(iter_episodes(cfg.log_dir, include=include))
+    stats_rows = plots.label_stats_rows(episodes, names)
+    write_reference_csv("label_stats", stats_rows, out / "label_stats.csv")
+
     plots.plot_family_heatmap(rows, out / f"heatmap_f1_{cfg.suite}.png", metric="f1")
     plots.plot_family_heatmap(rows, out / f"heatmap_recall_{cfg.suite}.png", metric="recall")
     plots.plot_family_heatmap(rows, out / f"heatmap_f1_weighted_{cfg.suite}.png",
