@@ -302,29 +302,74 @@ def evaluate_open_ended(
     prompt_builder_factory: Optional[Callable] = None,
     max_new_tokens: int = 32,
     metric: str = "vqa",                      # "vqa" | "exact"
-    generate_fn: Optional[Callable] = None,    # injection point for tests
+    generate_fn: Optional[Callable] = None,    # per-example injection (legacy)
+    generate_batch_fn: Optional[Callable] = None,  # batched injection point
+    examples_per_batch: int = 8,               # cross-example generation batching
 ) -> Dict[str, Any]:
-    """Greedy generation graded by VQA soft accuracy or exact match."""
-    if generate_fn is None:
-        from ..models.generate import generate_greedy
+    """Greedy generation graded by VQA soft accuracy or exact match.
 
-        def generate_fn(params, cfg, tokenizer, prompt_ids, pixel_values):
-            return generate_greedy(params, cfg, tokenizer, prompt_ids,
-                                   pixel_values=pixel_values,
-                                   max_new_tokens=max_new_tokens)
-
+    Same-modality examples batch into ONE bucketed generate call
+    (`generate_greedy_batch`), `examples_per_batch` at a time — the decode
+    scan runs once per batch instead of once per example. Rows are
+    independent (per-row prompt_len/EOS masks), so results match the
+    per-example loop. Passing `generate_fn` keeps the per-example path
+    (tests, custom decoders)."""
     grade = vqa_accuracy if metric == "vqa" else exact_match
     results = []
     total = 0.0
+
+    if generate_fn is not None:
+        for ex in examples:
+            assert ex.answers, f"open-ended example {ex.example_id} has no answers"
+            prompt = _build_prompt(ex.question, prompt_builder_factory)
+            prompt_ids = list(tokenizer.encode(prompt))
+            px = _pixels_for(cfg, image_cfg, ex.image)
+            pred = generate_fn(params, cfg, tokenizer, prompt_ids, px)
+            acc = grade(pred, ex.answers)
+            total += acc
+            results.append({"id": ex.example_id, "prediction": pred, "accuracy": acc})
+        n = max(len(results), 1)
+        return {"task": "open_ended", "metric": metric, "accuracy": total / n,
+                "n": len(results), "results": results}
+
+    if generate_batch_fn is None:
+        from ..models.generate import generate_greedy_batch
+
+        def generate_batch_fn(params, cfg, tokenizer, prompts_ids, pixel_values):
+            return generate_greedy_batch(params, cfg, tokenizer, prompts_ids,
+                                         pixel_values=pixel_values,
+                                         max_new_tokens=max_new_tokens)
+
+    pending: List[Dict[str, Any]] = []
+
+    def flush():
+        if not pending:
+            return
+        px = None
+        if pending[0]["px"] is not None:
+            px = np.concatenate([np.asarray(p["px"]) for p in pending])
+        preds = generate_batch_fn(
+            params, cfg, tokenizer, [p["ids"] for p in pending], px)
+        for p, pred in zip(pending, preds):
+            acc = grade(pred, p["ex"].answers)
+            state["total"] += acc
+            results.append({"id": p["ex"].example_id, "prediction": pred,
+                            "accuracy": acc})
+        pending.clear()
+
+    state = {"total": 0.0}
     for ex in examples:
         assert ex.answers, f"open-ended example {ex.example_id} has no answers"
         prompt = _build_prompt(ex.question, prompt_builder_factory)
         prompt_ids = list(tokenizer.encode(prompt))
         px = _pixels_for(cfg, image_cfg, ex.image)
-        pred = generate_fn(params, cfg, tokenizer, prompt_ids, px)
-        acc = grade(pred, ex.answers)
-        total += acc
-        results.append({"id": ex.example_id, "prediction": pred, "accuracy": acc})
+        if pending and ((pending[0]["px"] is None) != (px is None)):
+            flush()   # modality change: text-only and vision rows never mix
+        pending.append({"ex": ex, "ids": prompt_ids, "px": px})
+        if len(pending) >= examples_per_batch:
+            flush()
+    flush()
+    total = state["total"]
     n = max(len(results), 1)
     return {"task": "open_ended", "metric": metric, "accuracy": total / n,
             "n": len(results), "results": results}

@@ -146,6 +146,54 @@ def generate_greedy(
                          max_new_tokens)
 
 
+def generate_greedy_batch(
+    params: Dict[str, Any],
+    cfg: vlm.VLMConfig,
+    tokenizer: Any,
+    prompts_ids: Sequence[Sequence[int]],
+    pixel_values: Optional[jnp.ndarray] = None,   # [B, H, W, 3] per-row, or None
+    max_new_tokens: int = 128,
+) -> List[str]:
+    """Batched greedy generation: ONE bucketed jit call decodes every prompt.
+
+    _generate_jit is already per-row (per-row prompt_len masks, per-row EOS
+    latching), so rows are independent: prompts right-pad to a length bucket,
+    the batch pads to a row bucket by duplicating row 0 (discarded), and the
+    same compilation serves any batch within the buckets — the batched twin
+    of the reference's generate_batch (prismatic.py:569-621), which looped
+    examples one generate() at a time."""
+    B = len(prompts_ids)
+    P = _bucket(max(len(p) for p in prompts_ids))
+    Bb = _bucket(B, 8)
+    padded = np.zeros((Bb, P), np.int32)
+    lens = np.zeros((Bb,), np.int32)
+    for i, ids in enumerate(prompts_ids):
+        padded[i, : len(ids)] = list(ids)
+        lens[i] = len(ids)
+    padded[B:] = padded[0]
+    lens[B:] = lens[0]
+    pix = None
+    if pixel_values is not None:
+        pv = jnp.asarray(pixel_values)
+        if pv.shape[0] != B:
+            raise ValueError(f"pixel_values rows {pv.shape[0]} != batch {B}")
+        pad = jnp.broadcast_to(pv[:1], (Bb - B, *pv.shape[1:]))
+        pix = jnp.concatenate([pv, pad], axis=0) if Bb > B else pv
+    toks = np.asarray(_generate_jit(
+        params, cfg, jnp.asarray(padded), jnp.asarray(lens), pix,
+        max_new_tokens, rng_key=jax.random.key(0),
+    ))
+    outs = []
+    for b in range(B):
+        row = []
+        for t in toks[b]:
+            if t == EOS_TOKEN_ID:
+                break
+            row.append(int(t))
+        outs.append(tokenizer.decode(row, skip_special_tokens=True).strip())
+    return outs
+
+
 IGNORE_INDEX = -100
 
 

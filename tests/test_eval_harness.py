@@ -252,6 +252,75 @@ def test_closed_set_missing_answer_idx_skips_or_raises():
                             examples=examples, score_fn=score, strict=True)
 
 
+def test_open_ended_batched_generator_default():
+    """Without generate_fn, examples batch into ONE generate_batch_fn call,
+    and results match the per-example legacy path."""
+    calls = []
+
+    def batch_fn(params, cfg, tokenizer, prompts_ids, pixel_values):
+        calls.append(len(prompts_ids))
+        return ["cat" if len(p) > 6 else "blue" for p in prompts_ids]
+
+    examples = [
+        EvalExample(question="what animal is that over there?", answers=["cat"]),
+        EvalExample(question="what color?", answers=["blue"]),
+    ]
+    report = evaluate_open_ended(
+        params={}, cfg=None, tokenizer=FakeTok(), examples=examples,
+        generate_batch_fn=batch_fn, metric="exact",
+    )
+    assert calls == [2]  # one batched call for both examples
+    assert report["accuracy"] == 1.0 and report["n"] == 2
+
+    # examples_per_batch=1 degenerates to per-example calls, same results
+    calls.clear()
+    solo = evaluate_open_ended(
+        params={}, cfg=None, tokenizer=FakeTok(), examples=examples,
+        generate_batch_fn=batch_fn, metric="exact", examples_per_batch=1,
+    )
+    assert calls == [1, 1]
+    assert [r["prediction"] for r in solo["results"]] == \
+        [r["prediction"] for r in report["results"]]
+
+
+def test_generate_greedy_batch_matches_single():
+    """Batched greedy generation returns exactly the per-prompt outputs
+    (mixed prompt lengths, text-only)."""
+    cfg = vlm.VLMConfig.tiny()
+    params = vlm.init_params(cfg, jax.random.key(0))
+    tok = FakeTok()
+    prompts = [
+        tok.encode("In: hello world \nOut: "),
+        tok.encode("In: a much longer question with many more words here \nOut: "),
+        tok.encode("In: q \nOut: "),
+    ]
+    singles = [gen.generate_greedy(params, cfg, tok, p, max_new_tokens=5)
+               for p in prompts]
+    batched = gen.generate_greedy_batch(params, cfg, tok, prompts,
+                                        max_new_tokens=5)
+    assert batched == singles
+
+
+def test_open_ended_real_model_batched_equals_solo():
+    cfg = vlm.VLMConfig.tiny()
+    params = vlm.init_params(cfg, jax.random.key(0))
+    tok = FakeTok()
+    examples = [
+        EvalExample(question="what animal?", answers=["cat"], example_id="0"),
+        EvalExample(question="what color is the sky today?", answers=["blue"],
+                    example_id="1"),
+        EvalExample(question="how many?", answers=["three"], example_id="2"),
+    ]
+    batched = evaluate_open_ended(params=params, cfg=cfg, tokenizer=tok,
+                                  examples=examples, max_new_tokens=4,
+                                  metric="exact")
+    solo = evaluate_open_ended(params=params, cfg=cfg, tokenizer=tok,
+                               examples=examples, max_new_tokens=4,
+                               metric="exact", examples_per_batch=1)
+    assert [r["prediction"] for r in batched["results"]] == \
+        [r["prediction"] for r in solo["results"]]
+
+
 def test_generate_sampling_modes():
     """Greedy unchanged; sampling is deterministic per seed, varies across
     seeds, and temperature->0 collapses to greedy."""
