@@ -59,3 +59,27 @@ def data_sharding(mesh: Mesh, axis: str = "dp") -> NamedSharding:
     if axis not in mesh.axis_names:
         return replicated(mesh)
     return NamedSharding(mesh, P(axis))
+
+
+def sequence_sharding(mesh: Mesh, batch, seq_axis: str = "sp",
+                      batch_axis: str = "dp"):
+    """Sequence-parallel batch shardings: [B, T] token arrays shard their
+    token dim over `seq_axis` (and batch over `batch_axis`); everything else
+    (pixel_values etc.) shards batch-only.
+
+    This is the whole of sequence parallelism under GSPMD: the train step is
+    UNCHANGED — XLA inserts the all-gathers where attention needs the full
+    sequence and keeps embedding/FFN/loss math on local token shards. No
+    reference counterpart (torch-FSDP has no SP; SURVEY.md §2.5). Each [B, T]
+    leaf's T must divide by the sp axis size (pad the bucket otherwise —
+    collators already pad to multiples of 64)."""
+    if seq_axis not in mesh.axis_names:
+        return jax.tree.map(lambda _: data_sharding(mesh, batch_axis), batch)
+    sp = mesh.shape[seq_axis]
+
+    def spec(x):
+        if getattr(x, "ndim", 0) == 2 and x.shape[1] % sp == 0:
+            return NamedSharding(mesh, P(batch_axis, seq_axis))
+        return data_sharding(mesh, batch_axis)
+
+    return jax.tree.map(spec, batch)
