@@ -35,6 +35,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops.linear import matmul_t
+from . import moe
 
 Params = Dict[str, Any]
 
@@ -66,6 +67,13 @@ class LlamaConfig:
     # rematerialize each decoder block in backward (the reference's
     # non-reentrant activation checkpointing on decoder layers, fsdp.py:170-183)
     remat: bool = False
+    # sparse-MoE FFN (Mixtral-style; models/moe.py). 0 = dense SwiGLU.
+    # Experts shard over an `ep` mesh axis (parallel/sharding.py); no
+    # reference counterpart (its LLM backbones are all dense).
+    moe_experts: int = 0
+    moe_top_k: int = 2
+    moe_capacity_factor: float = 2.0     # >= E/top_k => exact (dropless)
+    moe_aux_coef: float = 0.01           # load-balance loss weight (training)
 
     @property
     def head_dim(self) -> int:
@@ -239,8 +247,19 @@ def _qkv(cfg: LlamaConfig, lp: Params, h: jnp.ndarray, B: int, T: int):
             matmul_t(h, lp["v_proj"]).reshape(B, T, Hkv, Dh))
 
 
+def _moe_mlp(cfg: LlamaConfig, lp: Params, h: jnp.ndarray):
+    """Sparse-MoE FFN (models/moe.py) -> (y, aux). Capacity is static per
+    token count, so prefill and decode each compile one dispatch shape."""
+    cap = moe.capacity(cfg.moe_experts, cfg.moe_top_k,
+                       cfg.moe_capacity_factor, h.shape[0] * h.shape[1])
+    return moe.moe_ffn(lp, h, top_k=cfg.moe_top_k, capacity=cap)
+
+
 def _mlp(cfg: LlamaConfig, lp: Params, h: jnp.ndarray) -> jnp.ndarray:
-    """SwiGLU; uses the fused gate_up stack when present."""
+    """SwiGLU; uses the fused gate_up stack when present. MoE layers route
+    through moe_ffn (aux dropped — serving/eval paths don't train the router)."""
+    if "router" in lp:
+        return _moe_mlp(cfg, lp, h)[0]
     if "gate_up_proj" in lp:
         gu = matmul_t(h, lp["gate_up_proj"])
         g, up = jnp.split(gu, 2, axis=-1)
@@ -305,8 +324,13 @@ def _layer_forward(
     x = x + matmul_t(attn, lp["o_proj"])
 
     h = rms_norm(x, lp["post_attention_layernorm"], cfg.rms_norm_eps)
-    x = x + _mlp(cfg, lp, h)
-    return x, new_cache
+    if "router" in lp:
+        y, moe_aux = _moe_mlp(cfg, lp, h)
+        x = x + y
+    else:
+        x = x + _mlp(cfg, lp, h)
+        moe_aux = jnp.zeros((), jnp.float32)
+    return x, new_cache, moe_aux
 
 
 def fuse_serving_params(llm_params: Params) -> Params:
@@ -329,7 +353,10 @@ def fuse_serving_params(llm_params: Params) -> Params:
             layers[out] = jnp.concatenate(ws, axis=1)
 
     cat(("q_proj", "k_proj", "v_proj"), "qkv_proj")
-    cat(("gate_proj", "up_proj"), "gate_up_proj")
+    if "router" not in layers:
+        # MoE expert stacks are [L, E, F, D] — axis 1 is the expert dim, so
+        # the gate/up fusion doesn't apply; experts stay unfused.
+        cat(("gate_proj", "up_proj"), "gate_up_proj")
     return {**llm_params, "layers": layers}
 
 
@@ -392,7 +419,7 @@ def forward(
         def body_cached(carry, inp):
             x, k_all, v_all = carry
             lp, li = inp
-            x_out, (k_all, v_all) = layer_fn(
+            x_out, (k_all, v_all), _ = layer_fn(
                 cfg, lp, x, mask, cos, sin, (k_all, v_all, li, cache_index),
                 cached_kv_valid,
             )
@@ -408,11 +435,17 @@ def forward(
         kv_valid = attn_mask[:, :T]  # uncached: offset 0, Tk == T
 
         def body(x, lp):
-            x_out, _ = layer_fn(cfg, lp, x, mask, cos, sin, None, kv_valid)
+            x_out, _, moe_aux = layer_fn(cfg, lp, x, mask, cos, sin, None, kv_valid)
             ys = {"pooled": pool(x_out)} if collect_hidden_states else {}
+            if cfg.moe_experts:
+                ys["moe_aux"] = moe_aux
             return x_out, ys
 
         x, scan_out = jax.lax.scan(body, x, layers)
+        if cfg.moe_experts:
+            # mean load-balance aux over layers (training adds
+            # cfg.moe_aux_coef * this to the CE loss)
+            out["moe_aux"] = scan_out["moe_aux"].mean()
 
     x = rms_norm(x, params["norm"], cfg.rms_norm_eps)
     if collect_hidden_states:
@@ -529,7 +562,7 @@ def prefill(
         return (h.astype(jnp.float32) * pool_w[..., None]).sum(1) / denom
 
     def body(x, lp):
-        x_out, kv = _layer_forward(cfg, lp, x, mask, cos, sin, None, attn_mask)
+        x_out, kv, _ = _layer_forward(cfg, lp, x, mask, cos, sin, None, attn_mask)
         ys = {"k": kv[0], "v": kv[1]}
         if collect_hidden_states:
             ys["pooled"] = pool(x_out)
@@ -925,6 +958,11 @@ def init_params(cfg: LlamaConfig, key: jax.Array) -> Params:
         "input_layernorm": jnp.ones((L, D), cfg.dtype),
         "post_attention_layernorm": jnp.ones((L, D), cfg.dtype),
     }
+    if cfg.moe_experts:
+        for name in ("gate_proj", "up_proj", "down_proj"):
+            del layers[name]
+        layers.update(moe.init_layer_params(
+            jax.random.fold_in(k3, 1), L, cfg.moe_experts, D, F, cfg.dtype))
     return {
         "embed_tokens": nrm(k1, (V, D)),
         "layers": layers,
@@ -948,12 +986,28 @@ _HF_LAYER_KEYS = {
 
 def params_from_hf(state: Dict[str, np.ndarray], cfg: LlamaConfig, prefix: str = "model.") -> Params:
     """Map an HF LlamaForCausalLM state dict (numpy arrays) onto the stacked
-    pytree. `state` keys like `model.layers.3.self_attn.q_proj.weight`."""
+    pytree. `state` keys like `model.layers.3.self_attn.q_proj.weight`.
+    With cfg.moe_experts > 0 the dense-MLP keys are replaced by the HF
+    Mixtral layout (`block_sparse_moe.gate` + per-expert `w1/w2/w3`), stacked
+    [L, E, ...]: w1=gate, w3=up, w2=down (modeling_mixtral.MixtralBlockSparseTop2MLP)."""
     L = cfg.num_hidden_layers
+    layer_keys = dict(_HF_LAYER_KEYS)
+    if cfg.moe_experts:
+        for k in ("mlp.gate_proj.weight", "mlp.up_proj.weight", "mlp.down_proj.weight"):
+            del layer_keys[k]
+        layer_keys["block_sparse_moe.gate.weight"] = "router"
+        for j in range(cfg.moe_experts):
+            for w, ours in (("w1", "gate_proj"), ("w3", "up_proj"), ("w2", "down_proj")):
+                layer_keys[f"block_sparse_moe.experts.{j}.{w}.weight"] = f"{ours}.{j}"
     layers: Dict[str, np.ndarray] = {}
-    for hf_key, ours in _HF_LAYER_KEYS.items():
+    for hf_key, ours in layer_keys.items():
         per = [np.asarray(state[f"{prefix}layers.{i}.{hf_key}"]) for i in range(L)]
         layers[ours] = jnp.asarray(np.stack(per), cfg.dtype)
+    if cfg.moe_experts:
+        # gather the per-expert stacks into [L, E, ...]
+        for ours in ("gate_proj", "up_proj", "down_proj"):
+            per_e = [layers.pop(f"{ours}.{j}") for j in range(cfg.moe_experts)]
+            layers[ours] = jnp.stack(per_e, axis=1)
     return {
         "embed_tokens": jnp.asarray(state[f"{prefix}embed_tokens.weight"], cfg.dtype),
         "layers": layers,

@@ -1,0 +1,140 @@
+"""Sparse mixture-of-experts SwiGLU FFN with static-capacity dispatch and
+expert parallelism over an `ep` mesh axis.
+
+The reference has no MoE (its LLM backbones are dense Llama/Mistral/Phi,
+prismatic/models/backbones/llm/*); this module extends the LLM family the
+TPU-first way so Mixtral-style checkpoints (HF `MixtralForCausalLM`) load
+onto the same stacked-scan trunk and experts shard over an `ep` mesh axis.
+
+Routing semantics follow HF Mixtral (`modeling_mixtral.py` MixtralSparseMoeBlock):
+  * router logits in fp32, softmax over ALL experts,
+  * top-k experts per token, selected probabilities renormalized to sum 1,
+  * each expert is a SwiGLU FFN: down(silu(gate(x)) * up(x)),
+  * outputs combined with the renormalized weights.
+
+TPU-first formulation (GShard/Switch): no gather/scatter with data-dependent
+shapes — dispatch and combine are ONE-HOT EINSUMS with a static per-expert
+capacity C, so the whole block is three batched matmuls the MXU tiles
+natively and XLA can shard:
+
+    dispatch [S, E, C] = sum_k onehot(expert_k) x onehot(slot_k) x keep_k
+    xin  [E, C, D] = einsum('sec,sd->ecd', dispatch, x)
+    y_e  [E, C, D] = SwiGLU per expert (weights stacked [E, F, D] / [E, D, F])
+    y    [S, D]    = einsum('sec,ecd->sd', combine, y_e)
+
+Under a mesh with an `ep` axis the expert-stacked weights shard on their E
+dim (parallel.sharding ep rule) and XLA turns the dispatch/combine einsums
+into the all-to-alls of expert parallelism; tokens stay on `dp`. Tokens
+beyond an expert's capacity are DROPPED (contribute 0; the residual stream
+carries them) — the standard static-shape trade. `capacity >= S` is exact /
+dropless, which is what the HF-parity tests pin.
+
+Layer-stacked params (leading L axis sliced away by the lax.scan in
+models/llama.py before reaching here):
+    router     [E, D]      (matmul convention [out, in], like q_proj)
+    gate_proj  [E, F, D]
+    up_proj    [E, F, D]
+    down_proj  [E, D, F]
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+
+Params = Dict[str, Any]
+
+
+def capacity(moe_experts: int, moe_top_k: int, capacity_factor: float, n_tokens: int) -> int:
+    """Static per-expert slot count. A token selects top_k DISTINCT experts,
+    so one expert can receive at most n_tokens slots — min() caps there,
+    making large capacity_factor an exact (dropless) mode."""
+    c = math.ceil(moe_top_k * n_tokens * capacity_factor / moe_experts)
+    return max(1, min(n_tokens, c))
+
+
+def moe_ffn(
+    lp: Params,
+    h: jnp.ndarray,            # [B, T, D]
+    *,
+    top_k: int,
+    capacity: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Sparse-MoE SwiGLU FFN. Returns ([B, T, D] output, scalar fp32 aux).
+
+    aux is the Switch/Mixtral load-balancing loss E * sum_e f_e * P_e with
+    f_e the fraction of routing slots sent to expert e and P_e the mean
+    router probability — 1.0 at perfect balance.
+    """
+    B, T, D = h.shape
+    S = B * T
+    E = lp["router"].shape[0]
+    x = h.reshape(S, D)
+
+    # routing decisions in fp32 (tiny [S, E] matmul; argmax is precision-sensitive)
+    logits = jnp.einsum(
+        "sd,ed->se", x.astype(jnp.float32), lp["router"].astype(jnp.float32)
+    )
+    probs = jax.nn.softmax(logits, axis=-1)  # [S, E] fp32
+
+    # iterative top-k: static K argmax rounds (no sort network over E)
+    masked = probs
+    idxs, gates = [], []
+    for _ in range(top_k):
+        idx = jnp.argmax(masked, axis=-1)  # [S]
+        gates.append(jnp.take_along_axis(masked, idx[:, None], axis=-1)[:, 0])
+        idxs.append(idx)
+        masked = masked * (1.0 - jax.nn.one_hot(idx, E, dtype=probs.dtype))
+    idx_k = jnp.stack(idxs)    # [K, S]
+    gate_k = jnp.stack(gates)  # [K, S] fp32
+    # Mixtral renorm: selected probabilities sum to 1 per token
+    gate_k = gate_k / jnp.maximum(gate_k.sum(0, keepdims=True), 1e-9)
+
+    # capacity slots: arrival order = all rank-0 choices first, then rank-1
+    # (Switch convention — primary routes win slots over secondary ones)
+    sel = jax.nn.one_hot(idx_k, E, dtype=jnp.int32)            # [K, S, E]
+    flat = sel.reshape(top_k * S, E)
+    slot = (jnp.cumsum(flat, axis=0) - flat).reshape(top_k, S, E)
+    slot_k = (slot * sel).sum(-1)                               # [K, S]
+    keep = slot_k < capacity                                    # [K, S]
+
+    cdtype = h.dtype
+    de = sel.astype(cdtype) * keep.astype(cdtype)[..., None]    # [K, S, E]
+    slot_oh = jax.nn.one_hot(slot_k, capacity, dtype=cdtype)    # [K, S, C]
+    dispatch = jnp.einsum("kse,ksc->sec", de, slot_oh)          # [S, E, C]
+    combine = jnp.einsum(
+        "kse,ksc->sec", de * gate_k.astype(cdtype)[..., None], slot_oh
+    )
+
+    xin = jnp.einsum("sec,sd->ecd", dispatch, x)                # [E, C, D]
+    g = jnp.einsum("ecd,efd->ecf", xin, lp["gate_proj"])
+    u = jnp.einsum("ecd,efd->ecf", xin, lp["up_proj"])
+    act = jax.nn.silu(g.astype(jnp.float32)).astype(cdtype) * u  # fp32 silu, as _mlp
+    y_e = jnp.einsum("ecf,edf->ecd", act, lp["down_proj"])      # [E, C, D]
+    y = jnp.einsum("sec,ecd->sd", combine, y_e)                 # [S, D]
+
+    # load-balance aux: fraction of the S*K routing slots per expert x mean prob
+    f = sel.astype(jnp.float32).sum((0, 1)) / (S * top_k)       # [E]
+    p = probs.mean(0)                                           # [E]
+    aux = E * jnp.sum(f * p)
+    return y.reshape(B, T, D), aux
+
+
+def init_layer_params(key: jax.Array, n_layers: int, n_experts: int,
+                      hidden: int, ffn: int, dtype) -> Params:
+    """Layer-and-expert-stacked random init matching llama.init_params' 0.02 normal."""
+    ks = jax.random.split(key, 4)
+
+    def nrm(k, shape):
+        return (jax.random.normal(k, shape, jnp.float32) * 0.02).astype(dtype)
+
+    L, E, D, F = n_layers, n_experts, hidden, ffn
+    return {
+        "router": nrm(ks[0], (L, E, D)),
+        "gate_proj": nrm(ks[1], (L, E, F, D)),
+        "up_proj": nrm(ks[2], (L, E, F, D)),
+        "down_proj": nrm(ks[3], (L, E, D, F)),
+    }

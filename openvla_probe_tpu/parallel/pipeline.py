@@ -75,7 +75,7 @@ def pipeline_trunk_forward(
     def block(h, m, c, s):
         """This stage's local layer block on one microbatch."""
         def body(h, lp):
-            h_out, _ = llama._layer_forward(cfg, lp, h, m, c, s, None)
+            h_out, _, _ = llama._layer_forward(cfg, lp, h, m, c, s, None)
             return h_out, ()
 
         h, _ = jax.lax.scan(body, h, layers_local)

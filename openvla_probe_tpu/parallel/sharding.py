@@ -58,9 +58,16 @@ _TP_DIM_BY_SUFFIX = {
 }
 
 
+_MOE_EXPERT_LEAVES = ("gate_proj", "up_proj", "down_proj")
+
+
 def _tp_dim(path: str, shape: Tuple[int, ...]) -> Optional[int]:
     parts = path.rsplit("/", 2)
     leaf = parts[-1]
+    # MoE expert stacks carry an extra [E] axis at dim 1 ([L, E, F, D] /
+    # [L, E, D, F]) — the tp dim shifts right by one
+    if leaf in _MOE_EXPERT_LEAVES and len(shape) == 4:
+        return _TP_DIM_BY_SUFFIX[leaf] + 1
     # quantized weights are {"q": int8 [..., O, I], "s": f32 [..., O]} under
     # the real weight name (e.g. layers/q_proj/q) — shard by the PARENT's
     # rule: q like the weight; s along its output dim (the weight's tp dim
@@ -105,6 +112,17 @@ def param_spec(
         return P()
     entries: list = [None] * len(shape)
     used_dims = set()
+
+    # expert parallelism: whenever the mesh has an `ep` axis, MoE expert
+    # stacks shard their E dim over it (the only sensible placement — the
+    # dispatch/combine einsums become expert-parallel all-to-alls under
+    # GSPMD). Applies regardless of the strategy string, like dp for data.
+    if "ep" in mesh.axis_names and mesh.shape["ep"] > 1:
+        leaf = path.rsplit("/", 1)[-1]
+        if (leaf in _MOE_EXPERT_LEAVES and len(shape) == 4
+                and shape[1] % mesh.shape["ep"] == 0):
+            entries[1] = "ep"
+            used_dims.add(1)
 
     if "tp" in strategy and "tp" in mesh.axis_names and mesh.shape["tp"] > 1:
         d = _tp_dim(path, shape)

@@ -121,6 +121,11 @@ def vla_loss_fn(
     logits, labels = out["logits"], out["labels"]
     loss = cross_entropy_loss(logits, labels)
     metrics = {"loss": loss, **action_metrics(logits, labels, codec)}
+    if "moe_aux" in out:
+        # MoE load-balance aux (models/moe.py): gradients flow through the
+        # router; metrics["loss"] stays the CE (comparable across configs)
+        loss = loss + getattr(cfg.llm, "moe_aux_coef", 0.0) * out["moe_aux"]
+        metrics["moe_aux"] = out["moe_aux"]
     if with_per_example:
         metrics["per_example"] = per_example_metrics(logits, labels, codec)
     return loss, metrics
