@@ -56,6 +56,22 @@ def capacity(moe_experts: int, moe_top_k: int, capacity_factor: float, n_tokens:
     return max(1, min(n_tokens, c))
 
 
+def _expert_einsum(eq: str, x: jnp.ndarray, w) -> jnp.ndarray:
+    """Expert-stacked einsum accepting plain or weight-only-int8 weights.
+
+    Quantized form (ops.linear scheme): w = {"q": int8 [E, O, I], "s": f32
+    [E, O]} — matmul on the raw int8 codes (cast to the activation dtype,
+    same numerics as matmul_t's turbo path), per-output-channel scales
+    applied to the [E, C, O] result. ops.linear.quantize_params already
+    matches the expert leaves by name (gate/up/down_proj), so an MoE trunk
+    quantizes with the same call as a dense one."""
+    if isinstance(w, dict) and "q" in w:
+        acc = jnp.einsum(eq, x, w["q"].astype(x.dtype),
+                         preferred_element_type=jnp.float32)
+        return (acc * w["s"][:, None, :]).astype(x.dtype)
+    return jnp.einsum(eq, x, w)
+
+
 def moe_ffn(
     lp: Params,
     h: jnp.ndarray,            # [B, T, D]
@@ -110,10 +126,10 @@ def moe_ffn(
     )
 
     xin = jnp.einsum("sec,sd->ecd", dispatch, x)                # [E, C, D]
-    g = jnp.einsum("ecd,efd->ecf", xin, lp["gate_proj"])
-    u = jnp.einsum("ecd,efd->ecf", xin, lp["up_proj"])
+    g = _expert_einsum("ecd,efd->ecf", xin, lp["gate_proj"])
+    u = _expert_einsum("ecd,efd->ecf", xin, lp["up_proj"])
     act = jax.nn.silu(g.astype(jnp.float32)).astype(cdtype) * u  # fp32 silu, as _mlp
-    y_e = jnp.einsum("ecf,edf->ecd", act, lp["down_proj"])      # [E, C, D]
+    y_e = _expert_einsum("ecf,edf->ecd", act, lp["down_proj"])  # [E, C, D]
     y = jnp.einsum("sec,ecd->sd", combine, y_e)                 # [S, D]
 
     # load-balance aux: fraction of the S*K routing slots per expert x mean prob

@@ -178,6 +178,25 @@ def test_moe_vla_serving_e2e():
     np.testing.assert_array_equal(o1["action_tokens"], o2["action_tokens"])  # greedy determinism
 
 
+def test_moe_int8_experts(rng):
+    """Weight-only int8 expert stacks (the turbo serving scheme): outputs
+    track bf16 within quantization error; quantize_params matches the MoE
+    expert leaves by name."""
+    from openvla_probe_tpu.ops.linear import quantize_params
+
+    lp = _moe_layer_params(rng)
+    h = jnp.asarray(rng.normal(size=(2, 5, 16)).astype(np.float32))
+    y_ref, _ = moe.moe_ffn(lp, h, top_k=2, capacity=10)
+    lpq = quantize_params(lp)
+    assert isinstance(lpq["gate_proj"], dict) and lpq["gate_proj"]["q"].dtype == jnp.int8
+    assert lpq["gate_proj"]["s"].shape == (4, 32)
+    assert not isinstance(lpq["router"], dict)  # router stays unquantized
+    y_q, _ = moe.moe_ffn(lpq, h, top_k=2, capacity=10)
+    err = np.abs(np.asarray(y_q) - np.asarray(y_ref))
+    scale = np.abs(np.asarray(y_ref)).max()
+    assert err.max() < 0.05 * max(scale, 1.0)
+
+
 def test_moe_ep_sharded_train_step_matches_unsharded():
     if len(jax.devices()) < 8:
         pytest.skip("needs 8 virtual devices")
