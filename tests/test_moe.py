@@ -197,6 +197,53 @@ def test_moe_int8_experts(rng):
     assert err.max() < 0.05 * max(scale, 1.0)
 
 
+def test_moe_ep_sharded_serving_tokens_match():
+    """Expert-parallel SERVING: predict_action over a dp x ep x tp mesh
+    produces the same greedy tokens as the single-device run."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    import functools as ft
+
+    from openvla_probe_tpu.models import vla
+    from openvla_probe_tpu.ops.image import BackboneTransformSpec, ImageTransformConfig
+
+    cfg = vlm.VLMConfig.tiny(
+        llm=llama.LlamaConfig.tiny(moe_experts=4, moe_capacity_factor=2.0))
+    serving = vla.VLAServingConfig(vlm=cfg, action_dim=5, prompt_pad_len=12,
+                                   codec_vocab_size=cfg.llm.vocab_size)
+    params = vlm.init_params(cfg, jax.random.key(0))
+    s = cfg.vision[0].image_size
+    img_cfg = ImageTransformConfig(specs=(
+        BackboneTransformSpec((s, s), "bicubic", (0.485, 0.456, 0.406), (0.229, 0.224, 0.225)),
+        BackboneTransformSpec((s, s), "bicubic", (0.5, 0.5, 0.5), (0.5, 0.5, 0.5)),
+    ))
+    rng = np.random.default_rng(0)
+    B = 2
+    image = rng.integers(0, 256, size=(B, 40, 40, 3), dtype=np.uint8)
+    ids = np.zeros((B, serving.prompt_pad_len), np.int32)
+    ids[:, 0] = 1
+    ids[:, 1:7] = rng.integers(3, cfg.llm.vocab_size - 300, (B, 6))
+    args = (image, ids, np.full((B,), 7, np.int32),
+            -np.ones(5, np.float32), np.ones(5, np.float32),
+            np.array([True] * 5))
+
+    single = jax.jit(ft.partial(vla.predict_action_from_image,
+                                cfg=serving, image_cfg=img_cfg))
+    ja = [jnp.asarray(a) for a in args]
+    want = np.asarray(single(
+        params, image_u8=ja[0], input_ids=ja[1], prompt_len=ja[2],
+        q01=ja[3], q99=ja[4], action_mask=ja[5])["action_tokens"])
+
+    mesh = make_mesh({"dp": 2, "ep": 2, "tp": 2}, jax.devices()[:8])
+    call, sharded_p = vla.make_sharded_predict(
+        params, serving, mesh, image_cfg=img_cfg, strategy="tp")
+    gspec = jax.tree.map(lambda x: x.sharding.spec,
+                         sharded_p["llm"]["layers"]["gate_proj"])
+    assert gspec[1] == "ep", f"experts not ep-sharded at serving: {gspec}"
+    got = np.asarray(call(sharded_p, *args)["action_tokens"])
+    np.testing.assert_array_equal(got, want)
+
+
 def test_moe_ep_sharded_train_step_matches_unsharded():
     if len(jax.devices()) < 8:
         pytest.skip("needs 8 virtual devices")
