@@ -57,14 +57,27 @@ def capacity(moe_experts: int, moe_top_k: int, capacity_factor: float, n_tokens:
 
 
 def _expert_einsum(eq: str, x: jnp.ndarray, w) -> jnp.ndarray:
-    """Expert-stacked einsum accepting plain or weight-only-int8 weights.
+    """Expert-stacked einsum accepting plain, weight-only-int8, or
+    streamed-LoRA weights.
 
     Quantized form (ops.linear scheme): w = {"q": int8 [E, O, I], "s": f32
     [E, O]} — matmul on the raw int8 codes (cast to the activation dtype,
     same numerics as matmul_t's turbo path), per-output-channel scales
     applied to the [E, C, O] result. ops.linear.quantize_params already
     matches the expert leaves by name (gate/up/down_proj), so an MoE trunk
-    quantizes with the same call as a dense one."""
+    quantizes with the same call as a dense one.
+
+    LoRA form (training.lora.attach_lora): w = {"base", "A" [E, r, I],
+    "B" [E, O, r]} — base(x) + (x A^T) B^T per use, no merged weight
+    materialized (the streamed-LoRA contract; scale pre-folded into B).
+    Both einsum equations here contract the last dims ('ecx,eox->eco'),
+    so the low-rank path is shape-generic."""
+    from ..ops.linear import is_lora_wrapped
+
+    if is_lora_wrapped(w):
+        y = _expert_einsum(eq, x, w["base"])
+        t = jnp.einsum("ecx,erx->ecr", x, w["A"].astype(x.dtype))
+        return y + jnp.einsum("ecr,eor->eco", t, w["B"].astype(x.dtype))
     if isinstance(w, dict) and "q" in w:
         acc = jnp.einsum(eq, x, w["q"].astype(x.dtype),
                          preferred_element_type=jnp.float32)

@@ -196,6 +196,77 @@ def test_moe_int8_experts(rng):
     scale = np.abs(np.asarray(y_ref)).max()
     assert err.max() < 0.05 * max(scale, 1.0)
 
+    # QLoRA form: streamed adapters over the frozen int8 expert base
+    from openvla_probe_tpu.training import lora
+
+    lcfg = lora.LoRAConfig(r=2)
+    lq = lora.init_lora_params(lpq, lcfg, jax.random.key(3))
+    assert lq["gate_proj"]["A"].shape == (4, 2, 16)
+    attached = lora.attach_lora(lpq, lq, lcfg)
+    y_a, _ = moe.moe_ffn(attached, h, top_k=2, capacity=10)
+    np.testing.assert_allclose(np.asarray(y_a), np.asarray(y_q), atol=1e-6)  # B=0 init
+
+
+def test_moe_lora_stream_matches_merge_and_descends():
+    """Streamed LoRA over an MoE trunk: adapters land on the [L, E, ...]
+    expert stacks (router untouched), attached forward == merged forward,
+    and a few adapter-only steps descend. Completes the MoE story:
+    train / finetune / quantize / shard / serve."""
+    import functools
+
+    from openvla_probe_tpu.training import lora
+    from openvla_probe_tpu.training.train_step import vla_loss_fn
+
+    cfg = vlm.VLMConfig.tiny(
+        llm=llama.LlamaConfig.tiny(moe_experts=4, moe_capacity_factor=100.0))
+    codec = ActionCodec(vocab_size=cfg.llm.vocab_size)
+    params = vlm.init_params(cfg, jax.random.key(0))
+    lcfg = lora.LoRAConfig(r=4)
+    lp = lora.init_lora_params(params, lcfg, jax.random.key(1))
+    L, E, F, D = params["llm"]["layers"]["gate_proj"].shape
+    assert lp["llm"]["layers"]["gate_proj"]["A"].shape == (L, E, 4, D)
+    assert lp["llm"]["layers"]["gate_proj"]["B"].shape == (L, E, F, 4)
+    assert lp["llm"]["layers"]["router"] is None  # router not adapted
+
+    # make adapters nonzero so stream-vs-merge is a real comparison
+    lp = jax.tree.map(
+        lambda x: None if x is None
+        else x + 0.01 * jax.random.normal(jax.random.key(2), x.shape, x.dtype),
+        lp, is_leaf=lambda x: x is None)
+    rng = np.random.default_rng(0)
+    B, T, S = 2, 16, cfg.vision[0].image_size
+    batch = {
+        "input_ids": jnp.asarray(rng.integers(2, cfg.llm.vocab_size, (B, T)), jnp.int32),
+        "attention_mask": jnp.ones((B, T), jnp.int32),
+        "pixel_values": jnp.asarray(rng.normal(size=(B, 6, S, S)), jnp.float32),
+        "labels": jnp.asarray(
+            np.where(np.arange(T) >= T - 8,
+                     rng.integers(cfg.llm.vocab_size - 256, cfg.llm.vocab_size, (B, T)),
+                     -100), jnp.int32),
+    }
+    loss_fn = functools.partial(vla_loss_fn, codec=codec)
+    streamed = lora.make_lora_loss_with_base(loss_fn, lcfg, stream=True)
+    merged = lora.make_lora_loss_with_base(loss_fn, lcfg, stream=False)
+    ls, _ = streamed(lp, params, cfg, batch)
+    lm, _ = merged(lp, params, cfg, batch)
+    assert float(ls) == pytest.approx(float(lm), rel=1e-4)
+
+    # adapter-only training descends; expert adapters receive gradient
+    import optax
+
+    opt = optax.adam(5e-3)
+    opt_state = opt.init(lp)
+    losses = []
+    for _ in range(4):
+        (loss, _), g = jax.value_and_grad(
+            lambda l: streamed(l, params, cfg, batch), has_aux=True)(lp)
+        gb = g["llm"]["layers"]["gate_proj"]["A"]
+        assert float(jnp.abs(gb).max()) > 0
+        updates, opt_state = opt.update(g, opt_state, lp)
+        lp = optax.apply_updates(lp, updates)
+        losses.append(float(loss))
+    assert losses[-1] < losses[0]
+
 
 def test_moe_ep_sharded_serving_tokens_match():
     """Expert-parallel SERVING: predict_action over a dp x ep x tp mesh
