@@ -123,8 +123,24 @@ LLM_BACKBONES: Dict[str, Dict[str, Any]] = {
     # the REAL Phi-2 architecture (parallel attn+MLP, partial rotary,
     # LayerNorm + biases — models/phi.py), not a Llama stand-in
     "phi-2-3b": {"cfg": phi.PhiConfig(), "prompt": PhiPromptBuilder},
-    # test/smoke-scale LLM
+    # sparse-MoE trunk (models/moe.py; no reference counterpart — the
+    # reference's backbones are all dense). HF Mixtral-8x7B dims: Mistral
+    # attention (GQA kv=8, ffn 14336) x 8 experts, top-2 routing; loads
+    # MixtralForCausalLM state dicts via llama.params_from_hf.
+    "mixtral-8x7b-v0.1": {"cfg": llama.LlamaConfig(vocab_size=32000, num_key_value_heads=8,
+                                                   intermediate_size=14336, rope_theta=1e6,
+                                                   max_position_embeddings=4096,
+                                                   moe_experts=8, moe_top_k=2),
+                          "prompt": PurePromptBuilder},
+    "mixtral-8x7b-instruct-v0.1": {"cfg": llama.LlamaConfig(vocab_size=32000, num_key_value_heads=8,
+                                                            intermediate_size=14336, rope_theta=1e6,
+                                                            max_position_embeddings=4096,
+                                                            moe_experts=8, moe_top_k=2),
+                                   "prompt": MistralInstructPromptBuilder},
+    # test/smoke-scale LLMs
     "llama-tiny": {"cfg": llama.LlamaConfig.tiny(vocab_size=512), "prompt": PurePromptBuilder},
+    "mixtral-tiny": {"cfg": llama.LlamaConfig.tiny(vocab_size=512, moe_experts=4),
+                     "prompt": PurePromptBuilder},
 }
 
 

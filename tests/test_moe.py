@@ -207,6 +207,26 @@ def test_moe_int8_experts(rng):
     np.testing.assert_allclose(np.asarray(y_a), np.asarray(y_q), atol=1e-6)  # B=0 init
 
 
+def test_mixtral_catalog_entries():
+    """Mixtral ids resolve through the standard catalog path; tiny variant
+    materializes and runs a forward."""
+    from openvla_probe_tpu.models import catalog
+
+    for bid in ("mixtral-8x7b-v0.1", "mixtral-8x7b-instruct-v0.1"):
+        c, _ = catalog.get_llm_backbone_and_prompt(bid)
+        assert c.moe_experts == 8 and c.moe_top_k == 2
+        assert c.num_key_value_heads == 8 and c.intermediate_size == 14336
+
+    cfg, _ = catalog.get_llm_backbone_and_prompt("mixtral-tiny")
+    params = llama.init_params(cfg, jax.random.key(0))
+    assert params["layers"]["gate_proj"].shape[1] == 4
+    ids = jnp.asarray([[1, 5, 9, 12]])
+    e = llama.embed_tokens(params, ids)
+    out = llama.forward(params, cfg, e, jnp.ones((1, 4), jnp.int32),
+                        jnp.arange(4)[None])
+    assert np.isfinite(np.asarray(out["logits"])).all()
+
+
 def test_moe_lora_stream_matches_merge_and_descends():
     """Streamed LoRA over an MoE trunk: adapters land on the [L, E, ...]
     expert stacks (router untouched), attached forward == merged forward,
