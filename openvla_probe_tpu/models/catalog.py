@@ -125,17 +125,23 @@ LLM_BACKBONES: Dict[str, Dict[str, Any]] = {
     "phi-2-3b": {"cfg": phi.PhiConfig(), "prompt": PhiPromptBuilder},
     # sparse-MoE trunk (models/moe.py; no reference counterpart — the
     # reference's backbones are all dense). HF Mixtral-8x7B dims: Mistral
-    # attention (GQA kv=8, ffn 14336) x 8 experts, top-2 routing; loads
-    # MixtralForCausalLM state dicts via llama.params_from_hf.
+    # attention (GQA kv=8, ffn 14336) x 8 experts, top-2 routing, 32k
+    # context; loads MixtralForCausalLM state dicts via llama.params_from_hf.
+    # capacity_factor = E/top_k = 4 makes the dispatch DROPLESS (exact HF
+    # parity — capacity caps at S, at quadratic-in-S dispatch cost); training
+    # configs may lower it as the usual MoE regularizer, which is a routing
+    # change, not a parity-tier numeric shortcut.
     "mixtral-8x7b-v0.1": {"cfg": llama.LlamaConfig(vocab_size=32000, num_key_value_heads=8,
                                                    intermediate_size=14336, rope_theta=1e6,
-                                                   max_position_embeddings=4096,
-                                                   moe_experts=8, moe_top_k=2),
+                                                   max_position_embeddings=32768,
+                                                   moe_experts=8, moe_top_k=2,
+                                                   moe_capacity_factor=4.0),
                           "prompt": PurePromptBuilder},
     "mixtral-8x7b-instruct-v0.1": {"cfg": llama.LlamaConfig(vocab_size=32000, num_key_value_heads=8,
                                                             intermediate_size=14336, rope_theta=1e6,
-                                                            max_position_embeddings=4096,
-                                                            moe_experts=8, moe_top_k=2),
+                                                            max_position_embeddings=32768,
+                                                            moe_experts=8, moe_top_k=2,
+                                                            moe_capacity_factor=4.0),
                                    "prompt": MistralInstructPromptBuilder},
     # test/smoke-scale LLMs
     "llama-tiny": {"cfg": llama.LlamaConfig.tiny(vocab_size=512), "prompt": PurePromptBuilder},

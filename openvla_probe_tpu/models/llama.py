@@ -247,12 +247,14 @@ def _qkv(cfg: LlamaConfig, lp: Params, h: jnp.ndarray, B: int, T: int):
             matmul_t(h, lp["v_proj"]).reshape(B, T, Hkv, Dh))
 
 
-def _moe_mlp(cfg: LlamaConfig, lp: Params, h: jnp.ndarray):
+def _moe_mlp(cfg: LlamaConfig, lp: Params, h: jnp.ndarray, token_valid=None):
     """Sparse-MoE FFN (models/moe.py) -> (y, aux). Capacity is static per
-    token count, so prefill and decode each compile one dispatch shape."""
+    token count, so prefill and decode each compile one dispatch shape.
+    `token_valid` [B, T] keeps PAD positions out of routing/aux."""
     cap = moe.capacity(cfg.moe_experts, cfg.moe_top_k,
                        cfg.moe_capacity_factor, h.shape[0] * h.shape[1])
-    return moe.moe_ffn(lp, h, top_k=cfg.moe_top_k, capacity=cap)
+    return moe.moe_ffn(lp, h, top_k=cfg.moe_top_k, capacity=cap,
+                       token_valid=token_valid)
 
 
 def _mlp(cfg: LlamaConfig, lp: Params, h: jnp.ndarray) -> jnp.ndarray:
@@ -284,7 +286,7 @@ def _layer_forward(
     # stacking per-layer cache outputs through scan ys re-materializes the
     # whole multi-GB cache every decode step.
     kv_valid: Optional[jnp.ndarray] = None,
-) -> Tuple[jnp.ndarray, Optional[Tuple[jnp.ndarray, jnp.ndarray]]]:
+) -> Tuple[jnp.ndarray, Optional[Tuple[jnp.ndarray, jnp.ndarray]], jnp.ndarray]:
     B, T, D = x.shape
     H, Hkv, Dh = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
 
@@ -325,7 +327,12 @@ def _layer_forward(
 
     h = rms_norm(x, lp["post_attention_layernorm"], cfg.rms_norm_eps)
     if "router" in lp:
-        y, moe_aux = _moe_mlp(cfg, lp, h)
+        # kv_valid's first T columns are exactly this block's per-token
+        # validity (uncached: attn_mask[:, :T]; cached zero-offset prefill:
+        # the first T cache slots; decode passes None — a decoded token is
+        # always real)
+        tok_valid = None if kv_valid is None else kv_valid[:, :T]
+        y, moe_aux = _moe_mlp(cfg, lp, h, token_valid=tok_valid)
         x = x + y
     else:
         x = x + _mlp(cfg, lp, h)
@@ -952,17 +959,20 @@ def init_params(cfg: LlamaConfig, key: jax.Array) -> Params:
         "k_proj": nrm(keys[1], (L, Hkv * Dh, D)),
         "v_proj": nrm(keys[2], (L, Hkv * Dh, D)),
         "o_proj": nrm(keys[3], (L, D, H * Dh)),
-        "gate_proj": nrm(keys[4], (L, F, D)),
-        "up_proj": nrm(keys[5], (L, F, D)),
-        "down_proj": nrm(keys[6], (L, D, F)),
         "input_layernorm": jnp.ones((L, D), cfg.dtype),
         "post_attention_layernorm": jnp.ones((L, D), cfg.dtype),
     }
     if cfg.moe_experts:
-        for name in ("gate_proj", "up_proj", "down_proj"):
-            del layers[name]
+        # expert stacks only — never materialize the dense FFN leaves
+        # (three [L, F, D] tensors are ~22 GB fp32 at Mixtral-8x7B scale)
         layers.update(moe.init_layer_params(
             jax.random.fold_in(k3, 1), L, cfg.moe_experts, D, F, cfg.dtype))
+    else:
+        layers.update({
+            "gate_proj": nrm(keys[4], (L, F, D)),
+            "up_proj": nrm(keys[5], (L, F, D)),
+            "down_proj": nrm(keys[6], (L, D, F)),
+        })
     return {
         "embed_tokens": nrm(k1, (V, D)),
         "layers": layers,

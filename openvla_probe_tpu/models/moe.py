@@ -91,17 +91,24 @@ def moe_ffn(
     *,
     top_k: int,
     capacity: int,
+    token_valid: jnp.ndarray = None,   # [B, T] 0/1; None = all valid
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Sparse-MoE SwiGLU FFN. Returns ([B, T, D] output, scalar fp32 aux).
 
     aux is the Switch/Mixtral load-balancing loss E * sum_e f_e * P_e with
     f_e the fraction of routing slots sent to expert e and P_e the mean
     router probability — 1.0 at perfect balance.
+
+    `token_valid` masks PAD positions out of routing entirely: they claim no
+    capacity slots (so a row's padding can't displace another row's real
+    tokens) and are excluded from the aux statistics (HF's
+    load_balancing_loss_func applies the same attention_mask correction).
     """
     B, T, D = h.shape
     S = B * T
     E = lp["router"].shape[0]
     x = h.reshape(S, D)
+    valid = None if token_valid is None else token_valid.reshape(S).astype(jnp.float32)
 
     # routing decisions in fp32 (tiny [S, E] matmul; argmax is precision-sensitive)
     logits = jnp.einsum(
@@ -125,6 +132,8 @@ def moe_ffn(
     # capacity slots: arrival order = all rank-0 choices first, then rank-1
     # (Switch convention — primary routes win slots over secondary ones)
     sel = jax.nn.one_hot(idx_k, E, dtype=jnp.int32)            # [K, S, E]
+    if valid is not None:
+        sel = sel * valid.astype(jnp.int32)[None, :, None]     # pads claim nothing
     flat = sel.reshape(top_k * S, E)
     slot = (jnp.cumsum(flat, axis=0) - flat).reshape(top_k, S, E)
     slot_k = (slot * sel).sum(-1)                               # [K, S]
@@ -145,9 +154,16 @@ def moe_ffn(
     y_e = _expert_einsum("ecf,edf->ecd", act, lp["down_proj"])  # [E, C, D]
     y = jnp.einsum("sec,ecd->sd", combine, y_e)                 # [S, D]
 
-    # load-balance aux: fraction of the S*K routing slots per expert x mean prob
-    f = sel.astype(jnp.float32).sum((0, 1)) / (S * top_k)       # [E]
-    p = probs.mean(0)                                           # [E]
+    # load-balance aux: fraction of VALID routing slots per expert x mean
+    # router prob over valid tokens
+    if valid is None:
+        n_tok = jnp.float32(S)
+        f = sel.astype(jnp.float32).sum((0, 1)) / (S * top_k)   # [E]
+        p = probs.mean(0)                                       # [E]
+    else:
+        n_tok = jnp.maximum(valid.sum(), 1.0)
+        f = sel.astype(jnp.float32).sum((0, 1)) / (n_tok * top_k)
+        p = (probs * valid[:, None]).sum(0) / n_tok
     aux = E * jnp.sum(f * p)
     return y.reshape(B, T, D), aux
 

@@ -76,10 +76,11 @@ def sequence_sharding(mesh: Mesh, batch, seq_axis: str = "sp",
     if seq_axis not in mesh.axis_names:
         return jax.tree.map(lambda _: data_sharding(mesh, batch_axis), batch)
     sp = mesh.shape[seq_axis]
+    b_axis = batch_axis if batch_axis in mesh.axis_names else None
 
     def spec(x):
         if getattr(x, "ndim", 0) == 2 and x.shape[1] % sp == 0:
-            return NamedSharding(mesh, P(batch_axis, seq_axis))
+            return NamedSharding(mesh, P(b_axis, seq_axis))
         return data_sharding(mesh, batch_axis)
 
     return jax.tree.map(spec, batch)

@@ -185,6 +185,14 @@ def make_pipeline_train_step(
     from jax.experimental.shard_map import shard_map
 
     from ..models import vlm
+
+    if getattr(cfg.llm, "moe_experts", 0):
+        # the pipeline body drops per-layer aux outputs, so an MoE router
+        # would silently train with zero load-balance pressure here —
+        # inconsistent with the GSPMD (dp/ep/tp) path for the same config
+        raise NotImplementedError(
+            "MoE trunks are not supported by the pipeline-parallel step; "
+            "train them on a dp x ep x tp mesh (parallel.sharding ep rule)")
     from ..training.train_state import TrainState
     from ..training.train_step import cross_entropy_loss
 

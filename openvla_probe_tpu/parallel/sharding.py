@@ -78,6 +78,9 @@ def _tp_dim(path: str, shape: Tuple[int, ...]) -> Optional[int]:
         d = _TP_DIM_BY_SUFFIX.get(parent)
         if d is None:
             return None
+        # MoE expert stacks: q [L, E, O, I] (s [L, E, O]) — shift past the E axis
+        if parent in _MOE_EXPERT_LEAVES and len(shape) >= 3 + (leaf == "q"):
+            d += 1
         if leaf == "q":
             return d
         # s has one fewer (trailing input) dim than q
@@ -117,9 +120,15 @@ def param_spec(
     # stacks shard their E dim over it (the only sensible placement — the
     # dispatch/combine einsums become expert-parallel all-to-alls under
     # GSPMD). Applies regardless of the strategy string, like dp for data.
+    # Covers the plain [L, E, O, I] weights AND their derived leaves, which
+    # keep the E axis at dim 1: quantized q [L, E, O, I] / s [L, E, O] and
+    # LoRA A [L, E, r, I] / B [L, E, O, r] under an expert-named parent.
     if "ep" in mesh.axis_names and mesh.shape["ep"] > 1:
-        leaf = path.rsplit("/", 1)[-1]
-        if (leaf in _MOE_EXPERT_LEAVES and len(shape) == 4
+        parts = path.rsplit("/", 2)
+        leaf = parts[-1]
+        name = parts[-2] if leaf in ("q", "s", "A", "B") and len(parts) >= 2 else leaf
+        min_ndim = 3 if leaf == "s" else 4
+        if (name in _MOE_EXPERT_LEAVES and len(shape) == min_ndim
                 and shape[1] % mesh.shape["ep"] == 0):
             entries[1] = "ep"
             used_dims.add(1)

@@ -207,6 +207,66 @@ def test_moe_int8_experts(rng):
     np.testing.assert_allclose(np.asarray(y_a), np.asarray(y_q), atol=1e-6)  # B=0 init
 
 
+def test_moe_pad_tokens_claim_no_capacity(rng):
+    """Right-padded rows must not displace later rows' real tokens from
+    expert capacity, and aux statistics exclude pads."""
+    lp = _moe_layer_params(rng)
+    lp["router"] = jnp.zeros_like(lp["router"])  # uniform: all pick experts 0+1
+    h = jnp.asarray(rng.normal(size=(2, 6, 16)).astype(np.float32))
+    valid = jnp.asarray([[1, 0, 0, 0, 0, 0], [1, 1, 1, 1, 1, 1]], jnp.int32)
+
+    # capacity 7 (== n_valid): unmasked, row0's 5 pads (flattened first)
+    # claim slots and row1's tail tokens are dropped
+    y_unmasked, _ = moe.moe_ffn(lp, h, top_k=2, capacity=7)
+    assert np.abs(np.asarray(y_unmasked)[1, 1:]).max() == 0.0
+    # masked: the 7 valid tokens all fit; every valid row-1 token is served
+    y_masked, aux = moe.moe_ffn(lp, h, top_k=2, capacity=7, token_valid=valid)
+    ym = np.asarray(y_masked)
+    assert all(np.abs(ym[1, t]).max() > 0 for t in range(6))
+    # pads emit exactly zero (residual carries them)
+    np.testing.assert_array_equal(ym[0, 1:], 0.0)
+    # uniform router, valid-only stats: perfectly balanced aux == 1
+    assert float(aux) == pytest.approx(1.0, rel=1e-5)
+
+
+def test_moe_quantized_and_lora_expert_sharding_specs():
+    """param_spec: quantized q/s and LoRA A/B expert leaves keep the ep rule
+    and the +1 tp dim shift (review finding: they used to fall through to
+    the dense rules)."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from openvla_probe_tpu.parallel.sharding import param_spec
+
+    mesh = make_mesh({"dp": 2, "ep": 2, "tp": 2}, jax.devices()[:8])
+    L, E, F, D = 8, 8, 256, 64
+    assert param_spec("llm/layers/gate_proj/q", (L, E, F, D), mesh, "tp") == P(None, "ep", "tp", None)
+    assert param_spec("llm/layers/gate_proj/s", (L, E, F), mesh, "tp") == P(None, "ep", "tp")
+    assert param_spec("llm/layers/down_proj/q", (L, E, D, F), mesh, "tp") == P(None, "ep", None, "tp")
+    # (4096-wide D so the leaf clears MIN_SHARD_ELEMS' replicate-tiny rule)
+    assert param_spec("llm/layers/down_proj/s", (L, E, 4096), mesh, "tp") == P(None, "ep", None)
+    assert param_spec("llm/layers/up_proj/A", (L, E, 32, D), mesh, "tp") == P(None, "ep", None, None)
+    assert param_spec("llm/layers/up_proj/B", (L, E, F, 32), mesh, "tp") == P(None, "ep", None, None)
+    # dense quantized leaves keep their unshifted rules
+    assert param_spec("llm/layers/gate_proj/q", (L, F, D), mesh, "tp") == P(None, "tp", None)
+    # dense down s is tp-replicated (spans the un-sharded output dim)
+    assert "tp" not in tuple(param_spec("llm/layers/down_proj/s", (L, 4096), mesh, "tp"))
+
+
+def test_moe_pipeline_guard():
+    """MoE configs are rejected by the pipeline step (its body drops the
+    aux loss) with a pointer to the ep path."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    import optax
+
+    from openvla_probe_tpu.parallel.pipeline import make_pipeline_train_step
+
+    cfg = vlm.VLMConfig.tiny(llm=llama.LlamaConfig.tiny(moe_experts=4))
+    mesh = make_mesh({"dp": 2, "pp": 2}, jax.devices()[:4])
+    with pytest.raises(NotImplementedError, match="ep"):
+        make_pipeline_train_step(cfg, optax.adam(1e-4), mesh, n_micro=2)
+
+
 def test_mixtral_catalog_entries():
     """Mixtral ids resolve through the standard catalog path; tiny variant
     materializes and runs a forward."""
@@ -216,6 +276,11 @@ def test_mixtral_catalog_entries():
         c, _ = catalog.get_llm_backbone_and_prompt(bid)
         assert c.moe_experts == 8 and c.moe_top_k == 2
         assert c.num_key_value_heads == 8 and c.intermediate_size == 14336
+        assert c.max_position_embeddings == 32768
+        # default capacity is DROPLESS (== S) at these E/top_k — HF parity
+        for S in (1, 7, 24, 301):
+            assert moe.capacity(c.moe_experts, c.moe_top_k,
+                                c.moe_capacity_factor, S) == S
 
     cfg, _ = catalog.get_llm_backbone_and_prompt("mixtral-tiny")
     params = llama.init_params(cfg, jax.random.key(0))
