@@ -74,6 +74,11 @@ class LlamaConfig:
     moe_top_k: int = 2
     moe_capacity_factor: float = 2.0     # >= E/top_k => exact (dropless)
     moe_aux_coef: float = 0.01           # load-balance loss weight (training)
+    # dispatch formulation: "einsum" (GShard one-hot; honors capacity drops,
+    # quadratic in tokens at dropless capacity), "sorted" (ragged_dot grouped
+    # matmul; linear, dropless-only), "auto" = sorted iff the resolved
+    # capacity is dropless for this token count, einsum otherwise.
+    moe_dispatch: str = "auto"
 
     @property
     def head_dim(self) -> int:
@@ -250,9 +255,26 @@ def _qkv(cfg: LlamaConfig, lp: Params, h: jnp.ndarray, B: int, T: int):
 def _moe_mlp(cfg: LlamaConfig, lp: Params, h: jnp.ndarray, token_valid=None):
     """Sparse-MoE FFN (models/moe.py) -> (y, aux). Capacity is static per
     token count, so prefill and decode each compile one dispatch shape.
-    `token_valid` [B, T] keeps PAD positions out of routing/aux."""
+    `token_valid` [B, T] keeps PAD positions out of routing/aux.
+
+    Dispatch selection (cfg.moe_dispatch): the sorted ragged-matmul path is
+    dropless-only, so "auto" uses it exactly when the resolved capacity
+    would be dropless anyway (same math, linear instead of quadratic cost);
+    capped capacities keep the einsum path, which can express drops."""
+    S = h.shape[0] * h.shape[1]
     cap = moe.capacity(cfg.moe_experts, cfg.moe_top_k,
-                       cfg.moe_capacity_factor, h.shape[0] * h.shape[1])
+                       cfg.moe_capacity_factor, S)
+    mode = cfg.moe_dispatch
+    if mode == "auto":
+        mode = "sorted" if cap >= S else "einsum"
+    if mode == "sorted":
+        if cap < S:
+            raise ValueError(
+                f"moe_dispatch='sorted' is dropless-only but capacity {cap} < "
+                f"{S} tokens would drop; use 'einsum' or 'auto', or raise "
+                "moe_capacity_factor")
+        return moe.moe_ffn_sorted(lp, h, top_k=cfg.moe_top_k,
+                                  token_valid=token_valid)
     return moe.moe_ffn(lp, h, top_k=cfg.moe_top_k, capacity=cap,
                        token_valid=token_valid)
 

@@ -29,6 +29,17 @@ beyond an expert's capacity are DROPPED (contribute 0; the residual stream
 carries them) — the standard static-shape trade. `capacity >= S` is exact /
 dropless, which is what the HF-parity tests pin.
 
+DROPLESS costs: the one-hot dispatch/combine tensors are [S, E, C], so the
+exact mode (C = S) is quadratic in token count — ~835 MB of [S, E, S] at
+Mixtral serving shapes (S = 24x301). `moe_ffn_sorted` is the linear-cost
+dropless formulation (MegaBlocks-style): sort the K*S (token, expert)
+assignments by expert, run ONE grouped matmul per projection with
+`lax.ragged_dot_general` (Mosaic grouped-matmul on TPU; GSPMD partitions
+it under ep-sharded expert stacks), and scatter-add the gated outputs back.
+Identical math to `moe_ffn` at capacity >= S — it cannot express drops, so
+capped-capacity training configs stay on the einsum path
+(`LlamaConfig.moe_dispatch` resolves this; "auto" = sorted iff dropless).
+
 Layer-stacked params (leading L axis sliced away by the lax.scan in
 models/llama.py before reaching here):
     router     [E, D]      (matmul convention [out, in], like q_proj)
@@ -85,31 +96,10 @@ def _expert_einsum(eq: str, x: jnp.ndarray, w) -> jnp.ndarray:
     return jnp.einsum(eq, x, w)
 
 
-def moe_ffn(
-    lp: Params,
-    h: jnp.ndarray,            # [B, T, D]
-    *,
-    top_k: int,
-    capacity: int,
-    token_valid: jnp.ndarray = None,   # [B, T] 0/1; None = all valid
-) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Sparse-MoE SwiGLU FFN. Returns ([B, T, D] output, scalar fp32 aux).
-
-    aux is the Switch/Mixtral load-balancing loss E * sum_e f_e * P_e with
-    f_e the fraction of routing slots sent to expert e and P_e the mean
-    router probability — 1.0 at perfect balance.
-
-    `token_valid` masks PAD positions out of routing entirely: they claim no
-    capacity slots (so a row's padding can't displace another row's real
-    tokens) and are excluded from the aux statistics (HF's
-    load_balancing_loss_func applies the same attention_mask correction).
-    """
-    B, T, D = h.shape
-    S = B * T
+def _route(lp: Params, x: jnp.ndarray, top_k: int):
+    """Router forward shared by both dispatch formulations.
+    x [S, D] -> (idx_k [K, S] int, gate_k [K, S] fp32 renormed, probs [S, E])."""
     E = lp["router"].shape[0]
-    x = h.reshape(S, D)
-    valid = None if token_valid is None else token_valid.reshape(S).astype(jnp.float32)
-
     # routing decisions in fp32 (tiny [S, E] matmul; argmax is precision-sensitive)
     logits = jnp.einsum(
         "sd,ed->se", x.astype(jnp.float32), lp["router"].astype(jnp.float32)
@@ -128,6 +118,51 @@ def moe_ffn(
     gate_k = jnp.stack(gates)  # [K, S] fp32
     # Mixtral renorm: selected probabilities sum to 1 per token
     gate_k = gate_k / jnp.maximum(gate_k.sum(0, keepdims=True), 1e-9)
+    return idx_k, gate_k, probs
+
+
+def _load_balance_aux(idx_k, probs, valid, E: int, top_k: int) -> jnp.ndarray:
+    """Switch/Mixtral load-balance loss E * sum_e f_e * P_e — f_e the
+    fraction of VALID routing slots sent to expert e, P_e the mean router
+    probability over valid tokens; 1.0 at perfect balance. `valid` [S] 0/1
+    fp32 or None (HF's load_balancing_loss_func applies the same
+    attention_mask correction)."""
+    S = probs.shape[0]
+    if valid is None:
+        n_tok = jnp.float32(S)
+        f = jnp.bincount(idx_k.reshape(-1), length=E).astype(jnp.float32) / (n_tok * top_k)
+        p = probs.mean(0)
+    else:
+        n_tok = jnp.maximum(valid.sum(), 1.0)
+        f = jnp.bincount(idx_k.reshape(-1),
+                         weights=jnp.tile(valid, (top_k,)), length=E) / (n_tok * top_k)
+        p = (probs * valid[:, None]).sum(0) / n_tok
+    return E * jnp.sum(f * p)
+
+
+def moe_ffn(
+    lp: Params,
+    h: jnp.ndarray,            # [B, T, D]
+    *,
+    top_k: int,
+    capacity: int,
+    token_valid: jnp.ndarray = None,   # [B, T] 0/1; None = all valid
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Sparse-MoE SwiGLU FFN. Returns ([B, T, D] output, scalar fp32 aux).
+
+    aux is the Switch/Mixtral load-balancing loss (see _load_balance_aux).
+
+    `token_valid` masks PAD positions out of routing entirely: they claim no
+    capacity slots (so a row's padding can't displace another row's real
+    tokens) and are excluded from the aux statistics.
+    """
+    B, T, D = h.shape
+    S = B * T
+    E = lp["router"].shape[0]
+    x = h.reshape(S, D)
+    valid = None if token_valid is None else token_valid.reshape(S).astype(jnp.float32)
+
+    idx_k, gate_k, probs = _route(lp, x, top_k)
 
     # capacity slots: arrival order = all rank-0 choices first, then rank-1
     # (Switch convention — primary routes win slots over secondary ones)
@@ -154,17 +189,84 @@ def moe_ffn(
     y_e = _expert_einsum("ecf,edf->ecd", act, lp["down_proj"])  # [E, C, D]
     y = jnp.einsum("sec,ecd->sd", combine, y_e)                 # [S, D]
 
-    # load-balance aux: fraction of VALID routing slots per expert x mean
-    # router prob over valid tokens
-    if valid is None:
-        n_tok = jnp.float32(S)
-        f = sel.astype(jnp.float32).sum((0, 1)) / (S * top_k)   # [E]
-        p = probs.mean(0)                                       # [E]
-    else:
-        n_tok = jnp.maximum(valid.sum(), 1.0)
-        f = sel.astype(jnp.float32).sum((0, 1)) / (n_tok * top_k)
-        p = (probs * valid[:, None]).sum(0) / n_tok
-    aux = E * jnp.sum(f * p)
+    aux = _load_balance_aux(idx_k, probs, valid, E, top_k)
+    return y.reshape(B, T, D), aux
+
+
+def _ragged_dn() -> "jax.lax.RaggedDotDimensionNumbers":
+    """Grouped-matmul dims for [M, I] tokens x [E, O, I] expert stacks:
+    contract I, group on E, lhs rows ragged-grouped by group_sizes."""
+    return jax.lax.RaggedDotDimensionNumbers(
+        dot_dimension_numbers=(((1,), (2,)), ((), ())),
+        lhs_ragged_dimensions=(0,), rhs_group_dimensions=(0,))
+
+
+def _expert_ragged(x: jnp.ndarray, w, group_sizes: jnp.ndarray,
+                   e_row: jnp.ndarray) -> jnp.ndarray:
+    """Grouped matmul of expert-sorted rows x [M, I] against stacked expert
+    weights (same three weight forms as _expert_einsum). `e_row` [M] is each
+    row's expert id — only the quantized form needs it (per-expert
+    out-channel scales; XLA fuses the row gather into the multiply)."""
+    from ..ops.linear import is_lora_wrapped
+
+    dn = _ragged_dn()
+    if is_lora_wrapped(w):
+        y = _expert_ragged(x, w["base"], group_sizes, e_row)
+        t = jax.lax.ragged_dot_general(x, w["A"].astype(x.dtype), group_sizes, dn)
+        return y + jax.lax.ragged_dot_general(t, w["B"].astype(x.dtype), group_sizes, dn)
+    if isinstance(w, dict) and "q" in w:
+        acc = jax.lax.ragged_dot_general(x, w["q"].astype(x.dtype), group_sizes, dn,
+                                         preferred_element_type=jnp.float32)
+        return (acc * w["s"][e_row]).astype(x.dtype)
+    return jax.lax.ragged_dot_general(x, w.astype(x.dtype), group_sizes, dn)
+
+
+def moe_ffn_sorted(
+    lp: Params,
+    h: jnp.ndarray,            # [B, T, D]
+    *,
+    top_k: int,
+    token_valid: jnp.ndarray = None,   # [B, T] 0/1; None = all valid
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """DROPLESS sparse-MoE SwiGLU FFN, linear in token count.
+
+    Same routing and math as moe_ffn at capacity >= S (per-token results
+    equal up to matmul reduction order), but instead of [S, E, C] one-hot
+    dispatch/combine einsums it sorts the K*S (token, expert) assignments by
+    expert (stable k-major order — the same rank-0-first arrival order as
+    the einsum path) and runs each projection as ONE lax.ragged_dot_general
+    grouped matmul over the expert-contiguous rows. Cost: O(K*S) gather/
+    scatter + exactly the K*S*3*D*F expert FLOPs — no quadratic dispatch
+    tensor, no drops, no capacity knob. PAD tokens keep their matmul rows
+    (static shapes) but their gates are zeroed and aux excludes them.
+    """
+    B, T, D = h.shape
+    S = B * T
+    E = lp["router"].shape[0]
+    cdtype = h.dtype
+    x = h.reshape(S, D)
+    valid = None if token_valid is None else token_valid.reshape(S).astype(jnp.float32)
+
+    idx_k, gate_k, probs = _route(lp, x, top_k)
+    if valid is not None:
+        gate_k = gate_k * valid[None, :]   # pads compute but contribute 0
+
+    e_flat = idx_k.reshape(-1)                              # [K*S], k-major
+    t_flat = jnp.tile(jnp.arange(S, dtype=jnp.int32), (top_k,))
+    order = jnp.argsort(e_flat, stable=True)                # expert-contiguous
+    tok = t_flat[order]                                     # [K*S]
+    gates = gate_k.reshape(-1)[order]
+    e_row = e_flat[order]
+    group_sizes = jnp.bincount(e_flat, length=E).astype(jnp.int32)
+
+    xs = x[tok]                                             # [K*S, D]
+    g = _expert_ragged(xs, lp["gate_proj"], group_sizes, e_row)
+    u = _expert_ragged(xs, lp["up_proj"], group_sizes, e_row)
+    act = jax.nn.silu(g.astype(jnp.float32)).astype(cdtype) * u  # fp32 silu, as _mlp
+    y_s = _expert_ragged(act, lp["down_proj"], group_sizes, e_row)  # [K*S, D]
+
+    y = jnp.zeros((S, D), cdtype).at[tok].add(y_s * gates.astype(cdtype)[:, None])
+    aux = _load_balance_aux(idx_k, probs, valid, E, top_k)
     return y.reshape(B, T, D), aux
 
 

@@ -49,14 +49,24 @@ def plan(cfg: BudgetConfig) -> dict:
         D, F, L = v.hidden_size, v.mlp_dim, v.num_layers
         return L * (4 * D * D + 2 * D * F) + v.hidden_size * 3 * v.patch_size**2
 
-    llm_params = (
-        lcfg.vocab_size * lcfg.hidden_size * 2                      # embed + lm_head
-        + lcfg.num_hidden_layers * (
-            2 * lcfg.hidden_size * lcfg.num_attention_heads * lcfg.head_dim
-            + 2 * lcfg.hidden_size * lcfg.num_key_value_heads * lcfg.head_dim
-            + 3 * lcfg.hidden_size * lcfg.intermediate_size
-        )
+    attn_params = lcfg.num_hidden_layers * (
+        2 * lcfg.hidden_size * lcfg.num_attention_heads * lcfg.head_dim
+        + 2 * lcfg.hidden_size * lcfg.num_key_value_heads * lcfg.head_dim
     )
+    ffn_per_layer = 3 * lcfg.hidden_size * lcfg.intermediate_size
+    n_exp = getattr(lcfg, "moe_experts", 0)
+    if n_exp:
+        # sparse-MoE trunk: E expert FFNs + router per layer are STORED, but
+        # each token only STREAMS top_k experts (bs=1 decode; at batch
+        # decode with B*top_k >= E all experts are touched — the full-stream
+        # figure below stays the batched-decode number)
+        ffn_stored = n_exp * ffn_per_layer + n_exp * lcfg.hidden_size
+        ffn_active = lcfg.moe_top_k * ffn_per_layer + n_exp * lcfg.hidden_size
+    else:
+        ffn_stored = ffn_active = ffn_per_layer
+    embed_params = lcfg.vocab_size * lcfg.hidden_size * 2          # embed + lm_head
+    llm_params = embed_params + attn_params + lcfg.num_hidden_layers * ffn_stored
+    llm_active = embed_params + attn_params + lcfg.num_hidden_layers * ffn_active
     vis_params = sum(vit_params(v) for v in vcfgs)
     n_patches = (vcfgs[0].image_size // vcfgs[0].patch_size) ** 2
     seq = 1 + n_patches + cfg.prompt_pad - 1 + cfg.action_dim
@@ -64,6 +74,8 @@ def plan(cfg: BudgetConfig) -> dict:
     out = {"llm_params_b": round(llm_params / 1e9, 3),
            "vision_params_b": round(vis_params / 1e9, 3),
            "cache_seq_len": seq, "modes": {}}
+    if n_exp:
+        out["llm_active_params_b"] = round(llm_active / 1e9, 3)
     for mode, wbytes in (("bf16", 2.0), ("int8", 1.0)):
         weights_gb = (llm_params * wbytes + vis_params * (wbytes if mode == "int8" else 2.0)) / 2**30
         kv_per_item = (2 * lcfg.num_hidden_layers * seq
@@ -83,6 +95,12 @@ def plan(cfg: BudgetConfig) -> dict:
             "max_batch_at_min_tp": max_batch,
             "decode_weight_stream_ms_per_token": round(decode_ms, 2),
         }
+        if n_exp:
+            # bs=1 decode streams only top_k experts' FFN per layer (the
+            # MoE latency advantage); min_tp can equivalently be ep ways
+            active_gb = (llm_active * wbytes + vis_params * (wbytes if mode == "int8" else 2.0)) / 2**30
+            out["modes"][mode]["decode_weight_stream_ms_per_token_bs1"] = round(
+                (active_gb / tp) / cfg.hbm_bw_gbps * 1e3, 2)
     return out
 
 

@@ -115,6 +115,14 @@ def test_moe_matches_hf_mixtral(rng):
     np.testing.assert_array_equal(got.argmax(-1), want.argmax(-1))
     assert "moe_aux" in out and np.isfinite(float(out["moe_aux"]))
 
+    # the default dispatch ('auto' at dropless capacity) is the SORTED path;
+    # pin the einsum formulation against HF too
+    import dataclasses
+    out_e = llama.forward(
+        params, dataclasses.replace(cfg, moe_dispatch="einsum"), e,
+        jnp.ones((2, 10), jnp.int32), jnp.broadcast_to(jnp.arange(10), (2, 10)))
+    np.testing.assert_allclose(np.asarray(out_e["logits"]), want, atol=5e-4, rtol=1e-3)
+
 
 def test_moe_kv_cache_decode_matches_full(rng):
     """Cached prefill+decode == uncached full forward for an MoE trunk (the
@@ -227,6 +235,96 @@ def test_moe_pad_tokens_claim_no_capacity(rng):
     np.testing.assert_array_equal(ym[0, 1:], 0.0)
     # uniform router, valid-only stats: perfectly balanced aux == 1
     assert float(aux) == pytest.approx(1.0, rel=1e-5)
+
+
+def test_moe_sorted_matches_einsum_dropless(rng):
+    """moe_ffn_sorted (linear-cost ragged grouped matmul) == moe_ffn at
+    dropless capacity — outputs, aux, and PAD masking."""
+    lp = _moe_layer_params(rng)
+    h = jnp.asarray(rng.normal(size=(2, 5, 16)).astype(np.float32))
+    y_e, aux_e = moe.moe_ffn(lp, h, top_k=2, capacity=10)
+    y_s, aux_s = moe.moe_ffn_sorted(lp, h, top_k=2)
+    np.testing.assert_allclose(np.asarray(y_s), np.asarray(y_e), atol=2e-6, rtol=1e-5)
+    assert float(aux_s) == pytest.approx(float(aux_e), rel=1e-6)
+
+    valid = jnp.asarray([[1, 1, 1, 0, 0], [1, 1, 1, 1, 1]], jnp.int32)
+    y_em, aux_em = moe.moe_ffn(lp, h, top_k=2, capacity=10, token_valid=valid)
+    y_sm, aux_sm = moe.moe_ffn_sorted(lp, h, top_k=2, token_valid=valid)
+    np.testing.assert_allclose(np.asarray(y_sm), np.asarray(y_em), atol=2e-6, rtol=1e-5)
+    assert float(aux_sm) == pytest.approx(float(aux_em), rel=1e-6)
+    np.testing.assert_array_equal(np.asarray(y_sm)[0, 3:], 0.0)  # pads emit 0
+
+    # also under jit (argsort/bincount/scatter are all traceable)
+    y_j, _ = jax.jit(lambda p, x: moe.moe_ffn_sorted(p, x, top_k=2))(lp, h)
+    np.testing.assert_allclose(np.asarray(y_j), np.asarray(y_s), atol=1e-6)
+
+
+def test_moe_sorted_quantized_and_lora(rng):
+    """The sorted path accepts the same three weight forms as the einsum
+    path (plain / weight-only-int8 / streamed-LoRA) and matches it."""
+    from openvla_probe_tpu.ops.linear import quantize_params
+    from openvla_probe_tpu.training import lora
+
+    lp = _moe_layer_params(rng)
+    h = jnp.asarray(rng.normal(size=(2, 5, 16)).astype(np.float32))
+
+    lpq = quantize_params(lp)
+    y_e, _ = moe.moe_ffn(lpq, h, top_k=2, capacity=10)
+    y_s, _ = moe.moe_ffn_sorted(lpq, h, top_k=2)
+    np.testing.assert_allclose(np.asarray(y_s), np.asarray(y_e), atol=2e-6, rtol=1e-5)
+
+    lcfg = lora.LoRAConfig(r=2)
+    lq = lora.init_lora_params(lpq, lcfg, jax.random.key(3))
+    for leaf in lq.values():  # nonzero B so the low-rank term actually fires
+        if leaf is not None:  # non-adapted leaves (router) carry no adapter
+            leaf["B"] = jnp.asarray(rng.normal(size=leaf["B"].shape).astype(np.float32) * 0.1)
+    attached = lora.attach_lora(lpq, lq, lcfg)
+    y_ea, _ = moe.moe_ffn(attached, h, top_k=2, capacity=10)
+    y_sa, _ = moe.moe_ffn_sorted(attached, h, top_k=2)
+    assert np.abs(np.asarray(y_ea) - np.asarray(y_e)).max() > 1e-4  # adapters fired
+    np.testing.assert_allclose(np.asarray(y_sa), np.asarray(y_ea), atol=2e-6, rtol=1e-5)
+
+
+def test_moe_dispatch_config(rng):
+    """_moe_mlp dispatch resolution: 'auto' goes sorted iff dropless;
+    'sorted' with a dropping capacity raises."""
+    import dataclasses
+
+    h = jnp.asarray(rng.normal(size=(1, 8, 32)).astype(np.float32))
+    cfg = llama.LlamaConfig.tiny(moe_experts=4)  # factor 2.0 == E/K: dropless
+    lp = {k: v[0] for k, v in moe.init_layer_params(
+        jax.random.key(0), 1, 4, 32, cfg.intermediate_size, jnp.float32).items()}
+
+    y_auto, _ = llama._moe_mlp(cfg, lp, h)
+    y_sorted, _ = llama._moe_mlp(dataclasses.replace(cfg, moe_dispatch="sorted"), lp, h)
+    y_einsum, _ = llama._moe_mlp(dataclasses.replace(cfg, moe_dispatch="einsum"), lp, h)
+    np.testing.assert_array_equal(np.asarray(y_auto), np.asarray(y_sorted))
+    np.testing.assert_allclose(np.asarray(y_auto), np.asarray(y_einsum), atol=2e-6, rtol=1e-5)
+
+    capped = dataclasses.replace(cfg, moe_capacity_factor=0.5)
+    y_capped, _ = llama._moe_mlp(capped, lp, h)  # auto falls back to einsum
+    assert y_capped.shape == h.shape
+    with pytest.raises(ValueError, match="dropless-only"):
+        llama._moe_mlp(dataclasses.replace(capped, moe_dispatch="sorted"), lp, h)
+
+
+def test_hbm_budget_moe():
+    """hbm_budget accounts expert-stacked FFNs: Mixtral-8x7B lands on the
+    public ~46.7B stored / ~12.9B active figures and plans multi-way
+    model parallelism; dense configs are unchanged (no active-params key)."""
+    from scripts.hbm_budget import BudgetConfig, plan
+
+    d = plan(BudgetConfig(llm="mixtral-8x7b-v0.1"))
+    assert 46.0 < d["llm_params_b"] < 47.5
+    assert 12.5 < d["llm_active_params_b"] < 13.5
+    assert d["modes"]["int8"]["min_tp"] >= 4
+    for mode in ("bf16", "int8"):
+        m = d["modes"][mode]
+        assert m["decode_weight_stream_ms_per_token_bs1"] < m["decode_weight_stream_ms_per_token"]
+
+    d7 = plan(BudgetConfig())
+    assert "llm_active_params_b" not in d7
+    assert 6.5 < d7["llm_params_b"] < 7.0  # dense accounting unchanged
 
 
 def test_moe_quantized_and_lora_expert_sharding_specs():
