@@ -74,6 +74,7 @@ class LlamaConfig:
     moe_top_k: int = 2
     moe_capacity_factor: float = 2.0     # >= E/top_k => exact (dropless)
     moe_aux_coef: float = 0.01           # load-balance loss weight (training)
+    moe_z_coef: float = 1e-3             # ST-MoE router z-loss weight (training)
     # dispatch formulation: "einsum" (GShard one-hot; honors capacity drops,
     # quadratic in tokens at dropless capacity), "sorted" (ragged_dot grouped
     # matmul; linear, dropless-only), "auto" = sorted iff the resolved
@@ -358,7 +359,7 @@ def _layer_forward(
         x = x + y
     else:
         x = x + _mlp(cfg, lp, h)
-        moe_aux = jnp.zeros((), jnp.float32)
+        moe_aux = jnp.zeros((2,), jnp.float32)
     return x, new_cache, moe_aux
 
 
@@ -472,9 +473,11 @@ def forward(
 
         x, scan_out = jax.lax.scan(body, x, layers)
         if cfg.moe_experts:
-            # mean load-balance aux over layers (training adds
-            # cfg.moe_aux_coef * this to the CE loss)
-            out["moe_aux"] = scan_out["moe_aux"].mean()
+            # mean router losses over layers (training adds moe_aux_coef *
+            # balance + moe_z_coef * z to the CE loss)
+            aux_v = scan_out["moe_aux"].mean(0)   # [L, 2] -> [2]
+            out["moe_aux"] = aux_v[0]
+            out["moe_z"] = aux_v[1]
 
     x = rms_norm(x, params["norm"], cfg.rms_norm_eps)
     if collect_hidden_states:

@@ -118,26 +118,35 @@ def _route(lp: Params, x: jnp.ndarray, top_k: int):
     gate_k = jnp.stack(gates)  # [K, S] fp32
     # Mixtral renorm: selected probabilities sum to 1 per token
     gate_k = gate_k / jnp.maximum(gate_k.sum(0, keepdims=True), 1e-9)
-    return idx_k, gate_k, probs
+    return idx_k, gate_k, probs, logits
 
 
-def _load_balance_aux(idx_k, probs, valid, E: int, top_k: int) -> jnp.ndarray:
-    """Switch/Mixtral load-balance loss E * sum_e f_e * P_e — f_e the
-    fraction of VALID routing slots sent to expert e, P_e the mean router
-    probability over valid tokens; 1.0 at perfect balance. `valid` [S] 0/1
-    fp32 or None (HF's load_balancing_loss_func applies the same
-    attention_mask correction)."""
+def _aux_losses(idx_k, probs, logits, valid, E: int, top_k: int) -> jnp.ndarray:
+    """Router auxiliary losses, fp32 [2]:
+
+    [0] Switch/Mixtral load-balance loss E * sum_e f_e * P_e — f_e the
+        fraction of VALID routing slots sent to expert e, P_e the mean
+        router probability over valid tokens; 1.0 at perfect balance.
+    [1] ST-MoE router z-loss mean((logsumexp_e logits)^2) — penalizes
+        drifting router logit magnitudes (the fp32-softmax stabilizer;
+        log(E)^2 at zero logits).
+
+    `valid` [S] 0/1 fp32 or None; both statistics exclude PAD tokens (HF's
+    load_balancing_loss_func applies the same attention_mask correction)."""
     S = probs.shape[0]
+    z = jax.scipy.special.logsumexp(logits, axis=-1) ** 2  # [S] fp32
     if valid is None:
         n_tok = jnp.float32(S)
         f = jnp.bincount(idx_k.reshape(-1), length=E).astype(jnp.float32) / (n_tok * top_k)
         p = probs.mean(0)
+        z_loss = z.mean()
     else:
         n_tok = jnp.maximum(valid.sum(), 1.0)
         f = jnp.bincount(idx_k.reshape(-1),
                          weights=jnp.tile(valid, (top_k,)), length=E) / (n_tok * top_k)
         p = (probs * valid[:, None]).sum(0) / n_tok
-    return E * jnp.sum(f * p)
+        z_loss = (z * valid).sum() / n_tok
+    return jnp.stack([E * jnp.sum(f * p), z_loss])
 
 
 def moe_ffn(
@@ -148,9 +157,8 @@ def moe_ffn(
     capacity: int,
     token_valid: jnp.ndarray = None,   # [B, T] 0/1; None = all valid
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Sparse-MoE SwiGLU FFN. Returns ([B, T, D] output, scalar fp32 aux).
-
-    aux is the Switch/Mixtral load-balancing loss (see _load_balance_aux).
+    """Sparse-MoE SwiGLU FFN. Returns ([B, T, D] output, fp32 [2] aux =
+    [load-balance loss, router z-loss] — see _aux_losses).
 
     `token_valid` masks PAD positions out of routing entirely: they claim no
     capacity slots (so a row's padding can't displace another row's real
@@ -162,7 +170,7 @@ def moe_ffn(
     x = h.reshape(S, D)
     valid = None if token_valid is None else token_valid.reshape(S).astype(jnp.float32)
 
-    idx_k, gate_k, probs = _route(lp, x, top_k)
+    idx_k, gate_k, probs, logits = _route(lp, x, top_k)
 
     # capacity slots: arrival order = all rank-0 choices first, then rank-1
     # (Switch convention — primary routes win slots over secondary ones)
@@ -189,7 +197,7 @@ def moe_ffn(
     y_e = _expert_einsum("ecf,edf->ecd", act, lp["down_proj"])  # [E, C, D]
     y = jnp.einsum("sec,ecd->sd", combine, y_e)                 # [S, D]
 
-    aux = _load_balance_aux(idx_k, probs, valid, E, top_k)
+    aux = _aux_losses(idx_k, probs, logits, valid, E, top_k)
     return y.reshape(B, T, D), aux
 
 
@@ -228,7 +236,8 @@ def moe_ffn_sorted(
     top_k: int,
     token_valid: jnp.ndarray = None,   # [B, T] 0/1; None = all valid
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """DROPLESS sparse-MoE SwiGLU FFN, linear in token count.
+    """DROPLESS sparse-MoE SwiGLU FFN, linear in token count. Returns
+    ([B, T, D] output, fp32 [2] aux) like moe_ffn.
 
     Same routing and math as moe_ffn at capacity >= S (per-token results
     equal up to matmul reduction order), but instead of [S, E, C] one-hot
@@ -247,7 +256,7 @@ def moe_ffn_sorted(
     x = h.reshape(S, D)
     valid = None if token_valid is None else token_valid.reshape(S).astype(jnp.float32)
 
-    idx_k, gate_k, probs = _route(lp, x, top_k)
+    idx_k, gate_k, probs, logits = _route(lp, x, top_k)
     if valid is not None:
         gate_k = gate_k * valid[None, :]   # pads compute but contribute 0
 
@@ -266,7 +275,7 @@ def moe_ffn_sorted(
     y_s = _expert_ragged(act, lp["down_proj"], group_sizes, e_row)  # [K*S, D]
 
     y = jnp.zeros((S, D), cdtype).at[tok].add(y_s * gates.astype(cdtype)[:, None])
-    aux = _load_balance_aux(idx_k, probs, valid, E, top_k)
+    aux = _aux_losses(idx_k, probs, logits, valid, E, top_k)
     return y.reshape(B, T, D), aux
 
 

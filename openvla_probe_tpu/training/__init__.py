@@ -1,10 +1,16 @@
-from .checkpointing import latest_checkpoint, load_checkpoint, save_checkpoint
+from .checkpointing import (
+    AsyncCheckpointWriter,
+    latest_checkpoint,
+    load_checkpoint,
+    save_checkpoint,
+)
 from .lora import LoRAConfig, init_lora_params, merge_and_unload, merge_lora
 from .metrics import JSONLinesTracker, Metrics, VLAMetrics, WeightsBiasesTracker
 from .train_state import OptimizerConfig, TrainState, make_optimizer, make_schedule
 from .train_step import make_sharded_train_step, make_train_step, vla_loss_fn
 
 __all__ = [
+    "AsyncCheckpointWriter",
     "JSONLinesTracker",
     "LoRAConfig",
     "Metrics",

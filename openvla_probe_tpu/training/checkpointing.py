@@ -47,6 +47,24 @@ def parse_checkpoint_name(name: str) -> Optional[Tuple[int, int, float]]:
     return int(m.group(1)), int(m.group(2)), float(m.group(3))
 
 
+def _prune_checkpoints(ckpt_dir: Path, keep_limit: int, just_written: Path) -> None:
+    # prune on process 0 only (all hosts share the filesystem — concurrent
+    # rmtree of the same dir races), and NEVER the just-written checkpoint
+    # (a reused run_dir can contain higher-step checkpoints from a prior run)
+    if jax.process_index() != 0:
+        return
+    all_ckpts = sorted(
+        [p for p in ckpt_dir.iterdir() if parse_checkpoint_name(p.name)],
+        key=lambda p: parse_checkpoint_name(p.name)[0],
+    )
+    for old in all_ckpts[:-keep_limit]:
+        if old.absolute() == just_written:
+            continue
+        import shutil
+
+        shutil.rmtree(old, ignore_errors=True)
+
+
 def save_checkpoint(
     run_dir: Union[str, Path],
     state: Any,
@@ -62,21 +80,67 @@ def save_checkpoint(
     path = (ckpt_dir / checkpoint_name(step, epoch, loss)).absolute()
     with ocp.StandardCheckpointer() as ckptr:
         ckptr.save(path, state, force=True)
-    # prune on process 0 only (all hosts share the filesystem — concurrent
-    # rmtree of the same dir races), and NEVER the just-written checkpoint
-    # (a reused run_dir can contain higher-step checkpoints from a prior run)
-    if keep_limit and jax.process_index() == 0:
-        all_ckpts = sorted(
-            [p for p in ckpt_dir.iterdir() if parse_checkpoint_name(p.name)],
-            key=lambda p: parse_checkpoint_name(p.name)[0],
-        )
-        for old in all_ckpts[:-keep_limit]:
-            if old.absolute() == path:
-                continue
-            import shutil
-
-            shutil.rmtree(old, ignore_errors=True)
+    if keep_limit:
+        _prune_checkpoints(ckpt_dir, keep_limit, path)
     return path
+
+
+class AsyncCheckpointWriter:
+    """Non-blocking checkpoint saves for the training loop.
+
+    orbax AsyncCheckpointer semantics: `save` snapshots device arrays to host
+    synchronously (the state is consistent no matter how training mutates it
+    afterwards), then the filesystem write runs in a background thread while
+    the next train steps proceed. At production scale the write is seconds to
+    minutes of wall clock that the reference's flow spends fully stalled —
+    FSDP full-state-dict gather + rank-0 torch.save blocks every rank for the
+    whole serialize+write (prismatic/training/strategies/fsdp.py:95-133).
+
+    At most ONE write is in flight: `save` first waits for the previous write
+    (bounding host snapshot memory at one state copy) and prunes only after
+    that write committed, so `keep_limit` never counts a checkpoint that
+    might still fail. Call `wait()` (or `close`, or use as a context manager)
+    after the loop so the final checkpoint is durable before the process
+    exits. Multi-host: orbax runs its own cross-process barrier per save.
+    """
+
+    def __init__(self, keep_limit: Optional[int] = None) -> None:
+        self.keep_limit = keep_limit
+        self._ckptr = ocp.AsyncCheckpointer(ocp.StandardCheckpointHandler())
+        self._pending: Optional[Path] = None
+
+    def save(
+        self,
+        run_dir: Union[str, Path],
+        state: Any,
+        step: int,
+        epoch: int = 0,
+        loss: float = 0.0,
+    ) -> Path:
+        self.wait()
+        ckpt_dir = Path(run_dir) / "checkpoints"
+        ckpt_dir.mkdir(parents=True, exist_ok=True)
+        path = (ckpt_dir / checkpoint_name(step, epoch, loss)).absolute()
+        self._ckptr.save(path, args=ocp.args.StandardSave(state), force=True)
+        self._pending = path
+        return path
+
+    def wait(self) -> None:
+        """Block until the in-flight write (if any) is durable, then prune."""
+        self._ckptr.wait_until_finished()
+        if self._pending is not None and self.keep_limit:
+            _prune_checkpoints(self._pending.parent, self.keep_limit, self._pending)
+        self._pending = None
+
+    def close(self) -> None:
+        self.wait()
+        self._ckptr.close()
+
+    def __enter__(self) -> "AsyncCheckpointWriter":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.close()
 
 
 def latest_checkpoint(run_dir: Union[str, Path]) -> Optional[Path]:

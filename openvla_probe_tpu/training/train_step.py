@@ -122,10 +122,13 @@ def vla_loss_fn(
     loss = cross_entropy_loss(logits, labels)
     metrics = {"loss": loss, **action_metrics(logits, labels, codec)}
     if "moe_aux" in out:
-        # MoE load-balance aux (models/moe.py): gradients flow through the
-        # router; metrics["loss"] stays the CE (comparable across configs)
-        loss = loss + getattr(cfg.llm, "moe_aux_coef", 0.0) * out["moe_aux"]
+        # MoE router losses (models/moe.py): load-balance + ST-MoE z-loss;
+        # gradients flow through the router; metrics["loss"] stays the CE
+        # (comparable across configs)
+        loss = (loss + getattr(cfg.llm, "moe_aux_coef", 0.0) * out["moe_aux"]
+                + getattr(cfg.llm, "moe_z_coef", 0.0) * out["moe_z"])
         metrics["moe_aux"] = out["moe_aux"]
+        metrics["moe_z"] = out["moe_z"]
     if with_per_example:
         metrics["per_example"] = per_example_metrics(logits, labels, codec)
     return loss, metrics

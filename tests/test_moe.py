@@ -62,7 +62,10 @@ def test_moe_ffn_matches_dense_loop(rng):
     y, aux = moe.moe_ffn(lp, h, top_k=2, capacity=10)  # capacity == S: dropless
     want = _dense_loop_reference(lp, h, top_k=2)
     np.testing.assert_allclose(np.asarray(y), want, atol=2e-5, rtol=1e-4)
-    assert np.isfinite(float(aux)) and float(aux) >= 1.0 - 1e-6
+    balance, z = np.asarray(aux)
+    assert np.isfinite(balance) and balance >= 1.0 - 1e-6
+    # router z-loss: mean (logsumexp of fp32 router logits)^2, positive
+    assert np.isfinite(z) and z > 0
 
 
 def test_moe_capacity_drops_excess_tokens(rng):
@@ -233,8 +236,10 @@ def test_moe_pad_tokens_claim_no_capacity(rng):
     assert all(np.abs(ym[1, t]).max() > 0 for t in range(6))
     # pads emit exactly zero (residual carries them)
     np.testing.assert_array_equal(ym[0, 1:], 0.0)
-    # uniform router, valid-only stats: perfectly balanced aux == 1
-    assert float(aux) == pytest.approx(1.0, rel=1e-5)
+    # uniform router, valid-only stats: perfectly balanced aux == 1, and
+    # zero logits make the z-loss exactly log(E)^2
+    assert float(aux[0]) == pytest.approx(1.0, rel=1e-5)
+    assert float(aux[1]) == pytest.approx(float(np.log(4.0) ** 2), rel=1e-5)
 
 
 def test_moe_sorted_matches_einsum_dropless(rng):
@@ -245,18 +250,42 @@ def test_moe_sorted_matches_einsum_dropless(rng):
     y_e, aux_e = moe.moe_ffn(lp, h, top_k=2, capacity=10)
     y_s, aux_s = moe.moe_ffn_sorted(lp, h, top_k=2)
     np.testing.assert_allclose(np.asarray(y_s), np.asarray(y_e), atol=2e-6, rtol=1e-5)
-    assert float(aux_s) == pytest.approx(float(aux_e), rel=1e-6)
+    np.testing.assert_allclose(np.asarray(aux_s), np.asarray(aux_e), rtol=1e-6)
 
     valid = jnp.asarray([[1, 1, 1, 0, 0], [1, 1, 1, 1, 1]], jnp.int32)
     y_em, aux_em = moe.moe_ffn(lp, h, top_k=2, capacity=10, token_valid=valid)
     y_sm, aux_sm = moe.moe_ffn_sorted(lp, h, top_k=2, token_valid=valid)
     np.testing.assert_allclose(np.asarray(y_sm), np.asarray(y_em), atol=2e-6, rtol=1e-5)
-    assert float(aux_sm) == pytest.approx(float(aux_em), rel=1e-6)
+    np.testing.assert_allclose(np.asarray(aux_sm), np.asarray(aux_em), rtol=1e-6)
     np.testing.assert_array_equal(np.asarray(y_sm)[0, 3:], 0.0)  # pads emit 0
 
     # also under jit (argsort/bincount/scatter are all traceable)
     y_j, _ = jax.jit(lambda p, x: moe.moe_ffn_sorted(p, x, top_k=2))(lp, h)
     np.testing.assert_allclose(np.asarray(y_j), np.asarray(y_s), atol=1e-6)
+
+
+def test_moe_sorted_gradients_match_einsum(rng):
+    """Gradients flow through lax.ragged_dot_general (the sorted dispatch)
+    and match the einsum path at dropless capacity — required for 'auto'
+    dispatch to be safe in TRAINING, not just serving."""
+    lp = _moe_layer_params(rng)
+    h = jnp.asarray(rng.normal(size=(2, 5, 16)).astype(np.float32))
+
+    def loss_einsum(lp):
+        y, aux = moe.moe_ffn(lp, h, top_k=2, capacity=10)
+        return (y ** 2).sum() + aux[0] + aux[1]
+
+    def loss_sorted(lp):
+        y, aux = moe.moe_ffn_sorted(lp, h, top_k=2)
+        return (y ** 2).sum() + aux[0] + aux[1]
+
+    g_e = jax.grad(loss_einsum)(lp)
+    g_s = jax.grad(loss_sorted)(lp)
+    for k in lp:
+        assert float(jnp.abs(g_s[k]).max()) > 0, k
+        np.testing.assert_allclose(
+            np.asarray(g_s[k]), np.asarray(g_e[k]), atol=2e-4, rtol=1e-3,
+            err_msg=k)
 
 
 def test_moe_sorted_quantized_and_lora(rng):
@@ -523,6 +552,9 @@ def test_moe_ep_sharded_train_step_matches_unsharded():
         base_state, {k: jnp.asarray(v) for k, v in batch.items()})
     base_loss = float(base_metrics["loss"])
     assert "moe_aux" in base_metrics
+    # ST-MoE router z-loss rides the metrics; zero-ish router init keeps it
+    # near log(E)^2 at step 0
+    assert float(base_metrics["moe_z"]) > 0
 
     params = vlm.init_params(cfg, jax.random.key(0))  # baseline donated its state
     mesh = make_mesh({"dp": 2, "ep": 2, "tp": 2}, jax.devices()[:8])
@@ -541,3 +573,5 @@ def test_moe_ep_sharded_train_step_matches_unsharded():
     assert float(metrics["loss"]) == pytest.approx(base_loss, rel=2e-4)
     assert float(metrics["moe_aux"]) == pytest.approx(
         float(base_metrics["moe_aux"]), rel=2e-4)
+    assert float(metrics["moe_z"]) == pytest.approx(
+        float(base_metrics["moe_z"]), rel=2e-4)

@@ -133,3 +133,31 @@ def test_checkpoint_keep_limit_never_deletes_just_written(tmp_path):
     assert meta is not None and meta[0] == 100
     # latest_checkpoint still resolves (old one survived as the max-step)
     assert ckpt.latest_checkpoint(tmp_path) is not None
+
+
+def test_async_checkpoint_writer(tmp_path):
+    """AsyncCheckpointWriter: background writes restore identically, the
+    snapshot is immune to post-save mutation of the live state, keep_limit
+    prunes only after the NEXT save confirms the previous write committed,
+    and close() makes the final checkpoint durable."""
+    from openvla_probe_tpu.training import checkpointing as ckpt
+
+    state = {"w": jnp.arange(8, dtype=jnp.float32), "b": jnp.ones((2, 3))}
+    with ckpt.AsyncCheckpointWriter(keep_limit=2) as writer:
+        paths = []
+        for step in (1, 2, 3):
+            # mutate the pytree between saves the way a train loop would;
+            # each snapshot must capture its own step's values
+            live = jax.tree.map(lambda a: a + step, state)
+            paths.append(writer.save(tmp_path, live, step=step, loss=0.1 * step))
+        writer.wait()
+        # keep_limit=2: step 1 pruned, steps 2+3 present
+        assert not paths[0].exists()
+        assert paths[1].exists() and paths[2].exists()
+        got = ckpt.load_checkpoint(paths[2], state)
+        np.testing.assert_array_equal(
+            np.asarray(got["w"]), np.arange(8, dtype=np.float32) + 3)
+        assert ckpt.latest_checkpoint(tmp_path) == paths[2]
+    # close() idempotence across context exit
+    got2 = ckpt.load_checkpoint(paths[1], state)
+    np.testing.assert_array_equal(np.asarray(got2["b"]), np.ones((2, 3)) + 2)
