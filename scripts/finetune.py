@@ -165,6 +165,9 @@ def main(cfg: FinetuneConfig) -> None:
                            "re-reads the stream from the start")
     it = iter(stream)
     buf = []
+    from openvla_probe_tpu.training.preemption import PreemptionGuard
+
+    guard = PreemptionGuard().install()
     for step in range(start_step, cfg.max_steps + 1):
         while len(buf) < cfg.batch_size:
             buf.append(next(it))
@@ -180,7 +183,11 @@ def main(cfg: FinetuneConfig) -> None:
                        action_accuracy=m["action_accuracy"], l1_loss=m["l1_loss"])
         if step % 10 == 0:
             overwatch.info(metrics.push())
-        if step % cfg.save_steps == 0 or step == cfg.max_steps:
+        # preemption (SIGTERM with a grace window on TPU pods): save the
+        # resumable pair (adapters+moments, data cursor) and exit cleanly —
+        # --resume_adapter continues from this exact step
+        preempted = guard.should_exit(step)
+        if preempted or step % cfg.save_steps == 0 or step == cfg.max_steps:
             tag = "latest" if cfg.save_latest_checkpoint_only else f"step-{step:06d}"
             loss_val = float(jax.device_get(m["loss"]))
             stream.save(step)
@@ -204,6 +211,19 @@ def main(cfg: FinetuneConfig) -> None:
                 ckpt.save_checkpoint(run_dir / tag, {"params": merged}, step=step,
                                      loss=loss_val)
                 overwatch.info(f"Saved merged checkpoint at step {step}")
+                if preempted:
+                    # merged exports are not resumable (no adapters/moments);
+                    # preemption also writes the adapter pair
+                    ckpt.save_checkpoint(run_dir / f"{tag}-adapter",
+                                         {"lora": lora_params, "opt_state": opt_state},
+                                         step=step, loss=loss_val)
+        if preempted:
+            overwatch.info(
+                f"Preemption signal: checkpointed step {step}; resume with "
+                f"--resume_adapter {run_dir / (tag + '-adapter')}"
+            )
+            break
+    guard.restore()
     metrics.finalize()
 
 

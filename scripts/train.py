@@ -45,6 +45,8 @@ class TrainConfig:
     seed: int = 42
     image_aug: bool = False
     save_interval: int = 2500
+    save_keep_limit: Optional[int] = None   # prune to the newest N checkpoints
+    async_checkpoints: bool = True          # background writes (one in flight)
     checkpoint_path: Optional[str] = None   # HF-layout base VLM / resume dir
     is_resume: bool = False
     resume_step: Optional[int] = None
@@ -114,17 +116,28 @@ def main(cfg: TrainConfig) -> None:
         # train.py materializes backbones from the ModelConfig variant)
         from openvla_probe_tpu.conf.models import ModelConfig
 
-        try:
-            mc = ModelConfig.get_choice_class(v.base_vlm)()
+        if "::" in v.base_vlm:
+            # catalog-triple escape hatch `vis_id::llm_id[::arch]` — bypasses
+            # the ModelConfig registry so debug/smoke runs can use the tiny
+            # catalog backbones (e.g. dinosiglip-tiny-28px::llama-tiny)
+            parts = v.base_vlm.split("::")
             model_cfg, img_cfg, _ = catalog.build_vlm_config(
-                vision_backbone_id=mc.vision_backbone_id,
-                llm_backbone_id=mc.llm_backbone_id,
-                arch_specifier=mc.arch_specifier,
-                image_resize_strategy=mc.image_resize_strategy,
+                vision_backbone_id=parts[0],
+                llm_backbone_id=parts[1],
+                arch_specifier=parts[2] if len(parts) > 2 else "no-align+fused-gelu-mlp",
             )
-        except KeyError:
-            overwatch.warning(f"base_vlm `{v.base_vlm}` not in model registry; using defaults")
-            model_cfg, img_cfg, _ = catalog.build_vlm_config()
+        else:
+            try:
+                mc = ModelConfig.get_choice_class(v.base_vlm)()
+                model_cfg, img_cfg, _ = catalog.build_vlm_config(
+                    vision_backbone_id=mc.vision_backbone_id,
+                    llm_backbone_id=mc.llm_backbone_id,
+                    arch_specifier=mc.arch_specifier,
+                    image_resize_strategy=mc.image_resize_strategy,
+                )
+            except KeyError:
+                overwatch.warning(f"base_vlm `{v.base_vlm}` not in model registry; using defaults")
+                model_cfg, img_cfg, _ = catalog.build_vlm_config()
         params = vlm.init_params(model_cfg, jax.random.key(cfg.seed))
 
         class _Tok:  # random-init smoke runs only
@@ -270,6 +283,13 @@ def main(cfg: TrainConfig) -> None:
     buf = []
     schedule = make_schedule(opt_cfg)
     max_steps = v.max_steps or (v.epochs * max(1, len(dataset) // global_bs))
+    # async: snapshot-to-host is synchronous, the write overlaps the next
+    # train steps (AsyncCheckpointWriter docstring); sync fallback for debug
+    writer = ckpt.AsyncCheckpointWriter(cfg.save_keep_limit) \
+        if cfg.async_checkpoints else None
+    from openvla_probe_tpu.training.preemption import PreemptionGuard
+
+    guard = PreemptionGuard().install()
     overwatch.info(f"Training `{run_id}` for {max_steps} steps on mesh {dict(mesh.shape)}")
     while int(jax.device_get(state.step)) < max_steps:
         while len(buf) < local_bs:
@@ -294,11 +314,29 @@ def main(cfg: TrainConfig) -> None:
             metrics.commit_per_dataset_from_batch(dataset_names, local_rows(per_ex))
         if step % 10 == 0:
             overwatch.info(metrics.push())
-        if step % cfg.save_interval == 0 or step >= max_steps:
-            ckpt.save_checkpoint(run_dir, state, step=step, epoch=metrics.epoch,
-                                 loss=float(jax.device_get(m["loss"])))
+        # preemption check BEFORE the periodic-save gate so the final save
+        # happens exactly once (SIGTERM on TPU pods: ~30 s grace — see
+        # training/preemption.py); all hosts agree on the exit step
+        preempted = guard.should_exit(step)
+        if preempted or step % cfg.save_interval == 0 or step >= max_steps:
+            loss_now = float(jax.device_get(m["loss"]))
+            if writer is not None:
+                writer.save(run_dir, state, step=step, epoch=metrics.epoch,
+                            loss=loss_now)
+            else:
+                ckpt.save_checkpoint(run_dir, state, step=step, epoch=metrics.epoch,
+                                     loss=loss_now, keep_limit=cfg.save_keep_limit)
             if data_it is not None:
                 data_it.save(step)
+        if preempted:
+            overwatch.info(
+                f"Preemption signal: checkpointed step {step}; resume with "
+                f"--is_resume True --resume_step {step}"
+            )
+            break
+    if writer is not None:
+        writer.close()   # final checkpoint durable before exit
+    guard.restore()
     metrics.finalize()
     overwatch.info("Training complete")
 
