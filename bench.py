@@ -246,6 +246,45 @@ def main() -> None:
     }))
 
 
+def _await_backend() -> bool:
+    """Bounded wait for a live default backend (the axon TPU tunnel has had
+    multi-hour outages where even a trivial jit hangs — see the verify
+    skill's outage signature). Probes a trivial matmul in a SUBPROCESS under
+    a per-probe timeout, retrying until BENCH_BACKEND_WAIT seconds (default
+    30 min; 0 disables the probe). Returns False when the backend never
+    answered, so main can emit an honest error artifact instead of hanging
+    the driver forever."""
+    import subprocess
+
+    budget = float(os.environ.get("BENCH_BACKEND_WAIT", "1800"))
+    if budget <= 0:
+        return True
+    probe = ("import jax, numpy as np; "
+             "x = jax.numpy.ones((8, 8)); print(float(np.asarray(x @ x).sum()))")
+    deadline = time.time() + budget
+    while True:
+        per_probe = min(300.0, max(60.0, deadline - time.time()))
+        try:
+            r = subprocess.run([sys.executable, "-c", probe],
+                               timeout=per_probe, capture_output=True)
+            if r.returncode == 0:
+                return True
+        except subprocess.TimeoutExpired:
+            pass
+        if time.time() + 120 >= deadline:
+            return False
+        print(f"# backend not answering; retrying ({int(deadline - time.time())}s left)",
+              file=sys.stderr)
+        time.sleep(120)
+
+
 if __name__ == "__main__":
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    if not _await_backend():
+        print(json.dumps({
+            "metric": "predict_action calls/sec/chip (7-DoF @ 224px)",
+            "value": 0.0, "unit": "calls/s", "vs_baseline": 0.0,
+            "error": "default backend unavailable (axon outage) — no measurement",
+        }))
+        sys.exit(1)
     main()
