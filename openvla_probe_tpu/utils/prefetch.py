@@ -110,17 +110,23 @@ class DevicePrefetcher:
         raise StopIteration
 
     def close(self) -> None:
-        """Stop the producer; idempotent. Pending queue items are dropped."""
+        """Stop the producer and join it; idempotent. Pending items are
+        dropped. The join matters: a daemon thread still inside device_put
+        when the interpreter finalizes aborts the process (native code on a
+        dying thread), so close() waits for the in-flight batch. The timeout
+        only triggers if the SOURCE blocks indefinitely (e.g. a stalled
+        remote stream) — then the daemon flag is the backstop."""
         self._stop.set()
         # unblock a producer stuck in put() by draining one slot
         try:
             self._q.get_nowait()
         except queue.Empty:
             pass
+        if threading.current_thread() is not self._thread:
+            self._thread.join(timeout=10.0)
 
     def __enter__(self) -> "DevicePrefetcher":
         return self
 
     def __exit__(self, *exc) -> None:
         self.close()
-        self._thread.join(timeout=5.0)

@@ -47,6 +47,7 @@ class TrainConfig:
     save_interval: int = 2500
     save_keep_limit: Optional[int] = None   # prune to the newest N checkpoints
     async_checkpoints: bool = True          # background writes (one in flight)
+    prefetch_depth: int = 2                 # device-prefetched batches (0 = serial)
     checkpoint_path: Optional[str] = None   # HF-layout base VLM / resume dir
     is_resume: bool = False
     resume_step: Optional[int] = None
@@ -290,14 +291,33 @@ def main(cfg: TrainConfig) -> None:
     from openvla_probe_tpu.training.preemption import PreemptionGuard
 
     guard = PreemptionGuard().install()
+    prefetcher = None
+    if cfg.prefetch_depth > 0:
+        # host tail (drain + collate + device_put) on a background thread so
+        # step N+1's batch is device-resident when step N dispatches. Note
+        # for data-order checkpoints: the saved cursor sits <= depth batches
+        # AHEAD of the trained position (resume skips, never repeats, that
+        # window); --prefetch_depth 0 restores the exact-cursor serial loop.
+        from openvla_probe_tpu.utils.prefetch import DevicePrefetcher
+
+        def _prep(host_batch):
+            names = host_batch.pop("dataset_names", None)
+            return to_global(host_batch), names
+
+        prefetcher = DevicePrefetcher(it, local_bs, collator, _prep,
+                                      depth=cfg.prefetch_depth)
     overwatch.info(f"Training `{run_id}` for {max_steps} steps on mesh {dict(mesh.shape)}")
     while int(jax.device_get(state.step)) < max_steps:
-        while len(buf) < local_bs:
-            buf.append(next(it))
-        batch = collator(buf[:local_bs])
-        buf = buf[local_bs:]
-        dataset_names = batch.pop("dataset_names", None)
-        state, m = step_fn(state, to_global(batch))
+        if prefetcher is not None:
+            gbatch, dataset_names = next(prefetcher)
+        else:
+            while len(buf) < local_bs:
+                buf.append(next(it))
+            batch = collator(buf[:local_bs])
+            buf = buf[local_bs:]
+            dataset_names = batch.pop("dataset_names", None)
+            gbatch = to_global(batch)
+        state, m = step_fn(state, gbatch)
         step = int(jax.device_get(state.step))
         # LR actually applied this step: optax's schedule is indexed by the
         # pre-update count (step-1) — NOT the constant peak LR
@@ -334,6 +354,8 @@ def main(cfg: TrainConfig) -> None:
                 f"--is_resume True --resume_step {step}"
             )
             break
+    if prefetcher is not None:
+        prefetcher.close()
     if writer is not None:
         writer.close()   # final checkpoint durable before exit
     guard.restore()
