@@ -29,6 +29,13 @@ class OptimizerConfig:
     max_grad_norm: float = 1.0
     betas: tuple = (0.9, 0.999)
     final_lr_ratio: float = 0.01  # cosine floor, matching a near-zero eta_min
+    # "adamw" (reference parity, fsdp.py:196-246) or "adafactor" — the
+    # TPU-era memory-efficient choice (factored second moment: O(r+c) state
+    # per matrix instead of Adam's 2 fp32 copies; 8 GB vs 54 GB of optimizer
+    # state at 7B). Adafactor here = optax.scale_by_factored_rms with the
+    # SAME outer clip/decay/schedule chain, so decay groups and warmup-cosine
+    # behave identically across optimizers.
+    optimizer_type: str = "adamw"
 
 
 def _is_no_decay(path: tuple, leaf: Any) -> bool:
@@ -57,9 +64,24 @@ def make_optimizer(cfg: OptimizerConfig, params: Any) -> optax.GradientTransform
     decay_mask = jax.tree_util.tree_map_with_path(
         lambda p, x: not _is_no_decay(p, x), params
     )
+    if cfg.optimizer_type == "adamw":
+        scaler = optax.scale_by_adam(
+            b1=cfg.betas[0], b2=cfg.betas[1], mu_dtype=jnp.float32
+        )
+    elif cfg.optimizer_type == "adafactor":
+        # factored second moment (row+col accumulators for >=2-D leaves),
+        # no first moment: the standard large-scale TPU pretraining recipe
+        # (T5/PaLM). Update clipping (1.0) is Adafactor's own RMS clip;
+        # the global-norm clip above still applies to raw grads.
+        scaler = optax.chain(
+            optax.scale_by_factored_rms(),
+            optax.clip_by_block_rms(1.0),
+        )
+    else:
+        raise ValueError(f"Unknown optimizer_type {cfg.optimizer_type}")
     return optax.chain(
         optax.clip_by_global_norm(cfg.max_grad_norm),
-        optax.scale_by_adam(b1=cfg.betas[0], b2=cfg.betas[1], mu_dtype=jnp.float32),
+        scaler,
         optax.add_decayed_weights(cfg.weight_decay, mask=decay_mask),
         optax.scale_by_learning_rate(schedule),
     )

@@ -42,6 +42,7 @@ class PretrainConfig:
     mesh_tp: int = 1
     wandb: bool = False
     save_interval: int = 2500
+    optimizer: str = "adamw"                # adamw (reference) | adafactor (factored)
 
 
 def main(cfg: PretrainConfig) -> None:
@@ -121,6 +122,7 @@ def main(cfg: PretrainConfig) -> None:
         max_grad_norm=getattr(m, f"{stage_prefix}_max_grad_norm"),
         max_steps=getattr(m, f"{stage_prefix}_max_steps")
         or getattr(m, f"{stage_prefix}_epochs") * max(1, len(dataset) // getattr(m, f"{stage_prefix}_global_batch_size")),
+        optimizer_type=cfg.optimizer,
     )
     global_bs = getattr(m, f"{stage_prefix}_global_batch_size")
 
@@ -172,6 +174,13 @@ def main(cfg: PretrainConfig) -> None:
     schedule = make_schedule(opt_cfg)
     epochs = getattr(m, f"{stage_prefix}_epochs")
     step = 0
+    # preemption (SIGTERM grace window on TPU pods): the per-epoch save
+    # below doubles as the final mid-epoch checkpoint — see
+    # training/preemption.py for the multi-host agreement semantics
+    from openvla_probe_tpu.training.preemption import PreemptionGuard
+
+    guard = PreemptionGuard().install()
+    preempted = False
     for epoch in range(epochs):
         sampler.set_epoch(epoch)
         idxs = list(sampler)
@@ -190,12 +199,17 @@ def main(cfg: PretrainConfig) -> None:
                            lr=float(schedule(step - 1)), update_step_time=True)
             if step % 10 == 0:
                 overwatch.info(metrics.push())
-            if step >= opt_cfg.max_steps:
+            preempted = guard.should_exit(step)
+            if step >= opt_cfg.max_steps or preempted:
                 break
         ckpt.save_checkpoint(run_dir, state, step=step, epoch=epoch,
                              loss=float(jax.device_get(mtr["loss"])))
+        if preempted:
+            overwatch.info(f"Preemption signal: checkpointed step {step}")
+            break
         if step >= opt_cfg.max_steps:
             break
+    guard.restore()
     metrics.finalize()
     overwatch.info("Pretraining complete")
 

@@ -48,6 +48,7 @@ class TrainConfig:
     save_keep_limit: Optional[int] = None   # prune to the newest N checkpoints
     async_checkpoints: bool = True          # background writes (one in flight)
     prefetch_depth: int = 2                 # device-prefetched batches (0 = serial)
+    optimizer: str = "adamw"                # adamw (reference) | adafactor (factored)
     checkpoint_path: Optional[str] = None   # HF-layout base VLM / resume dir
     is_resume: bool = False
     resume_step: Optional[int] = None
@@ -219,6 +220,7 @@ def main(cfg: TrainConfig) -> None:
         max_steps=v.max_steps or 200_000,
         weight_decay=v.weight_decay,
         max_grad_norm=v.max_grad_norm,
+        optimizer_type=cfg.optimizer,
     )
     optimizer = make_optimizer(opt_cfg, params)
     state = TrainState.create(params, optimizer)
