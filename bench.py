@@ -13,9 +13,10 @@ against that target.
 
 Env knobs: BENCH_SCALE=tiny|full|13b (tiny = smoke run; 13b = Llama-2-13B
 trunk, fits one 16 GB chip in int8); BENCH_CALLS=N (default 30);
-BENCH_BATCH=N (default 24) batched serving; BENCH_QUANT=int8|bf16 (default
-int8) — int8 is the turbo serving mode (weight-only quantized Llama trunk via
-the Pallas kernel); bf16 is the bit-parity mode; BENCH_SPECULATIVE=1 verified
+BENCH_BATCH=N (default 24) batched serving; BENCH_QUANT=int8|int4|bf16
+(default int8) — int8/int4 are turbo serving modes (weight-only quantized
+trunk; int4 = grouped scales, half the int8 weight stream); bf16 is the
+bit-parity mode; BENCH_SPECULATIVE=1 verified
 draft-from-previous-step serving; BENCH_CAPTURE=1 emit all per-layer probe
 taps; BENCH_ACTION_DIM=1 isolates prefill.
 """
@@ -52,18 +53,18 @@ def main() -> None:
         # BENCH_SCALE=13b: Llama-2-13B trunk (13 GB int8 on one 16 GB chip)
         cfg = (vlm.VLMConfig.openvla_13b() if scale == "13b"
                else vlm.VLMConfig.openvla_7b())
-        if quant == "int8":
+        if quant in ("int8", "int4"):
             cfg = cfg.turbo()  # THE turbo numerics (single definition in vlm)
         serving = vla.VLAServingConfig(vlm=cfg, prompt_pad_len=prompt_pad,
                                        action_dim=action_dim,
-                                       tier="turbo" if quant == "int8" else "parity")
+                                       tier="parity" if quant == "bf16" else "turbo")
         img_hw = (256, 256)
     # the A/B env knobs (OVLA_LEGACY_DECODE/SPLIT_PREFILL/KV_INT8/
     # DECODE_UNROLL) are config fields now; apply them once, here
     serving = serving.with_env_overrides()
 
     # init weights directly on device (bf16) — value-independent benchmark
-    if quant == "int8":
+    if quant in ("int8", "int4"):
         from openvla_probe_tpu.ops.linear import (
             _DEFAULT_QUANT_SUFFIXES,
             TURBO_QUANT_SUFFIXES,
@@ -82,7 +83,8 @@ def main() -> None:
 
         shapes = jax.eval_shape(
             lambda key: quantize_params({**vlm.init_params(cfg, key)},
-                                        suffixes=suffixes),
+                                        suffixes=suffixes,
+                                        bits=4 if quant == "int4" else 8),
             jax.random.key(0))
         init = jax.jit(lambda key: random_params_like(shapes, key))
     else:

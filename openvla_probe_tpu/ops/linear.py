@@ -49,8 +49,37 @@ def quantize_weight(w: jnp.ndarray) -> QuantWeight:
     return {"q": q, "s": s}
 
 
+def quantize_weight_int4(w: jnp.ndarray, group_size: int = 128) -> QuantWeight:
+    """Symmetric per-(output-channel, input-group) int4 quantization.
+
+    [..., O, I] -> {"q": int4 [..., O, I], "s": f32 [..., O, I/group_size]}.
+    Same pytree shape convention as int8 — the grouped case is recognized by
+    `s.ndim == q.ndim` (per-channel int8 has one fewer dim). int4 halves the
+    decode weight stream vs int8 (XLA stores s4 bit-packed in HBM); the
+    per-group scales claw back most of the 3-bit mantissa loss (GPTQ/AWQ
+    territory needs calibration data — this is the data-free absmax variant).
+    """
+    wf = jnp.asarray(w, jnp.float32)
+    *lead, O, I = wf.shape
+    group_size = min(group_size, I)   # tiny/debug dims: one group per row
+    if I % group_size:
+        raise ValueError(f"in-dim {I} not divisible by group_size {group_size}")
+    gw = wf.reshape(*lead, O, I // group_size, group_size)
+    s = jnp.max(jnp.abs(gw), axis=-1) / 7.0
+    s = jnp.maximum(s, 1e-8)
+    q = jnp.clip(jnp.round(gw / s[..., None]), -7, 7).astype(jnp.int4)
+    return {"q": q.reshape(*lead, O, I), "s": s}
+
+
 def dequantize_weight(qw: QuantWeight, dtype=jnp.bfloat16) -> jnp.ndarray:
-    return (qw["q"].astype(jnp.float32) * qw["s"][..., None]).astype(dtype)
+    q, s = qw["q"], qw["s"]
+    if s.ndim == q.ndim:
+        # grouped scales (int4): s [..., O, G] over q [..., O, I]
+        *lead, O, I = q.shape
+        G = s.shape[-1]
+        wf = q.astype(jnp.float32).reshape(*lead, O, G, I // G) * s[..., None]
+        return wf.reshape(*lead, O, I).astype(dtype)
+    return (q.astype(jnp.float32) * s[..., None]).astype(dtype)
 
 
 # --- Pallas weight-only int8 matmul -----------------------------------------
@@ -212,9 +241,10 @@ def matmul_t(x: jnp.ndarray, w: AnyWeight) -> jnp.ndarray:
     lead = x.shape[:-1]
     K = x.shape[-1]
     x2 = x.reshape(-1, K)
-    if _use_pallas():
+    int8 = w["q"].dtype == jnp.int8   # the Pallas/w8a8 kernels are int8-only;
+    if _use_pallas() and int8:        # int4 rides XLA's s4 load + fused dequant
         out = _wi8_matmul_2d(x2, w["q"], w["s"])
-    elif _use_w8a8():
+    elif _use_w8a8() and int8:
         out = _w8a8_matmul(x2, w)
     else:
         wd = dequantize_weight(w, x.dtype)
@@ -243,6 +273,9 @@ def random_params_like(shapes: Any, key: jax.Array, weight_scale: float = 0.02) 
         name = path[-1].key if hasattr(path[-1], "key") else ""
         if s.dtype == jnp.int8:
             leaves.append(jax.random.randint(k, s.shape, -127, 128, dtype=jnp.int8))
+        elif s.dtype == jnp.int4:
+            leaves.append(jax.random.randint(k, s.shape, -7, 8,
+                                             dtype=jnp.int8).astype(jnp.int4))
         elif name == "s":
             leaves.append((s_lo * (1.0 + jax.random.uniform(k, s.shape, jnp.float32))
                            ).astype(s.dtype))
@@ -272,15 +305,23 @@ TURBO_QUANT_SUFFIXES = _DEFAULT_QUANT_SUFFIXES + VIT_QUANT_SUFFIXES
 def quantize_params(
     params: Any,
     suffixes: tuple = _DEFAULT_QUANT_SUFFIXES,
+    bits: int = 8,
+    group_size: int = 128,
 ) -> Any:
     """Quantize matching weight leaves of a param pytree (path-suffix match).
 
     Default: the Llama trunk + lm_head (the decode bandwidth); embeddings,
-    norms, ViT and projector stay bf16.
+    norms, ViT and projector stay bf16. bits=4 selects grouped int4
+    (quantize_weight_int4) — half the weight stream of int8 again.
     """
+    if bits not in (4, 8):
+        raise ValueError(f"bits must be 4 or 8, got {bits}")
+
     def walk(path, leaf):
         name = path[-1].key if path and hasattr(path[-1], "key") else ""
         if name in suffixes and np.ndim(leaf) >= 2:
+            if bits == 4:
+                return quantize_weight_int4(leaf, group_size=group_size)
             return quantize_weight(leaf)
         return leaf
 

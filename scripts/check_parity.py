@@ -52,6 +52,7 @@ class ParityConfig:
     instruction: str = "put spoon on towel"
     unnorm_key: Optional[str] = None
     quant_vit: bool = False              # also quantize the ViT towers (BENCH_QUANT_VIT)
+    bits: int = 8                        # turbo weight bits: 8 | 4 (grouped int4)
     report: Optional[str] = None         # markdown artifact path
 
 
@@ -98,7 +99,7 @@ def make_image_corpus(n: int, hw=(224, 224), image_dir: Optional[str] = None):
     return images
 
 
-def _full_model(quant: bool, quant_vit: bool):
+def _full_model(quant: bool, quant_vit: bool, bits: int = 8):
     import numpy as np
 
     import jax
@@ -125,7 +126,7 @@ def _full_model(quant: bool, quant_vit: bool):
         # single turbo suffix definition (ops.linear), shared with bench.py
         suffixes = TURBO_QUANT_SUFFIXES if quant_vit else _DEFAULT_QUANT_SUFFIXES
         init = jax.jit(lambda key: quantize_params(
-            vlm.init_params(cfg, key), suffixes=suffixes))
+            vlm.init_params(cfg, key), suffixes=suffixes, bits=bits))
     else:
         init = jax.jit(lambda key: vlm.init_params(cfg, key))
     params = init(jax.random.key(0))   # SAME seed both modes
@@ -147,7 +148,7 @@ def _full_model(quant: bool, quant_vit: bool):
                        ImageTransformConfig.dinosiglip_224())
 
 
-def _tiny_model(quant: bool):
+def _tiny_model(quant: bool, bits: int = 8):
     import numpy as np
 
     import jax
@@ -160,7 +161,7 @@ def _tiny_model(quant: bool):
     if quant:
         from openvla_probe_tpu.ops.linear import quantize_params
 
-        params = {**params, "llm": quantize_params(params["llm"])}
+        params = {**params, "llm": quantize_params(params["llm"], bits=bits)}
     serving = vla.VLAServingConfig(vlm=cfg, prompt_pad_len=16,
                                    codec_vocab_size=cfg.llm.vocab_size)
     img_cfg = ImageTransformConfig(specs=(
@@ -207,8 +208,8 @@ def main(cfg: ParityConfig) -> None:
 
             return load_vla(cfg.checkpoint, quantize_int8=quant), cfg.unnorm_key
         if cfg.scale == "full":
-            return _full_model(quant, cfg.quant_vit), "bridge_orig"
-        return _tiny_model(quant), "bridge_orig"
+            return _full_model(quant, cfg.quant_vit, cfg.bits), "bridge_orig"
+        return _tiny_model(quant, cfg.bits), "bridge_orig"
 
     # run the two modes SEQUENTIALLY — 7B bf16 + int8 don't fit HBM together
     overwatch.info("mode 1/2: bf16 (bit-parity)")
@@ -219,7 +220,7 @@ def main(cfg: ParityConfig) -> None:
     del model
     gc.collect()
 
-    overwatch.info("mode 2/2: int8 (turbo)")
+    overwatch.info(f"mode 2/2: int{cfg.bits} (turbo)")
     model, unnorm = build(True)
     t0 = time.time()
     turbo_toks, _, turbo_fl = _run_mode(model, images, prompt, unnorm, cfg.turbo_batch)
@@ -262,6 +263,7 @@ def main(cfg: ParityConfig) -> None:
             "backend": jax.default_backend(),
             "n_images": int(total),
             "quant_vit": cfg.quant_vit,
+            "turbo_bits": cfg.bits,   # int8_* keys read as int4_* when 4
             "per_dim_agreement": [round(float(r), 4) for r in rates],
             "overall_agreement": round(float(rates.mean()), 4),
             "max_bin_drift": int(bin_diff.max()),

@@ -130,3 +130,81 @@ def test_turbo_config_fields():
                                          act=bv.act)
                      for v, bv in zip(t.vision, base.vision)),
     ) == base
+
+
+# --- int4 grouped quantization ----------------------------------------------
+
+def test_int4_quantize_dequantize_error_bounded(rng):
+    w = jnp.asarray(rng.normal(size=(64, 256)).astype(np.float32))
+    qw = linear.quantize_weight_int4(w, group_size=128)
+    assert qw["q"].dtype == jnp.int4 and qw["q"].shape == (64, 256)
+    assert qw["s"].shape == (64, 2)
+    wd = np.asarray(linear.dequantize_weight(qw, jnp.float32))
+    # per-(row, group) error <= scale/2 = group-absmax/14
+    gmax = np.abs(np.asarray(w)).reshape(64, 2, 128).max(axis=-1)
+    bound = np.repeat(gmax / 14 + 1e-6, 128, axis=1)
+    assert np.all(np.abs(wd - np.asarray(w)) <= bound)
+
+
+def test_int4_beats_per_channel_int4_everywhere(rng):
+    """The grouped scales are the accuracy story: per-128-group int4 must
+    reconstruct no worse than one scale across the whole 1024-wide row."""
+    w = jnp.asarray((rng.normal(size=(16, 1024)) *
+                     rng.lognormal(0, 1, size=(16, 1024))).astype(np.float32))
+    grouped = np.asarray(linear.dequantize_weight(
+        linear.quantize_weight_int4(w, group_size=128), jnp.float32))
+    whole_row = np.asarray(linear.dequantize_weight(
+        linear.quantize_weight_int4(w, group_size=1024), jnp.float32))
+    err_g = np.abs(grouped - np.asarray(w)).mean()
+    err_r = np.abs(whole_row - np.asarray(w)).mean()
+    assert err_g < err_r, (err_g, err_r)
+
+
+def test_int4_matmul_t_matches_dequantized(rng):
+    """matmul_t on int4 == matmul against the explicitly dequantized weight
+    (the XLA path IS dequant+matmul; this pins the dispatch)."""
+    x = jnp.asarray(rng.normal(size=(4, 256)), jnp.bfloat16)
+    w = jnp.asarray(rng.normal(size=(32, 256)).astype(np.float32))
+    qw = linear.quantize_weight_int4(w)
+    got = np.asarray(linear.matmul_t(x, qw).astype(jnp.float32))
+    want = np.asarray((x @ linear.dequantize_weight(qw, jnp.bfloat16).T
+                       ).astype(jnp.float32))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_int4_quantize_params_and_stacked_forward(rng):
+    """bits=4 pytree quantization slots into the scanned decoder forward."""
+    cfg = llama.LlamaConfig.tiny()
+    params = llama.init_params(cfg, jax.random.key(0))
+    qp = linear.quantize_params(params, bits=4, group_size=32)
+    L = cfg.num_hidden_layers
+    assert qp["layers"]["q_proj"]["q"].dtype == jnp.int4
+    assert qp["layers"]["q_proj"]["s"].shape == (
+        L, cfg.hidden_size, cfg.hidden_size // 32)
+    ids = jnp.asarray(rng.integers(0, cfg.vocab_size, (1, 12)))
+    mask = jnp.ones((1, 12), jnp.int32)
+    pos = jnp.arange(12)[None]
+    e = llama.embed_tokens(params, ids)
+    want = np.asarray(llama.forward(params, cfg, e, mask, pos)["logits"])
+    got = np.asarray(llama.forward(qp, cfg, e, mask, pos)["logits"])
+    # 4-bit rounding is ~7x coarser than int8's (absmax/14 vs /254 per
+    # element); random tiny-model logits land ~0.15-0.2 max-rel — the real
+    # fidelity gate for served checkpoints is the trained-weight margin
+    # certificate (scripts/check_parity.py), not this smoke bound
+    rel = np.abs(got - want).max() / (np.abs(want).max() + 1e-9)
+    assert rel < 0.3, rel
+
+
+def test_int4_random_params_like_direct_init():
+    """bench.py's direct init path over an int4 eval_shape tree (13B-scale
+    runs cannot co-materialize the bf16 twin)."""
+    cfg = llama.LlamaConfig.tiny()
+    shapes = jax.eval_shape(
+        lambda k: linear.quantize_params(llama.init_params(cfg, k),
+                                         bits=4, group_size=32),
+        jax.random.key(0))
+    p = linear.random_params_like(shapes, jax.random.key(1))
+    q = p["layers"]["q_proj"]
+    assert q["q"].dtype == jnp.int4
+    assert np.asarray(q["q"].astype(jnp.int8)).min() >= -7
+    assert np.all(np.asarray(q["s"]) > 0)

@@ -13,6 +13,7 @@ import numpy as np
 import pytest
 
 import jax
+import jax.numpy as jnp
 
 from openvla_probe_tpu.models import vla, vlm
 from openvla_probe_tpu.models.llama import LlamaConfig
@@ -191,3 +192,34 @@ def test_pallas_tier_interpret_e2e(wrapper_parts, monkeypatch):
     assert np.isfinite(a1).all() and a1.shape == (serving.action_dim,)
     np.testing.assert_array_equal(a1, a2)
     assert np.abs(a1).max() <= 1.0 + 1e-6  # inside the unnorm [q01, q99] box
+
+
+def test_int4_turbo_tier_e2e(wrapper_parts):
+    """int4 grouped-quantized trunk through the FULL turbo serving path, and
+    the dispatch pin: int4 serving tokens EQUAL serving on the explicitly
+    dequantized bf16 twin of the same int4 codes (matmul_t's int4 path is
+    dequant-to-bf16 + matmul by construction)."""
+    from openvla_probe_tpu.ops.linear import (
+        TURBO_QUANT_SUFFIXES, dequantize_weight, is_quantized, quantize_params,
+    )
+
+    serving, params, img_cfg, stats, img = wrapper_parts
+    turbo = vla.VLAServingConfig.for_tier(
+        serving.vlm, "turbo", action_dim=serving.action_dim,
+        prompt_pad_len=serving.prompt_pad_len,
+        codec_vocab_size=serving.codec_vocab_size,
+    )
+    q4 = quantize_params(params, TURBO_QUANT_SUFFIXES, bits=4, group_size=32)
+    m4 = vla.OpenVLA(q4, turbo, _Tok(), stats, img_cfg)
+    o4 = m4.predict_action(img, "pick up the mug", unnorm_key="x")
+
+    deq = jax.tree.map(
+        lambda w: dequantize_weight(w, jnp.bfloat16) if is_quantized(w) else w,
+        q4, is_leaf=is_quantized)
+    md = vla.OpenVLA(deq, turbo, _Tok(), stats, img_cfg)
+    od = md.predict_action(img, "pick up the mug", unnorm_key="x")
+
+    np.testing.assert_array_equal(np.asarray(o4["action_tokens"]),
+                                  np.asarray(od["action_tokens"]))
+    a4 = np.asarray(o4["actions"], np.float32)
+    assert np.isfinite(a4).all() and a4.shape == (serving.action_dim,)
