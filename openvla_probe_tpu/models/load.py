@@ -172,6 +172,7 @@ def load_vla(
     dtype=jnp.bfloat16,
     prompt_pad_len: int = 48,
     quantize_int8: bool = False,
+    quantize_bits: int = 8,
     cache_dir: Optional[Union[str, Path]] = None,
     hf_token: Optional[str] = None,
     step_to_load: Optional[int] = None,
@@ -184,7 +185,9 @@ def load_vla(
     native run dir, an openvla/openvla-dev run id (`{model_type}/{id}` with
     `step_to_load` checkpoint selection), or an `org/name` HF repo
     (e.g. openvla/openvla-7b). `quantize_int8` switches the Llama trunk to
-    the weight-only int8 turbo mode (bf16 stays the bit-parity mode).
+    the weight-only turbo mode — int8, or grouped int4 with
+    `quantize_bits=4` (half the int8 weight stream; bf16 stays the
+    bit-parity mode).
     """
     path = Path(checkpoint_path)
     if path.is_file():
@@ -221,7 +224,8 @@ def load_vla(
     if quantize_int8:
         from ..ops.linear import quantize_params
 
-        params = {**params, "llm": quantize_params(params["llm"])}
+        params = {**params,
+                  "llm": quantize_params(params["llm"], bits=quantize_bits)}
     serving = vla.VLAServingConfig(
         vlm=bundle["cfg"], prompt_pad_len=prompt_pad_len,
         codec_vocab_size=_codec_vocab_size(path, bundle["cfg"]),

@@ -30,6 +30,7 @@ class DeployConfig:
     host: str = "0.0.0.0"
     port: int = 8000
     quantize_int8: bool = False            # turbo serving mode (non-bit-parity)
+    quantize_bits: int = 8                 # 8 | 4 (grouped int4, half the stream)
     prompt_pad_len: int = 48
     dynamic_batching: bool = False         # micro-batch concurrent requests
     max_batch: int = 24
@@ -44,6 +45,7 @@ def main(cfg: DeployConfig) -> None:
     model = load_vla(
         cfg.openvla_path, prompt_pad_len=cfg.prompt_pad_len,
         quantize_int8=cfg.quantize_int8,
+        quantize_bits=cfg.quantize_bits,
     )
     server = OpenVLAServer(
         model, base_vlm=Path(cfg.openvla_path).name,

@@ -210,3 +210,22 @@ def test_vla_config_shape_resolves_base_vlm(tmp_path):
         catalog.load_prismatic_checkpoint(cfg_path, tmp_path / "ckpt.pt")
     assert "base_vlm" not in str(ei.value), "config stage must succeed"
     assert mc.vision_backbone_id  # the registry id materializes
+
+
+def test_load_vla_quantized_tiers(tiny_run_dir):
+    """quantize_int8 / quantize_bits=4 at load time: trunk leaves carry the
+    {q, s} representation at the requested width, tier flips to turbo."""
+    import jax.numpy as jnp
+
+    from openvla_probe_tpu.ops.linear import is_quantized
+
+    run, _, _ = tiny_run_dir
+    pt = run / "checkpoints" / "latest-checkpoint.pt"
+    m8 = load_mod.load_vla(pt, quantize_int8=True)
+    assert m8.cfg.tier == "turbo"
+    assert m8.params["llm"]["layers"]["q_proj"]["q"].dtype == jnp.int8
+    m4 = load_mod.load_vla(pt, quantize_int8=True, quantize_bits=4)
+    assert m4.cfg.tier == "turbo"
+    q4 = m4.params["llm"]["layers"]["q_proj"]
+    assert is_quantized(q4) and q4["q"].dtype == jnp.int4
+    assert q4["s"].ndim == q4["q"].ndim
