@@ -151,7 +151,7 @@ def generate_greedy_batch(
     cfg: vlm.VLMConfig,
     tokenizer: Any,
     prompts_ids: Sequence[Sequence[int]],
-    pixel_values: Optional[jnp.ndarray] = None,   # [B, H, W, 3] per-row, or None
+    pixel_values: Optional[jnp.ndarray] = None,   # [B, 3K, S, S] preprocessed per-row, or None
     max_new_tokens: int = 128,
 ) -> List[str]:
     """Batched greedy generation: ONE bucketed jit call decodes every prompt.

@@ -211,7 +211,12 @@ def _block(cfg: ViTConfig, bp: Params, x: jnp.ndarray, B: int, N: int) -> jnp.nd
     k = k.reshape(B, N, H, Dh)
     v = v.reshape(B, N, H, Dh)
 
-    if kernels_on and os.environ.get("OVLA_PALLAS_ATTN", "1") == "1":
+    # OVLA_PALLAS_VITATTN gates the TOWER flash kernel independently of the
+    # llama prefill flash kernel (both used to share OVLA_PALLAS_ATTN, which
+    # made per-kernel A/Bs impossible); it defaults to OVLA_PALLAS_ATTN.
+    vit_attn_gate = os.environ.get(
+        "OVLA_PALLAS_VITATTN", os.environ.get("OVLA_PALLAS_ATTN", "1"))
+    if kernels_on and vit_attn_gate == "1":
         # tower flash kernel: the XLA chain materializes the [B, H, N, N]
         # score tile twice + a softmax pass (~0.45 ms/layer at B=24) for
         # ~0.03 ms of FLOPs; the kernel keeps the per-head problem in VMEM

@@ -65,8 +65,8 @@ def _serving_env_snapshot() -> Tuple[Tuple[str, str], ...]:
             # per-kernel Pallas gates are trace-time reads too (llama.py,
             # ops/linear.py): flipping one mid-session must raise, not no-op
             "OVLA_PALLAS_MATMUL", "OVLA_PALLAS_ATTN", "OVLA_PALLAS_DECODE",
-            "OVLA_PALLAS_VITMLP", "OVLA_PALLAS_VITLIN", "OVLA_VITMLP_BM",
-            "OVLA_PALLAS_INTERPRET")
+            "OVLA_PALLAS_VITMLP", "OVLA_PALLAS_VITLIN", "OVLA_PALLAS_VITATTN",
+            "OVLA_VITMLP_BM", "OVLA_PALLAS_INTERPRET")
     return tuple((k, os.environ.get(k, "")) for k in keys)
 
 

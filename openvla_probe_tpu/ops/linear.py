@@ -321,6 +321,12 @@ def quantize_params(
         name = path[-1].key if path and hasattr(path[-1], "key") else ""
         if name in suffixes and np.ndim(leaf) >= 2:
             if bits == 4:
+                if np.shape(leaf)[-1] % min(group_size, np.shape(leaf)[-1]):
+                    # in-dims with no usable group size (SigLIP-so400m's mlp
+                    # dim 4304 = 2^4 * 269 admits nothing >= 32) fall back to
+                    # per-channel int8 — these ViT leaves are a small slice of
+                    # the weight stream the int4 tier exists to halve
+                    return quantize_weight(leaf)
                 return quantize_weight_int4(leaf, group_size=group_size)
             return quantize_weight(leaf)
         return leaf

@@ -87,10 +87,12 @@ class TrainedParityConfig:
     int8_batch: int = 16
     spec_images: int = 32                # spec-vs-sequential check set size
     rollout_steps: int = 24              # morphing-frame acceptance rollout
-    # which quantized serving tier the int8 phase certifies: "turbo" (the
-    # bench headline), "turbo_kv8" (+ int8 frozen prefill KV — the wider
-    # perturbation row of the tier matrix), or "pallas_kv8" (int8 stacked
-    # cache + fused-dequant Pallas decode kernel)
+    # which quantized serving tier the quantized phase certifies: "turbo"
+    # (the int8 bench headline), "turbo_kv8" (+ int8 frozen prefill KV — the
+    # wider perturbation row of the tier matrix), "pallas_kv8" (int8 stacked
+    # cache + fused-dequant Pallas decode kernel), or "int4" (grouped int4
+    # weights served through the turbo config — the widest perturbation of
+    # the matrix, and the 13B-on-one-chip / halved-decode-stream tier)
     int8_tier: str = "turbo"
     fleet_batch: int = 24                # steady-state fleet-serving batch
 
@@ -311,11 +313,13 @@ def load_adapters(base, pc: TrainedParityConfig):
     return restored["lora"], lcfg
 
 
-def merge_requantize_on_device(holder, lcfg):
+def merge_requantize_on_device(holder, lcfg, bits: int = 8):
     """Merged turbo tree, leaf by leaf on device (bounded transients).
 
     Quantized {"q","s"} leaves: dequant + scale*B@A in fp32 per stacked layer
-    (lax.map bounds the fp32 transient to ONE layer's weight), requantize.
+    (lax.map bounds the fp32 transient to ONE layer's weight), requantize —
+    per-channel int8, or grouped int4 with `bits=4` (leaves whose in-dim has
+    no usable group fall back to int8, mirroring ops.linear.quantize_params).
     Plain adapted leaves merge in fp32 and keep their dtype.
 
     `holder` is a [base, lora] list whose entries this function POPS: the
@@ -327,17 +331,18 @@ def merge_requantize_on_device(holder, lcfg):
     import jax
     import jax.numpy as jnp
 
-    from openvla_probe_tpu.ops.linear import is_quantized, quantize_weight
+    from openvla_probe_tpu.ops.linear import (
+        is_quantized, quantize_weight, quantize_weight_int4)
     from openvla_probe_tpu.training.lora import _is_ab
 
     base, lora_params = holder
     holder.clear()
     scale = lcfg.scaling
 
-    def merge_q(q, s, A, B):
+    def merge_q(q, s, A, B, int4: bool = False):
         wf = (q.astype(jnp.float32) * s[..., None].astype(jnp.float32)
               + scale * (B.astype(jnp.float32) @ A.astype(jnp.float32)))
-        return quantize_weight(wf)
+        return quantize_weight_int4(wf) if int4 else quantize_weight(wf)
 
     def merge_plain(w, A, B):
         wf = w.astype(jnp.float32) + scale * (B.astype(jnp.float32) @ A.astype(jnp.float32))
@@ -347,17 +352,20 @@ def merge_requantize_on_device(holder, lcfg):
     lflat, _ = jax.tree_util.tree_flatten(lora_params, is_leaf=_is_ab)
     assert len(pflat) == len(lflat), "adapter/base tree mismatch"
     del base, lora_params
-    stacked_q = jax.jit(lambda q, s, A, B: jax.lax.map(
-        lambda args: merge_q(*args), (q, s, A, B)))
-    flat_q = jax.jit(merge_q)
+    stacked_q = jax.jit(lambda q, s, A, B, int4=False: jax.lax.map(
+        lambda args: merge_q(*args, int4=int4), (q, s, A, B)),
+        static_argnames=("int4",))
+    flat_q = jax.jit(merge_q, static_argnames=("int4",))
     plain = jax.jit(merge_plain)
     for i in range(len(pflat)):
         w, lw = pflat[i], lflat[i]
         if lw is None:
             continue
         if is_quantized(w):
+            I = w["q"].shape[-1]
+            int4 = bits == 4 and I % min(128, I) == 0
             fn = stacked_q if w["q"].ndim >= 3 else flat_q
-            new = fn(w["q"], w["s"], lw["A"], lw["B"])
+            new = fn(w["q"], w["s"], lw["A"], lw["B"], int4=int4)
         else:
             new = plain(w, lw["A"], lw["B"])
         pflat[i] = new
@@ -376,7 +384,9 @@ def make_model(params, cfg, img_cfg, pad_len, tier: str = "parity"):
     serving = vla.VLAServingConfig(
         vlm=cfg, prompt_pad_len=pad_len,
         codec_vocab_size=min(cfg.llm.vocab_size, 32000),
-        tier=tier,
+        # "int4" is a WEIGHT change, not a serving-graph change: it serves
+        # through the turbo config (same as load_vla(quantize_bits=4))
+        tier="turbo" if tier == "int4" else tier,
         decode_impl=decode_impl,
         kv_int8=(tier == "turbo_kv8"),
         # this harness MEASURES the parity-tier speculative disagreement the
@@ -607,7 +617,8 @@ def main(pc: TrainedParityConfig) -> None:
     # ---- int8 turbo mode: merged + requantized, full shipped config --------
     holder = [base, lora_params]
     del base, lora_params
-    turbo_tree = merge_requantize_on_device(holder, lcfg)
+    turbo_tree = merge_requantize_on_device(
+        holder, lcfg, bits=4 if pc.int8_tier == "int4" else 8)
     gc.collect()
     tcfg = cfg.turbo() if pc.scale == "full" else cfg
     model = make_model(turbo_tree, tcfg, img_cfg, pad_len, tier=pc.int8_tier)

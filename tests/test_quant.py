@@ -195,6 +195,26 @@ def test_int4_quantize_params_and_stacked_forward(rng):
     assert rel < 0.3, rel
 
 
+def test_int4_fallback_to_int8_on_ungroupable_in_dim(rng):
+    """Leaves whose in-dim has no usable group size (SigLIP-so400m's mlp dim
+    4304 = 2^4 * 269 at the shipped group 128) quantize per-channel int8
+    instead of crashing — mixed int4/int8 trees serve through the same
+    dequant dispatch (s.ndim discriminates)."""
+    params = {
+        "fc1_w": jnp.asarray(rng.normal(size=(8, 64)), jnp.float32),   # groupable
+        "fc2_w": jnp.asarray(rng.normal(size=(8, 48)), jnp.float32),   # 48 % 32 != 0
+    }
+    qp = linear.quantize_params(params, suffixes=("fc1_w", "fc2_w"),
+                                bits=4, group_size=32)
+    assert qp["fc1_w"]["q"].dtype == jnp.int4
+    assert qp["fc1_w"]["s"].shape == (8, 2)
+    assert qp["fc2_w"]["q"].dtype == jnp.int8          # int8 fallback
+    assert qp["fc2_w"]["s"].shape == (8,)              # per-channel scales
+    x = jnp.asarray(rng.normal(size=(2, 48)), jnp.bfloat16)
+    got = np.asarray(linear.matmul_t(x, qp["fc2_w"]).astype(jnp.float32))
+    assert np.isfinite(got).all()
+
+
 def test_int4_random_params_like_direct_init():
     """bench.py's direct init path over an int4 eval_shape tree (13B-scale
     runs cannot co-materialize the bf16 twin)."""
