@@ -49,7 +49,54 @@ def quantize_weight(w: jnp.ndarray) -> QuantWeight:
     return {"q": q, "s": s}
 
 
-def quantize_weight_int4(w: jnp.ndarray, group_size: int = 128) -> QuantWeight:
+_S4_FORMAT_CACHE: dict = {}
+
+
+def _canonical_s4_format(shape: tuple):
+    """The input Format every jit consumer expects for an s4 array of `shape`.
+
+    Measured on the axon TPU backend (2026-08-18): an s4 array born from a
+    plain producer reports `sub_byte_element_size_in_bits=0` in its layout,
+    while any compiled consumer requires `=4` for the same tiling. The
+    metadata mismatch forces an argument relayout, and jax's s4 relayout
+    path recurses into itself (device_put -> jit -> device_put ->
+    RecursionError). Producing the array with `out_shardings=<this format>`
+    is the one birth path that yields a jit-consumable s4 array. We obtain
+    the format by lowering a trivial consumer abstractly — no hand-built
+    backend tiling strings.
+    """
+    key = (shape, jax.default_backend())
+    if key not in _S4_FORMAT_CACHE:
+        abstract = jax.ShapeDtypeStruct(shape, jnp.int4)
+        compiled = jax.jit(lambda a: a.astype(jnp.int8)).lower(abstract).compile()
+        _S4_FORMAT_CACHE[key] = compiled.input_formats[0][0]
+    return _S4_FORMAT_CACHE[key]
+
+
+def materialize_int4(codes: jnp.ndarray) -> jnp.ndarray:
+    """Cast int4-range codes (int8/float) to a jit-consumable s4 array.
+
+    Inside a trace this is a plain astype (no jit boundary is crossed by the
+    result *within* the enclosing graph) — but the ENCLOSING jit's s4 outputs
+    then carry the producer-default layout metadata and cannot be fed back
+    into another jit on TPU (see _canonical_s4_format). Callers that
+    materialize s4 trees must therefore emit int8 codes from their jits and
+    call this eagerly per leaf (quantize_weight_int4(emit_codes=True) +
+    materialize_int4 is that pattern).
+    """
+    if isinstance(codes, jax.core.Tracer):
+        return codes.astype(jnp.int4)
+    try:
+        fmt = _canonical_s4_format(tuple(codes.shape))
+        producer = jax.jit(lambda a: a.astype(jnp.int4), out_shardings=fmt)
+        return producer(codes)
+    except Exception:  # non-TPU backends: sub-byte layouts are a no-op
+        return jnp.asarray(codes).astype(jnp.int4)
+
+
+def quantize_weight_int4(
+    w: jnp.ndarray, group_size: int = 128, emit_codes: bool = False
+) -> QuantWeight:
     """Symmetric per-(output-channel, input-group) int4 quantization.
 
     [..., O, I] -> {"q": int4 [..., O, I], "s": f32 [..., O, I/group_size]}.
@@ -58,6 +105,11 @@ def quantize_weight_int4(w: jnp.ndarray, group_size: int = 128) -> QuantWeight:
     decode weight stream vs int8 (XLA stores s4 bit-packed in HBM); the
     per-group scales claw back most of the 3-bit mantissa loss (GPTQ/AWQ
     territory needs calibration data — this is the data-free absmax variant).
+
+    `emit_codes=True` returns the codes as int8 instead of s4: the form a
+    jit must emit so the caller can materialize_int4 each leaf eagerly
+    (s4 jit *outputs* carry the poisoned layout metadata — see
+    _canonical_s4_format).
     """
     wf = jnp.asarray(w, jnp.float32)
     *lead, O, I = wf.shape
@@ -67,8 +119,11 @@ def quantize_weight_int4(w: jnp.ndarray, group_size: int = 128) -> QuantWeight:
     gw = wf.reshape(*lead, O, I // group_size, group_size)
     s = jnp.max(jnp.abs(gw), axis=-1) / 7.0
     s = jnp.maximum(s, 1e-8)
-    q = jnp.clip(jnp.round(gw / s[..., None]), -7, 7).astype(jnp.int4)
-    return {"q": q.reshape(*lead, O, I), "s": s}
+    codes = jnp.clip(jnp.round(gw / s[..., None]), -7, 7).astype(jnp.int8)
+    codes = codes.reshape(*lead, O, I)
+    if emit_codes:
+        return {"q": codes, "s": s}
+    return {"q": materialize_int4(codes), "s": s}
 
 
 def dequantize_weight(qw: QuantWeight, dtype=jnp.bfloat16) -> jnp.ndarray:
@@ -252,7 +307,10 @@ def matmul_t(x: jnp.ndarray, w: AnyWeight) -> jnp.ndarray:
     return out.reshape(*lead, -1)
 
 
-def random_params_like(shapes: Any, key: jax.Array, weight_scale: float = 0.02) -> Any:
+def random_params_like(
+    shapes: Any, key: jax.Array, weight_scale: float = 0.02,
+    int4_as_codes: bool = False,
+) -> Any:
     """Random params for an eval_shape tree that may contain quantized leaves.
 
     Benchmark initializer: generates int8 codes uniformly, per-channel "s"
@@ -274,8 +332,12 @@ def random_params_like(shapes: Any, key: jax.Array, weight_scale: float = 0.02) 
         if s.dtype == jnp.int8:
             leaves.append(jax.random.randint(k, s.shape, -127, 128, dtype=jnp.int8))
         elif s.dtype == jnp.int4:
-            leaves.append(jax.random.randint(k, s.shape, -7, 8,
-                                             dtype=jnp.int8).astype(jnp.int4))
+            # int4_as_codes=True keeps the leaf as int8 codes: a jitted tree
+            # init must NOT emit s4 outputs (poisoned layout metadata — see
+            # _canonical_s4_format); the caller materialize_int4()s each
+            # code leaf eagerly afterwards.
+            codes = jax.random.randint(k, s.shape, -7, 8, dtype=jnp.int8)
+            leaves.append(codes if int4_as_codes else materialize_int4(codes))
         elif name == "s":
             leaves.append((s_lo * (1.0 + jax.random.uniform(k, s.shape, jnp.float32))
                            ).astype(s.dtype))

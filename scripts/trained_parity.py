@@ -332,7 +332,7 @@ def merge_requantize_on_device(holder, lcfg, bits: int = 8):
     import jax.numpy as jnp
 
     from openvla_probe_tpu.ops.linear import (
-        is_quantized, quantize_weight, quantize_weight_int4)
+        is_quantized, materialize_int4, quantize_weight, quantize_weight_int4)
     from openvla_probe_tpu.training.lora import _is_ab
 
     base, lora_params = holder
@@ -342,7 +342,11 @@ def merge_requantize_on_device(holder, lcfg, bits: int = 8):
     def merge_q(q, s, A, B, int4: bool = False):
         wf = (q.astype(jnp.float32) * s[..., None].astype(jnp.float32)
               + scale * (B.astype(jnp.float32) @ A.astype(jnp.float32)))
-        return quantize_weight_int4(wf) if int4 else quantize_weight(wf)
+        # int4 leaves leave the jit as int8 CODES; the caller materializes
+        # s4 eagerly per leaf (s4 jit outputs carry poisoned layout metadata
+        # on TPU — ops.linear._canonical_s4_format)
+        return (quantize_weight_int4(wf, emit_codes=True) if int4
+                else quantize_weight(wf))
 
     def merge_plain(w, A, B):
         wf = w.astype(jnp.float32) + scale * (B.astype(jnp.float32) @ A.astype(jnp.float32))
@@ -366,6 +370,8 @@ def merge_requantize_on_device(holder, lcfg, bits: int = 8):
             int4 = bits == 4 and I % min(128, I) == 0
             fn = stacked_q if w["q"].ndim >= 3 else flat_q
             new = fn(w["q"], w["s"], lw["A"], lw["B"], int4=int4)
+            if int4:
+                new = {"q": materialize_int4(new["q"]), "s": new["s"]}
         else:
             new = plain(w, lw["A"], lw["B"])
         pflat[i] = new

@@ -228,3 +228,44 @@ def test_int4_random_params_like_direct_init():
     assert q["q"].dtype == jnp.int4
     assert np.asarray(q["q"].astype(jnp.int8)).min() >= -7
     assert np.all(np.asarray(q["s"]) > 0)
+
+
+def test_int4_emit_codes_and_materialize(rng):
+    """The jit-boundary contract for s4 trees: jits emit int8 CODES, the
+    caller materialize_int4()s eagerly (s4 arrays born inside a jit carry
+    layout metadata no TPU consumer accepts — ops.linear._canonical_s4_format;
+    reproduced as a device_put RecursionError on the axon backend)."""
+    w = jnp.asarray(rng.normal(size=(16, 64)).astype(np.float32))
+    codes = jax.jit(
+        lambda w: linear.quantize_weight_int4(w, group_size=32, emit_codes=True)
+    )(w)
+    assert codes["q"].dtype == jnp.int8
+    qw = {"q": linear.materialize_int4(codes["q"]), "s": codes["s"]}
+    assert qw["q"].dtype == jnp.int4
+    # jit-vs-eager fp dust can flip a borderline code; compare the
+    # dequantized weights instead of code identity
+    ref = linear.quantize_weight_int4(w, group_size=32)
+    np.testing.assert_allclose(
+        np.asarray(linear.dequantize_weight(qw, jnp.float32)),
+        np.asarray(linear.dequantize_weight(ref, jnp.float32)),
+        atol=float(np.abs(np.asarray(w)).max()) / 7.0)
+    # the materialized leaf crosses a fresh jit boundary (the crash shape)
+    out = jax.jit(lambda x, q: linear.matmul_t(x, q))(
+        jnp.ones((2, 64), jnp.float32), qw)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_int4_random_params_like_codes_flag():
+    cfg = llama.LlamaConfig.tiny()
+    shapes = jax.eval_shape(
+        lambda k: linear.quantize_params(llama.init_params(cfg, k),
+                                         bits=4, group_size=32),
+        jax.random.key(0))
+    raw = jax.jit(lambda k: linear.random_params_like(
+        shapes, k, int4_as_codes=True))(jax.random.key(1))
+    assert raw["layers"]["q_proj"]["q"].dtype == jnp.int8
+    p = jax.tree.map(
+        lambda sh, lf: linear.materialize_int4(lf)
+        if sh.dtype == jnp.int4 else lf, shapes, raw)
+    assert p["layers"]["q_proj"]["q"].dtype == jnp.int4
+    assert np.asarray(p["layers"]["q_proj"]["q"].astype(jnp.int8)).min() >= -7
