@@ -68,7 +68,11 @@ def _canonical_s4_format(shape: tuple):
     key = (shape, jax.default_backend())
     if key not in _S4_FORMAT_CACHE:
         abstract = jax.ShapeDtypeStruct(shape, jnp.int4)
-        compiled = jax.jit(lambda a: a.astype(jnp.int8)).lower(abstract).compile()
+        lowered = jax.jit(lambda a: a.astype(jnp.int8)).lower(abstract)
+        try:
+            compiled = lowered.compile()
+        except Exception:  # transient tunnel compile fault (HTTP 500): retry
+            compiled = lowered.compile()
         _S4_FORMAT_CACHE[key] = compiled.input_formats[0][0]
     return _S4_FORMAT_CACHE[key]
 
@@ -86,12 +90,19 @@ def materialize_int4(codes: jnp.ndarray) -> jnp.ndarray:
     """
     if isinstance(codes, jax.core.Tracer):
         return codes.astype(jnp.int4)
-    try:
-        fmt = _canonical_s4_format(tuple(codes.shape))
-        producer = jax.jit(lambda a: a.astype(jnp.int4), out_shardings=fmt)
-        return producer(codes)
-    except Exception:  # non-TPU backends: sub-byte layouts are a no-op
+    if jax.default_backend() != "tpu":
+        # sub-byte layout metadata is a TPU-only concern
         return jnp.asarray(codes).astype(jnp.int4)
+    # TPU: a poisoned-layout s4 array crashes the CONSUMER later (jax's s4
+    # relayout path recurses into itself), so never fall back silently here —
+    # retry once (tunnel compiles can transiently fail with HTTP 500), then
+    # raise at the birth site where the shape/leaf is identifiable.
+    fmt = _canonical_s4_format(tuple(codes.shape))
+    producer = jax.jit(lambda a: a.astype(jnp.int4), out_shardings=fmt)
+    try:
+        return producer(codes)
+    except Exception:
+        return producer(codes)
 
 
 def quantize_weight_int4(
