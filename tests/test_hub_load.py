@@ -228,4 +228,7 @@ def test_load_vla_quantized_tiers(tiny_run_dir):
     assert m4.cfg.tier == "turbo"
     q4 = m4.params["llm"]["layers"]["q_proj"]
     assert is_quantized(q4) and q4["q"].dtype == jnp.int4
-    assert q4["s"].ndim == q4["q"].ndim
+    # group-major storage: stacked [L, G, O, gsz] codes, [L, O, G] scales
+    assert q4["s"].ndim == q4["q"].ndim - 1
+    assert q4["q"].shape[-2] == q4["s"].shape[-2]   # O
+    assert q4["q"].shape[-3] == q4["s"].shape[-1]   # G

@@ -137,7 +137,8 @@ def test_turbo_config_fields():
 def test_int4_quantize_dequantize_error_bounded(rng):
     w = jnp.asarray(rng.normal(size=(64, 256)).astype(np.float32))
     qw = linear.quantize_weight_int4(w, group_size=128)
-    assert qw["q"].dtype == jnp.int4 and qw["q"].shape == (64, 256)
+    # group-major code storage [G, O, gsz] (see quantize_weight_int4)
+    assert qw["q"].dtype == jnp.int4 and qw["q"].shape == (2, 64, 128)
     assert qw["s"].shape == (64, 2)
     wd = np.asarray(linear.dequantize_weight(qw, jnp.float32))
     # per-(row, group) error <= scale/2 = group-absmax/14
@@ -160,9 +161,10 @@ def test_int4_beats_per_channel_int4_everywhere(rng):
     assert err_g < err_r, (err_g, err_r)
 
 
-def test_int4_matmul_t_matches_dequantized(rng):
-    """matmul_t on int4 == matmul against the explicitly dequantized weight
-    (the XLA path IS dequant+matmul; this pins the dispatch)."""
+def test_int4_matmul_t_matches_dequantized(rng, monkeypatch):
+    """With the w4a8 escape hatch off, matmul_t on int4 == matmul against the
+    explicitly dequantized weight (pins the OVLA_W4A8=0 fallback dispatch)."""
+    monkeypatch.setenv("OVLA_W4A8", "0")
     x = jnp.asarray(rng.normal(size=(4, 256)), jnp.bfloat16)
     w = jnp.asarray(rng.normal(size=(32, 256)).astype(np.float32))
     qw = linear.quantize_weight_int4(w)
@@ -170,6 +172,72 @@ def test_int4_matmul_t_matches_dequantized(rng):
     want = np.asarray((x @ linear.dequantize_weight(qw, jnp.bfloat16).T
                        ).astype(jnp.float32))
     np.testing.assert_array_equal(got, want)
+
+
+def test_w4a8_grouped_matches_quantized_reference(rng):
+    """The per-group batched int8 dot == the explicit reference computation
+    (quantized activations x dequantized grouped weight), to f32 tolerance.
+    The int32 accumulation is exact; only the scale application order differs."""
+    x = jnp.asarray(rng.normal(size=(6, 256)), jnp.bfloat16)
+    w = jnp.asarray(rng.normal(size=(32, 256)).astype(np.float32))
+    qw = linear.quantize_weight_int4(w, group_size=64)
+    got = np.asarray(linear._w4a8_dot_grouped(x, qw["q"], qw["s"])
+                     ).astype(np.float32)
+    x_i8, s_x = linear._quantize_activations(x)
+    wd = np.asarray(linear.dequantize_weight(qw, jnp.float32))
+    want = (np.asarray(x_i8, np.float32) @ wd.T) * np.asarray(s_x)
+    assert np.abs(got - want).max() / (np.abs(want).max() + 1e-9) < 5e-3
+
+
+def test_w4a8_requant_close_to_dequant_path(rng):
+    """The large-M requant path adds <= one int8 step (of the per-channel
+    scale) on top of the int4 grid — output stays close to the bf16 dequant
+    matmul with quantized activations."""
+    x = jnp.asarray(rng.normal(size=(64, 256)), jnp.bfloat16)
+    w = jnp.asarray(rng.normal(size=(32, 256)).astype(np.float32))
+    qw = linear.quantize_weight_int4(w, group_size=64)
+    got = np.asarray(linear._w4a8_dot_requant(x, qw["q"], qw["s"])
+                     ).astype(np.float32)
+    want = np.asarray((x @ linear.dequantize_weight(qw, jnp.bfloat16).T
+                       ).astype(jnp.float32))
+    rel = np.abs(got - want).max() / (np.abs(want).max() + 1e-9)
+    assert rel < 0.03, rel
+
+
+def test_w4a8_dispatch_by_m(rng, monkeypatch):
+    """matmul_t routes int4 by row count: M <= OVLA_W4A8_GROUP_M_MAX takes the
+    grouped batched dot, larger M the int8-requant transient."""
+    monkeypatch.setenv("OVLA_W4A8_GROUP_M_MAX", "8")
+    w = jnp.asarray(rng.normal(size=(32, 256)).astype(np.float32))
+    qw = linear.quantize_weight_int4(w, group_size=64)
+    x_small = jnp.asarray(rng.normal(size=(8, 256)), jnp.bfloat16)
+    x_large = jnp.asarray(rng.normal(size=(9, 256)), jnp.bfloat16)
+    np.testing.assert_array_equal(
+        np.asarray(linear.matmul_t(x_small, qw)),
+        np.asarray(linear._w4a8_dot_grouped(x_small, qw["q"], qw["s"])))
+    np.testing.assert_array_equal(
+        np.asarray(linear.matmul_t(x_large, qw)),
+        np.asarray(linear._w4a8_dot_requant(x_large, qw["q"], qw["s"])))
+
+
+def test_w4a8_grouped_grad_flows_dx(rng):
+    """STE custom VJP: d/dx through the grouped w4a8 dot equals the dense
+    backward against the dequantized weight (the QLoRA-over-int4 contract)."""
+    x = jnp.asarray(rng.normal(size=(4, 256)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(32, 256)).astype(np.float32))
+    qw = linear.quantize_weight_int4(w, group_size=64)
+
+    def loss(x_):
+        return jnp.sum(linear._w4a8_dot_grouped(x_, qw["q"], qw["s"]) ** 2)
+
+    g = np.asarray(jax.grad(loss)(x))
+    assert np.all(np.isfinite(g)) and np.abs(g).max() > 0
+    y = linear._w4a8_dot_grouped(x, qw["q"], qw["s"])
+    wd = linear.dequantize_weight(qw, jnp.bfloat16)
+    want = np.asarray(
+        (2.0 * y.astype(jnp.bfloat16)) @ wd, np.float32)
+    rel = np.abs(g - want).max() / (np.abs(want).max() + 1e-9)
+    assert rel < 0.05, rel
 
 
 def test_int4_quantize_params_and_stacked_forward(rng):
