@@ -86,20 +86,17 @@ def main() -> None:
                                         suffixes=suffixes,
                                         bits=4 if quant == "int4" else 8),
             jax.random.key(0))
-        # int4 leaves come OUT of the jit as int8 codes and are cast to s4
-        # eagerly per leaf: s4 arrays born inside a jit carry layout metadata
-        # no other jit will accept on TPU (ops.linear._canonical_s4_format)
-        init = jax.jit(lambda key: random_params_like(shapes, key,
-                                                      int4_as_codes=True))
-    else:
-        init = jax.jit(lambda key: vlm.init_params(cfg, key))
-    params = init(jax.random.key(0))
-    if quant == "int4":
-        from openvla_probe_tpu.ops.linear import materialize_int4
+        if quant == "int4":
+            # per-leaf eager materialization: the whole-tree codes+s4
+            # co-materialization OOMs at 13B (ops.linear docstring)
+            from openvla_probe_tpu.ops.linear import random_params_like_eager_int4
 
-        params = jax.tree.map(
-            lambda sh, lf: materialize_int4(lf) if sh.dtype == jnp.int4 else lf,
-            shapes, params)
+            params = random_params_like_eager_int4(shapes, jax.random.key(0))
+        else:
+            params = jax.jit(lambda key: random_params_like(shapes, key))(
+                jax.random.key(0))
+    else:
+        params = jax.jit(lambda key: vlm.init_params(cfg, key))(jax.random.key(0))
     jax.block_until_ready(params)
     _ = np.asarray(jax.tree.leaves(params)[0].ravel()[0])  # force materialization
 

@@ -483,6 +483,43 @@ def random_params_like(
     return jax.tree_util.tree_unflatten(treedef, leaves)
 
 
+def random_params_like_eager_int4(
+    shapes: Any, key: jax.Array, weight_scale: float = 0.02,
+) -> Any:
+    """random_params_like for trees with s4 leaves, without ever
+    co-materializing the full int8 CODES tree with the s4 tree.
+
+    The jit+int4_as_codes pattern holds every codes leaf alive until the
+    whole tree is materialized — 13 GB of codes + 6.9 GB of s4 at 13B scale,
+    an instant OOM on a 16 GB chip. Here one jit produces every NON-int4
+    leaf, then the s4 leaves are born one at a time (generate codes ->
+    materialize_int4 -> drop codes), bounding the peak at one codes leaf.
+    """
+    flat, treedef = jax.tree_util.tree_flatten_with_path(shapes)
+    int4_idx = [i for i, (_, s) in enumerate(flat) if s.dtype == jnp.int4]
+    int4_set = set(int4_idx)
+
+    # one jit for the non-int4 leaves (int4 slots become size-0 placeholders
+    # the tree structure keeps, so key-splitting stays identical to
+    # random_params_like for reproducibility-by-structure)
+    def rest(k):
+        full = random_params_like(shapes, k, weight_scale, int4_as_codes=True)
+        leaves = jax.tree_util.tree_leaves(full)
+        return [jnp.zeros((0,), jnp.int8) if i in int4_set else l
+                for i, l in enumerate(leaves)]
+
+    leaves = jax.jit(rest)(key)
+    ks = jax.random.split(jax.random.fold_in(key, 4), max(len(int4_idx), 1))
+    for j, i in enumerate(int4_idx):
+        shape = flat[i][1].shape
+        codes = jax.jit(
+            lambda k, sh=shape: jax.random.randint(k, sh, -7, 8, dtype=jnp.int8)
+        )(ks[j])
+        leaves[i] = materialize_int4(codes)
+        del codes   # frees the int8 twin before the next leaf is born
+    return jax.tree_util.tree_unflatten(treedef, leaves)
+
+
 # --- pytree-level quantization ----------------------------------------------
 
 _DEFAULT_QUANT_SUFFIXES = (
@@ -503,12 +540,16 @@ def quantize_params(
     suffixes: tuple = _DEFAULT_QUANT_SUFFIXES,
     bits: int = 8,
     group_size: int = 128,
+    emit_codes: bool = False,
 ) -> Any:
     """Quantize matching weight leaves of a param pytree (path-suffix match).
 
     Default: the Llama trunk + lm_head (the decode bandwidth); embeddings,
     norms, ViT and projector stay bf16. bits=4 selects grouped int4
     (quantize_weight_int4) — half the weight stream of int8 again.
+    `emit_codes` (bits=4 under jit): leave int4 leaves as int8 CODES for the
+    caller to materialize_int4 eagerly per leaf (s4 jit outputs carry
+    poisoned layout metadata — see _canonical_s4_format).
     """
     if bits not in (4, 8):
         raise ValueError(f"bits must be 4 or 8, got {bits}")
@@ -523,7 +564,8 @@ def quantize_params(
                     # per-channel int8 — these ViT leaves are a small slice of
                     # the weight stream the int4 tier exists to halve
                     return quantize_weight(leaf)
-                return quantize_weight_int4(leaf, group_size=group_size)
+                return quantize_weight_int4(leaf, group_size=group_size,
+                                            emit_codes=emit_codes)
             return quantize_weight(leaf)
         return leaf
 

@@ -79,13 +79,18 @@ def _is_target(path: str, shape, cfg: LoRAConfig) -> bool:
 
 
 def _weight_shape_dtype(leaf) -> Tuple[Tuple[int, ...], Any]:
-    from ..ops.linear import is_quantized
+    from ..ops.linear import is_grouped_int4, is_quantized
 
     # adapters are ALWAYS fp32 masters (they are tiny — ~320 MB at 7B/r=32 —
     # and bf16 storage swallows small Adam updates late in convergence);
     # matmul_t casts them to the activation dtype at use
     if is_quantized(leaf):
-        return tuple(np.shape(leaf["q"])), jnp.float32
+        qs = tuple(np.shape(leaf["q"]))
+        if is_grouped_int4(leaf):
+            # group-major int4 codes [*, G, O, gsz] -> logical [*, O, I]
+            *batch, G, O, gsz = qs
+            return (*batch, O, G * gsz), jnp.float32
+        return qs, jnp.float32
     return tuple(np.shape(leaf)), jnp.float32
 
 
@@ -117,9 +122,16 @@ def init_lora_params(params: Any, cfg: LoRAConfig, key: jax.Array) -> Any:
 def merge_lora(params: Any, lora: Any, cfg: LoRAConfig) -> Any:
     """W + scale * B @ A at adapted leaves (batched over any stack dims).
 
-    An int8 {"q","s"} base leaf is dequantized, merged in fp32, and
-    re-quantized (the exported tree keeps the base's representation)."""
-    from ..ops.linear import dequantize_weight, is_quantized, quantize_weight
+    A quantized {"q","s"} base leaf is dequantized, merged in fp32, and
+    re-quantized (the exported tree keeps the base's representation: int8
+    per-channel or grouped int4). Note for int4 under a trace: the merged
+    codes come back as int8 CODES (emit_codes — s4 jit outputs carry
+    poisoned layout metadata, ops.linear._canonical_s4_format); they serve
+    correctly through matmul_t's dequant fallback, and a caller that wants
+    the packed s4 form must materialize_int4 each code leaf eagerly."""
+    from ..ops.linear import (
+        dequantize_weight, is_grouped_int4, is_quantized, quantize_weight,
+        quantize_weight_int4)
 
     scale = cfg.scaling
 
@@ -130,7 +142,13 @@ def merge_lora(params: Any, lora: Any, cfg: LoRAConfig) -> Any:
             "...or,...ri->...oi", lw["B"].astype(jnp.float32), lw["A"].astype(jnp.float32)
         )
         if is_quantized(w):
-            return quantize_weight(dequantize_weight(w, jnp.float32) + delta)
+            merged = dequantize_weight(w, jnp.float32) + delta
+            if is_grouped_int4(w):
+                gsz = int(w["q"].shape[-1])
+                traced = isinstance(merged, jax.core.Tracer)
+                return quantize_weight_int4(merged, group_size=gsz,
+                                            emit_codes=traced)
+            return quantize_weight(merged)
         return (w.astype(jnp.float32) + delta).astype(w.dtype)
 
     # lora first (see attach_lora): quantized base subtrees stay intact

@@ -49,10 +49,13 @@ class FinetuneConfig:
     # streamed LoRA: never materialize the merged base copy — required at 7B
     # scale on a 16 GB chip; False keeps the reference-shaped merge path
     stream_lora: bool = True
-    # QLoRA-style: quantize the frozen Llama trunk to int8 before attaching
-    # adapters (the reference's --use_quantization 4-bit analogue) — drops the
-    # frozen-base footprint from 13.5 GB to 6.8 GB, adapters stay bf16
+    # QLoRA-style: quantize the frozen Llama trunk before attaching adapters
+    # (the reference's --use_quantization 4-bit analogue) — drops the frozen
+    # base from 13.5 GB to 6.8 GB (int8) or 3.4 GB (quantize_bits=4: grouped
+    # w4a8, the true 4-bit QLoRA — frees HBM for batch/seq at 13B scale);
+    # adapters stay fp32 masters
     quantize_base: bool = False
+    quantize_bits: int = 8
 
     # resume from an adapter checkpoint dir written by a previous run's
     # periodic saves (restores adapters AND Adam moments, continues the step
@@ -116,9 +119,24 @@ def main(cfg: FinetuneConfig) -> None:
     save_dataset_statistics(dataset.dataset_statistics, run_dir)
 
     if cfg.quantize_base:
-        from openvla_probe_tpu.ops.linear import quantize_params
+        import functools as _ft
 
-        params = jax.jit(quantize_params)(params)
+        from openvla_probe_tpu.ops.linear import materialize_int4, quantize_params
+
+        if cfg.quantize_bits == 4:
+            # the s4 birth contract (ops.linear._canonical_s4_format): the jit
+            # emits int8 CODES (donated bf16 base frees as it goes) and each
+            # int4 leaf is materialized eagerly with the canonical format
+            shapes = jax.eval_shape(
+                lambda p: quantize_params(p, bits=4), params)
+            raw = jax.jit(
+                lambda p: quantize_params(p, bits=4, emit_codes=True),
+                donate_argnums=0)(params)
+            params = jax.tree.map(
+                lambda sh, lf: materialize_int4(lf) if sh.dtype == jnp.int4 else lf,
+                shapes, raw)
+        else:
+            params = jax.jit(_ft.partial(quantize_params, bits=cfg.quantize_bits))(params)
 
     lcfg = LoRAConfig(r=cfg.lora_rank)
     lora_params = init_lora_params(params, lcfg, jax.random.key(0))

@@ -218,3 +218,53 @@ def test_adapter_checkpoint_roundtrip(tiny_setup, tmp_path):
     for a, b in zip(jax.tree.leaves(restored["lora"]), jax.tree.leaves(lp)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     assert ckpt.latest_checkpoint(tmp_path / "adapter") == path
+
+
+def test_qlora_int4_base_trains(tiny_setup):
+    """QLoRA over a grouped-int4 frozen base (the true 4-bit QLoRA,
+    scripts/finetune.py --quantize_base --quantize_bits 4): adapters get the
+    LOGICAL [O, I] shapes despite the group-major [G, O, gsz] code storage,
+    gradients flow through the w4a8 STE, loss decreases, and merge re-emits
+    an int4-grouped representation."""
+    cfg, params, codec, batch = tiny_setup
+    qparams = quantize_params(params, bits=4, group_size=32)
+    q = qparams["llm"]["layers"]["q_proj"]
+    assert is_quantized(q) and q["q"].dtype == jnp.int4
+
+    lcfg = lora.LoRAConfig(r=4)
+    lp = lora.init_lora_params(qparams, lcfg, jax.random.key(1))
+    L = cfg.llm.num_hidden_layers
+    D = cfg.llm.hidden_size
+    # adapters sized by the logical weight shape, not the code storage
+    assert lp["llm"]["layers"]["q_proj"]["A"].shape == (L, 4, D)
+    assert lp["llm"]["layers"]["q_proj"]["B"].shape == (L, D, 4)
+
+    loss_fn = lora.make_lora_loss_fn(functools.partial(vla_loss_fn, codec=codec),
+                                     qparams, lcfg, stream=True)
+    opt = make_optimizer(OptimizerConfig(learning_rate=5e-3, lr_schedule_type="constant",
+                                         max_steps=10), lp)
+    opt_state = opt.init(lp)
+
+    @jax.jit
+    def step(l, s):
+        import optax
+
+        (loss, m), g = jax.value_and_grad(lambda ll: loss_fn(ll, cfg, batch),
+                                          has_aux=True)(l)
+        up, s = opt.update(g, s, l)
+        return optax.apply_updates(l, up), s, loss
+
+    losses = []
+    for _ in range(6):
+        lp, opt_state, loss = step(lp, opt_state)
+        losses.append(float(loss))
+    assert losses[-1] < losses[0], losses
+
+    # merge keeps the grouped-int4 representation (eager: packed s4)
+    merged = lora.merge_and_unload(qparams, lp, lcfg)
+    mq = merged["llm"]["layers"]["q_proj"]
+    from openvla_probe_tpu.ops.linear import is_grouped_int4
+
+    assert is_quantized(mq) and is_grouped_int4(mq)
+    lmerged, _ = vla_loss_fn(merged, cfg, batch, codec=codec)
+    assert np.isfinite(float(lmerged))

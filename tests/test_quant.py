@@ -337,3 +337,23 @@ def test_int4_random_params_like_codes_flag():
         if sh.dtype == jnp.int4 else lf, shapes, raw)
     assert p["layers"]["q_proj"]["q"].dtype == jnp.int4
     assert np.asarray(p["layers"]["q_proj"]["q"].astype(jnp.int8)).min() >= -7
+
+
+def test_int4_random_params_like_eager():
+    """The 13B-scale int4 bench init: per-leaf eager s4 materialization
+    (never co-materializes the codes tree) matches the shapes tree."""
+    cfg = llama.LlamaConfig.tiny()
+    shapes = jax.eval_shape(
+        lambda k: linear.quantize_params(llama.init_params(cfg, k),
+                                         bits=4, group_size=32),
+        jax.random.key(0))
+    p = linear.random_params_like_eager_int4(shapes, jax.random.key(1))
+    chk = jax.tree.map(lambda sh, lf: (sh.shape == lf.shape
+                                       and sh.dtype == lf.dtype), shapes, p)
+    assert all(jax.tree.leaves(chk))
+    q = p["layers"]["q_proj"]
+    assert q["q"].dtype == jnp.int4
+    assert np.asarray(q["q"].astype(jnp.int8)).min() >= -7
+    assert np.all(np.asarray(q["s"]) > 0)
+    # embeddings/norms stay float and non-degenerate
+    assert float(jnp.abs(p["embed_tokens"]).max()) > 0
