@@ -83,13 +83,19 @@ def _expert_einsum(eq: str, x: jnp.ndarray, w) -> jnp.ndarray:
     materialized (the streamed-LoRA contract; scale pre-folded into B).
     Both einsum equations here contract the last dims ('ecx,eox->eco'),
     so the low-rank path is shape-generic."""
-    from ..ops.linear import is_lora_wrapped
+    from ..ops.linear import dequantize_weight, is_grouped_int4, is_lora_wrapped
 
     if is_lora_wrapped(w):
         y = _expert_einsum(eq, x, w["base"])
         t = jnp.einsum("ecx,erx->ecr", x, w["A"].astype(x.dtype))
         return y + jnp.einsum("ecr,eor->eco", t, w["B"].astype(x.dtype))
     if isinstance(w, dict) and "q" in w:
+        if is_grouped_int4(w):
+            # grouped-int4 experts ([E, G, O, gsz] codes): dequantize per
+            # use — a footprint form (the per-group batched-dot w4a8
+            # formulation does not map onto the expert einsums; matching
+            # their int8 throughput here would need a grouped expert kernel)
+            return jnp.einsum(eq, x, dequantize_weight(w, x.dtype))
         acc = jnp.einsum(eq, x, w["q"].astype(x.dtype),
                          preferred_element_type=jnp.float32)
         return (acc * w["s"][:, None, :]).astype(x.dtype)
@@ -215,13 +221,18 @@ def _expert_ragged(x: jnp.ndarray, w, group_sizes: jnp.ndarray,
     weights (same three weight forms as _expert_einsum). `e_row` [M] is each
     row's expert id — only the quantized form needs it (per-expert
     out-channel scales; XLA fuses the row gather into the multiply)."""
-    from ..ops.linear import is_lora_wrapped
+    from ..ops.linear import dequantize_weight, is_grouped_int4, is_lora_wrapped
 
     dn = _ragged_dn()
     if is_lora_wrapped(w):
         y = _expert_ragged(x, w["base"], group_sizes, e_row)
         t = jax.lax.ragged_dot_general(x, w["A"].astype(x.dtype), group_sizes, dn)
         return y + jax.lax.ragged_dot_general(t, w["B"].astype(x.dtype), group_sizes, dn)
+    if is_grouped_int4(w):
+        # footprint form: dequantize grouped-int4 experts per use (see
+        # _expert_einsum)
+        return jax.lax.ragged_dot_general(
+            x, dequantize_weight(w, x.dtype), group_sizes, dn)
     if isinstance(w, dict) and "q" in w:
         acc = jax.lax.ragged_dot_general(x, w["q"].astype(x.dtype), group_sizes, dn,
                                          preferred_element_type=jnp.float32)

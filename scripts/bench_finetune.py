@@ -72,10 +72,11 @@ def main() -> None:
     # quantized-tree init WITHOUT materializing the bf16 twin (at 13B even a
     # fused init->quantize co-materializes a 5.7 GB bf16 stack with the int8
     # tree); values are arbitrary — this is a throughput bench
-    if quant == "int8":
+    if quant in ("int8", "int4"):
         from openvla_probe_tpu.ops.linear import (
             _DEFAULT_QUANT_SUFFIXES,
             random_params_like,
+            random_params_like_eager_int4,
         )
 
         suffixes = list(_DEFAULT_QUANT_SUFFIXES)
@@ -83,12 +84,19 @@ def main() -> None:
             suffixes += ["qkv_w", "proj_w", "fc1_w", "fc2_w"]
         shapes = jax.eval_shape(
             lambda key: quantize_params(vlm.init_params(cfg, key),
-                                        suffixes=tuple(suffixes)),
+                                        suffixes=tuple(suffixes),
+                                        bits=4 if quant == "int4" else 8),
             jax.random.key(0))
-        init = jax.jit(lambda key: random_params_like(shapes, key))
+        if quant == "int4":
+            # FT_QUANT=int4: the true 4-bit QLoRA base (3.4 GB at 7B /
+            # 6.9 GB at 13B) — per-leaf eager s4 birth, never the whole
+            # codes tree (ops.linear.random_params_like_eager_int4)
+            params = random_params_like_eager_int4(shapes, jax.random.key(0))
+        else:
+            params = jax.jit(lambda key: random_params_like(shapes, key))(
+                jax.random.key(0))
     else:
-        init = jax.jit(lambda key: vlm.init_params(cfg, key))
-    params = init(jax.random.key(0))
+        params = jax.jit(lambda key: vlm.init_params(cfg, key))(jax.random.key(0))
     jax.block_until_ready(params)
     _ = np.asarray(jax.tree.leaves(params)[0].ravel()[0])
 

@@ -575,3 +575,28 @@ def test_moe_ep_sharded_train_step_matches_unsharded():
         float(base_metrics["moe_aux"]), rel=2e-4)
     assert float(metrics["moe_z"]) == pytest.approx(
         float(base_metrics["moe_z"]), rel=2e-4)
+
+
+def test_moe_int4_experts(rng):
+    """Grouped-int4 expert stacks (the footprint form): both the einsum and
+    the sorted/ragged paths dequantize the group-major [E, G, O, gsz] codes
+    per use; outputs track bf16 within int4 quantization error."""
+    from openvla_probe_tpu.ops.linear import quantize_params
+
+    lp = _moe_layer_params(rng)
+    h = jnp.asarray(rng.normal(size=(2, 5, 16)).astype(np.float32))
+    y_ref, _ = moe.moe_ffn(lp, h, top_k=2, capacity=10)
+    lpq = quantize_params(lp, bits=4, group_size=8)
+    gq = lpq["gate_proj"]
+    assert gq["q"].dtype == jnp.int4
+    assert gq["q"].shape == (4, 2, 32, 8)      # [E, G, O, gsz]
+    assert gq["s"].shape == (4, 32, 2)         # [E, O, G]
+    y_q, _ = moe.moe_ffn(lpq, h, top_k=2, capacity=10)
+    err = np.abs(np.asarray(y_q) - np.asarray(y_ref))
+    scale = np.abs(np.asarray(y_ref)).max()
+    assert err.max() < 0.15 * max(scale, 1.0)
+    # sorted dropless path handles the grouped form too and agrees with the
+    # einsum path on the SAME quantized weights
+    y_s, _ = moe.moe_ffn_sorted(lpq, h, top_k=2)
+    np.testing.assert_allclose(np.asarray(y_s), np.asarray(y_q),
+                               atol=2e-5, rtol=1e-4)
