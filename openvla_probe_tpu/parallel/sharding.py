@@ -61,30 +61,37 @@ _TP_DIM_BY_SUFFIX = {
 _MOE_EXPERT_LEAVES = ("gate_proj", "up_proj", "down_proj")
 
 
-def _tp_dim(path: str, shape: Tuple[int, ...]) -> Optional[int]:
+def _tp_dim(path: str, shape: Tuple[int, ...],
+            grouped_int4: bool = False) -> Optional[int]:
     parts = path.rsplit("/", 2)
     leaf = parts[-1]
     # MoE expert stacks carry an extra [E] axis at dim 1 ([L, E, F, D] /
     # [L, E, D, F]) — the tp dim shifts right by one
     if leaf in _MOE_EXPERT_LEAVES and len(shape) == 4:
         return _TP_DIM_BY_SUFFIX[leaf] + 1
-    # quantized weights are {"q": int8 [..., O, I], "s": f32 [..., O]} under
-    # the real weight name (e.g. layers/q_proj/q) — shard by the PARENT's
-    # rule: q like the weight; s along its output dim (the weight's tp dim
-    # minus the contracted axis). Contraction-dim-sharded weights (o_proj,
-    # down_proj) keep s replicated (s spans the output dim, which stays whole).
+    # quantized weights are {"q": codes, "s": scales} under the real weight
+    # name (e.g. layers/q_proj/q) — shard by the PARENT's rule, addressed
+    # from the END so lead stack/expert dims drop out:
+    #   int8:          q [..., O, I],        s [..., O]
+    #   grouped int4:  q [..., G, O, gsz],   s [..., O, G]
+    # Output-sharded weights split O in q and s alike. Contraction-sharded
+    # weights (o_proj, down_proj) split I for int8 q (s replicated — O stays
+    # whole); for grouped int4 the contraction splits along the GROUP axis
+    # (gsz stays whole), and s's matching G axis shards with it.
     if leaf in ("q", "s") and len(parts) >= 2:
         parent = parts[-2]
-        d = _TP_DIM_BY_SUFFIX.get(parent)
-        if d is None:
+        d0 = _TP_DIM_BY_SUFFIX.get(parent)
+        if d0 is None:
             return None
-        # MoE expert stacks: q [L, E, O, I] (s [L, E, O]) — shift past the E axis
-        if parent in _MOE_EXPERT_LEAVES and len(shape) >= 3 + (leaf == "q"):
-            d += 1
+        is_out = d0 != 2     # suffix table: 2 == the contraction (in) dim
+        n = len(shape)
+        if grouped_int4:
+            if leaf == "q":
+                return n - 2 if is_out else n - 3
+            return n - 2 if is_out else n - 1
         if leaf == "q":
-            return d
-        # s has one fewer (trailing input) dim than q
-        return d if d < len(shape) else None
+            return n - 2 if is_out else n - 1
+        return n - 1 if is_out else None
     # projector dicts are {fc*: {w,b}} — path ends in w/b
     if leaf == "w" and len(shape) == 2:
         if "/fc1/" in path or path.endswith("fc1/w"):
@@ -109,8 +116,13 @@ def param_spec(
     shape: Tuple[int, ...],
     mesh: Mesh,
     strategy: str = "fsdp",
+    grouped_int4: bool = False,
 ) -> P:
-    """PartitionSpec for one parameter tensor."""
+    """PartitionSpec for one parameter tensor.
+
+    `grouped_int4`: the leaf belongs to a grouped-int4 {"q","s"} pair
+    (group-major code storage — shard_params sets this from the sibling
+    dtype, which a path+shape rule alone cannot recover)."""
     if int(np.prod(shape)) < MIN_SHARD_ELEMS:
         return P()
     entries: list = [None] * len(shape)
@@ -127,14 +139,14 @@ def param_spec(
         parts = path.rsplit("/", 2)
         leaf = parts[-1]
         name = parts[-2] if leaf in ("q", "s", "A", "B") and len(parts) >= 2 else leaf
-        min_ndim = 3 if leaf == "s" else 4
+        min_ndim = (3 if leaf == "s" else 4) + (1 if grouped_int4 else 0)
         if (name in _MOE_EXPERT_LEAVES and len(shape) == min_ndim
                 and shape[1] % mesh.shape["ep"] == 0):
             entries[1] = "ep"
             used_dims.add(1)
 
     if "tp" in strategy and "tp" in mesh.axis_names and mesh.shape["tp"] > 1:
-        d = _tp_dim(path, shape)
+        d = _tp_dim(path, shape, grouped_int4=grouped_int4)
         if d is not None and shape[d] % mesh.shape["tp"] == 0:
             entries[d] = "tp"
             used_dims.add(d)
@@ -158,12 +170,25 @@ def shard_params(
     strategy: str = "fsdp",
 ) -> Any:
     """Pytree of NamedShardings mirroring `params` (pass as out_shardings/put target)."""
+    from ..ops.linear import is_grouped_int4, is_quantized
 
     def leaf_sharding(path, leaf):
-        spec = param_spec(_path_str(path), np.shape(leaf), mesh, strategy)
+        p = _path_str(path)
+        if is_quantized(leaf):
+            # visit {"q","s"} pairs wholesale: the grouped-int4 layout is a
+            # dtype property of q that s's spec also depends on
+            grouped = is_grouped_int4(leaf)
+            return {
+                k: NamedSharding(mesh, param_spec(
+                    f"{p}/{k}", np.shape(leaf[k]), mesh, strategy,
+                    grouped_int4=grouped))
+                for k in leaf
+            }
+        spec = param_spec(p, np.shape(leaf), mesh, strategy)
         return NamedSharding(mesh, spec)
 
-    return jax.tree_util.tree_map_with_path(leaf_sharding, params)
+    return jax.tree_util.tree_map_with_path(leaf_sharding, params,
+                                            is_leaf=is_quantized)
 
 
 def place_params(params: Any, mesh: Mesh, strategy: str = "fsdp") -> Any:

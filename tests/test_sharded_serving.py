@@ -153,3 +153,51 @@ def test_sharded_int8_tokens_match(setup):
     assert param_spec("llm/layers/o_proj/s", (32, 4096), mesh, "tp") == P(None, None)
     assert param_spec("llm/lm_head/q", (32064, 4096), mesh, "tp") == P("tp", None)
     assert param_spec("llm/lm_head/s", (32064,), mesh, "tp") == P("tp")
+
+
+def test_sharded_int4_tokens_match(setup):
+    """Grouped-int4 (w4a8) weights shard over tp: group-major [L, G, O, gsz]
+    codes split O for output-sharded weights and the GROUP axis for
+    contraction-sharded ones (gsz stays whole; each device holds whole
+    groups, so the per-group batched dot's partial sums psum exactly).
+    Tokens must match the unsharded int4 run."""
+    if jax.device_count() < 8:
+        pytest.skip("needs 8 devices")
+    from openvla_probe_tpu.ops.linear import quantize_params
+
+    cfg, serving, params, img_cfg, args, _ = setup
+    qparams = {**params, "llm": quantize_params(params["llm"], bits=4,
+                                                group_size=16)}
+
+    import functools
+
+    base_fn = jax.jit(functools.partial(
+        vla.predict_action_from_image, cfg=serving, image_cfg=img_cfg))
+    want = np.asarray(base_fn(
+        qparams, **{k: jnp.asarray(v) for k, v in args.items()})["action_tokens"])
+
+    mesh = make_mesh({"dp": 4, "fsdp": 1, "tp": 2})
+    call, sharded = vla.make_sharded_predict(
+        qparams, serving, mesh, image_cfg=img_cfg, strategy="tp")
+    out = call(sharded, args["image_u8"], args["input_ids"], args["prompt_len"],
+               args["q01"], args["q99"], args["action_mask"])
+    np.testing.assert_array_equal(np.asarray(out["action_tokens"]), want)
+
+    # the RULES at 7B shapes (tiny-model s falls under MIN_SHARD_ELEMS):
+    # q [L, G, O, gsz] / s [L, O, G] — output-sharded splits O in both;
+    # contraction-sharded splits G in both (s's G must track q's groups)
+    from jax.sharding import PartitionSpec as P
+    from openvla_probe_tpu.parallel.sharding import param_spec
+
+    assert param_spec("llm/layers/q_proj/q", (32, 32, 4096, 128), mesh, "tp",
+                      grouped_int4=True) == P(None, None, "tp", None)
+    assert param_spec("llm/layers/q_proj/s", (32, 4096, 32), mesh, "tp",
+                      grouped_int4=True) == P(None, "tp", None)
+    assert param_spec("llm/layers/o_proj/q", (32, 32, 4096, 128), mesh, "tp",
+                      grouped_int4=True) == P(None, "tp", None, None)
+    assert param_spec("llm/layers/o_proj/s", (32, 4096, 32), mesh, "tp",
+                      grouped_int4=True) == P(None, None, "tp")
+    # MoE int4 experts keep E at dim 1 for ep (one extra dim vs int8)
+    epmesh = make_mesh({"dp": 2, "ep": 2, "tp": 2})
+    assert param_spec("llm/layers/gate_proj/q", (8, 4, 32, 512, 128), epmesh,
+                      "tp", grouped_int4=True)[1] == "ep"
