@@ -169,19 +169,39 @@ def merge_and_unload_host(params: Any, lora: Any, cfg: LoRAConfig) -> Any:
     in bf16; int8 base + bf16 merged is 20 GB) — the on-device merge OOMs a
     16 GB chip at save time. Here each adapted leaf is pulled to host RAM,
     merged in fp32, and re-quantized/cast back; unadapted leaves transfer
-    unchanged. Peak host memory is one merged tree + one fp32 leaf."""
-    from ..ops.linear import is_quantized
+    unchanged. Peak host memory is one merged tree + one fp32 leaf.
+
+    Grouped-int4 bases export as per-channel INT8 (a strictly
+    higher-precision representation of the merged weight; the int4 serving
+    artifact is re-derived at load time via load_vla(quantize_bits=4)).
+    Two reasons: s4 device arrays cannot round-trip through numpy on every
+    backend, and checkpoint formats have no packed-4-bit story."""
+    from ..ops.linear import is_grouped_int4, is_quantized
 
     scale = cfg.scaling
 
+    def to_host(x):
+        if getattr(x, "dtype", None) == jnp.int4:
+            # device-side widen first: np.asarray(s4) is UNIMPLEMENTED on
+            # some backends (axon TPU) and recurses on others
+            return np.asarray(jax.jit(lambda a: a.astype(jnp.int8))(x))
+        return np.asarray(x)
+
     def merge(lw, w):
         if lw is None:
-            return jax.tree.map(np.asarray, w)
+            return jax.tree.map(to_host, w)
         A = np.asarray(lw["A"], np.float32)
         B = np.asarray(lw["B"], np.float32)
         delta = scale * np.einsum("...or,...ri->...oi", B, A)
         if is_quantized(w):
-            wf = np.asarray(w["q"], np.float32) * np.asarray(w["s"], np.float32)[..., None]
+            if is_grouped_int4(w):
+                codes = to_host(w["q"]).astype(np.float32)   # [.., G, O, gsz]
+                sg = np.asarray(w["s"], np.float32)           # [.., O, G]
+                wf = codes * np.moveaxis(sg, -1, -2)[..., None]
+                *lead, G, O, gsz = codes.shape
+                wf = np.moveaxis(wf, -3, -2).reshape(*lead, O, G * gsz)
+            else:
+                wf = np.asarray(w["q"], np.float32) * np.asarray(w["s"], np.float32)[..., None]
             wf += delta
             s = np.maximum(np.max(np.abs(wf), axis=-1) / 127.0, 1e-8)
             q = np.clip(np.round(wf / s[..., None]), -127, 127).astype(np.int8)

@@ -268,3 +268,36 @@ def test_qlora_int4_base_trains(tiny_setup):
     assert is_quantized(mq) and is_grouped_int4(mq)
     lmerged, _ = vla_loss_fn(merged, cfg, batch, codec=codec)
     assert np.isfinite(float(lmerged))
+
+
+def test_host_merge_int4_base(tiny_setup, rng):
+    """merge_and_unload_host over a grouped-int4 base: dequantizes the
+    group-major codes correctly and exports per-channel INT8 (the
+    checkpoint-safe higher-precision form; s4 cannot round-trip numpy on
+    every backend)."""
+    cfg, params, codec, batch = tiny_setup
+    qparams = quantize_params(params, bits=4, group_size=32)
+    lcfg = lora.LoRAConfig(r=4)
+    lp = lora.init_lora_params(qparams, lcfg, jax.random.key(2))
+    # non-zero adapters so the merge actually moves the weights
+    lp = jax.tree.map(
+        lambda x: None if x is None
+        else x + 0.01 * jax.random.normal(jax.random.key(3), x.shape, x.dtype),
+        lp, is_leaf=lambda x: x is None)
+    merged = lora.merge_and_unload_host(qparams, lp, lcfg)
+    mq = merged["llm"]["layers"]["q_proj"]
+    assert mq["q"].dtype == np.int8 and mq["s"].ndim == mq["q"].ndim - 1
+    # reference: dequantized int4 base + scale*B@A, requantized per-channel
+    from openvla_probe_tpu.ops.linear import dequantize_weight
+
+    base = np.asarray(dequantize_weight(qparams["llm"]["layers"]["q_proj"],
+                                        jnp.float32))
+    lw = lp["llm"]["layers"]["q_proj"]
+    delta = lcfg.scaling * np.einsum(
+        "...or,...ri->...oi", np.asarray(lw["B"], np.float32),
+        np.asarray(lw["A"], np.float32))
+    want = base + delta
+    got = mq["q"].astype(np.float32) * mq["s"][..., None]
+    err = np.abs(got - want)
+    bound = np.abs(want).max(axis=-1, keepdims=True) / 127.0 + 1e-6
+    assert np.all(err <= bound)
