@@ -62,7 +62,7 @@ def _serving_env_snapshot() -> Tuple[Tuple[str, str], ...]:
     keys = ("OVLA_LEGACY_DECODE", "OVLA_SPLIT_PREFILL", "OVLA_KV_INT8",
             "OVLA_STACKED_KV8", "OVLA_FLAT_CACHE",
             "OVLA_DECODE_UNROLL", "OVLA_PALLAS", "OVLA_W8A8",
-            "OVLA_W4A8", "OVLA_W4A8_GROUP_M_MAX",
+            "OVLA_W4A8", "OVLA_W4A8_GROUP_M_MAX", "OVLA_PALLAS_W4A8",
             # per-kernel Pallas gates are trace-time reads too (llama.py,
             # ops/linear.py): flipping one mid-session must raise, not no-op
             "OVLA_PALLAS_MATMUL", "OVLA_PALLAS_ATTN", "OVLA_PALLAS_DECODE",

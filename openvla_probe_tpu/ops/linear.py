@@ -401,9 +401,94 @@ def _use_w4a8() -> bool:
     return os.environ.get("OVLA_W4A8", "1") == "1"
 
 
+# --- Pallas w4a8 matmul (prefill shapes) --------------------------------------
+
+def _w4a8_pallas_kernel(x_ref, q_ref, st_ref, o_ref, *, gsz: int):
+    """o[bm, bn] = Σ_g (quant(x)[:, g·gsz:(g+1)·gsz] @ q4[g].T) · st[g]
+
+    The fused form of the large-M requant path: the s4 codes stream straight
+    into VMEM (0.5 B/elem — no int8 transient write+read), widen in-register,
+    and hit the int8 MXU per K-group with the group scale applied to each
+    int32 partial. x rides full-K resident; st = scales TRANSPOSED [G, bn]
+    (a [1, bn] dynamic row slice broadcasts; a 1-D slice is Mosaic-hostile).
+    """
+    x = x_ref[:].astype(jnp.float32)
+    sx = jnp.maximum(jnp.max(jnp.abs(x), axis=-1, keepdims=True) / 127.0, 1e-8)
+    xi = jnp.clip(jnp.round(x / sx), -127, 127).astype(jnp.int8)
+    bm = x.shape[0]
+    bn = o_ref.shape[1]
+    G = q_ref.shape[0]
+
+    def body(g, acc):
+        xg = jax.lax.dynamic_slice(xi, (0, g * gsz), (bm, gsz))
+        wg = q_ref[g].astype(jnp.int8)                            # [bn, gsz]
+        p = jax.lax.dot_general(xg, wg, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.int32)
+        sg = jax.lax.dynamic_slice(st_ref[:], (g, 0), (1, bn))    # [1, bn]
+        return acc + p.astype(jnp.float32) * sg
+
+    acc = jax.lax.fori_loop(0, G, body, jnp.zeros((bm, bn), jnp.float32))
+    o_ref[:] = (acc * sx).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _w4a8_pallas_matmul(x2: jnp.ndarray, q: jnp.ndarray, s: jnp.ndarray,
+                        interpret: bool = False) -> jnp.ndarray:
+    """x [M, K] @ grouped-int4 [G, N, gsz] -> [M, N] via the fused kernel.
+
+    N must admit a 128-multiple tile (all llama/ViT int4 leaves do); M pads
+    to the row-tile. Weights are never padded (that would copy the codes in
+    HBM per call)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    M, K = x2.shape
+    G, N, gsz = q.shape
+    bn = next((b for b in (512, 256, 128) if N % b == 0), None)
+    if bn is None:
+        return _w4a8_dot_requant(x2, q, s)
+    bm = min(256, max(8, -(-M // 8) * 8))
+    m_pad = (-M) % bm
+    if m_pad:
+        x2 = jnp.pad(x2, ((0, m_pad), (0, 0)))
+    Mp = M + m_pad
+    st = s.T   # [G, N]
+
+    out = pl.pallas_call(
+        functools.partial(_w4a8_pallas_kernel, gsz=gsz),
+        grid=(Mp // bm, N // bn),
+        in_specs=[
+            pl.BlockSpec((bm, K), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, bn, gsz), lambda i, j: (0, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, bn), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((bm, bn), lambda i, j: (i, j), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Mp, N), x2.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * Mp * K * N, bytes_accessed=Mp * K * 2 + N * K // 2 + Mp * N * 2,
+            transcendentals=0),
+        interpret=interpret,
+    )(x2, q, st)
+    return out[:M]
+
+
+def _use_pallas_w4a8() -> bool:
+    import os
+
+    interp = os.environ.get("OVLA_PALLAS_INTERPRET", "0") == "1"
+    return ((jax.default_backend() == "tpu" or interp)
+            and os.environ.get("OVLA_PALLAS", "0") == "1"
+            and os.environ.get("OVLA_PALLAS_W4A8", "1") == "1")
+
+
 def _w4a8_matmul(x2: jnp.ndarray, w: QuantWeight) -> jnp.ndarray:
     if x2.shape[0] <= _w4a8_group_m_max():
         return _w4a8_dot_grouped(x2, w["q"], w["s"])
+    if _use_pallas_w4a8():
+        import os
+
+        interp = os.environ.get("OVLA_PALLAS_INTERPRET", "0") == "1"
+        return _w4a8_pallas_matmul(x2, w["q"], w["s"], interpret=interp)
     return _w4a8_dot_requant(x2, w["q"], w["s"])
 
 

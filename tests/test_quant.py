@@ -357,3 +357,41 @@ def test_int4_random_params_like_eager():
     assert np.all(np.asarray(q["s"]) > 0)
     # embeddings/norms stay float and non-degenerate
     assert float(jnp.abs(p["embed_tokens"]).max()) > 0
+
+
+def test_w4a8_pallas_kernel_interpret_matches_grouped(rng, monkeypatch):
+    """The fused Pallas w4a8 matmul (interpret mode) matches the XLA grouped
+    batched dot to f32 summation-order dust: same activation quant, same
+    exact per-group int32 partials; only the f32 accumulation ORDER over
+    groups differs (sequential fori vs einsum tree), which can flip a bf16
+    output at a rounding boundary."""
+    w = jnp.asarray(rng.normal(size=(256, 256)).astype(np.float32))
+    qw = linear.quantize_weight_int4(w, group_size=64)
+    x = jnp.asarray(rng.normal(size=(40, 256)), jnp.bfloat16)  # pads 40 -> bm
+    got = np.asarray(linear._w4a8_pallas_matmul(x, qw["q"], qw["s"],
+                                                interpret=True), np.float32)
+    want = np.asarray(linear._w4a8_dot_grouped(x, qw["q"], qw["s"]),
+                      np.float32)
+    assert np.abs(got - want).max() <= 0.01 * np.abs(want).max()
+
+
+def test_w4a8_pallas_gate_in_matmul_t(rng, monkeypatch):
+    """OVLA_PALLAS=1 (+interpret on CPU) routes large-M int4 matmuls through
+    the fused kernel inside matmul_t; ungroupable-tile N falls back."""
+    monkeypatch.setenv("OVLA_PALLAS", "1")
+    monkeypatch.setenv("OVLA_PALLAS_INTERPRET", "1")
+    w = jnp.asarray(rng.normal(size=(256, 256)).astype(np.float32))
+    qw = linear.quantize_weight_int4(w, group_size=64)
+    x = jnp.asarray(rng.normal(size=(64, 256)), jnp.bfloat16)  # M > group max
+    got = np.asarray(linear.matmul_t(x, qw))
+    want = np.asarray(linear._w4a8_pallas_matmul(x, qw["q"], qw["s"],
+                                                 interpret=True))
+    np.testing.assert_array_equal(got, want)
+    # N with no 128-multiple tile: falls back to the requant path (jit-vs-
+    # eager fusion dust can flip a bf16 rounding, so compare with a bound)
+    w2 = jnp.asarray(rng.normal(size=(96, 256)).astype(np.float32))
+    qw2 = linear.quantize_weight_int4(w2, group_size=64)
+    got2 = np.asarray(linear.matmul_t(x, qw2), np.float32)
+    want2 = np.asarray(linear._w4a8_dot_requant(x, qw2["q"], qw2["s"]),
+                       np.float32)
+    assert np.abs(got2 - want2).max() <= 0.01 * np.abs(want2).max()
