@@ -482,13 +482,16 @@ def _use_pallas_w4a8() -> bool:
 
 
 def _w4a8_matmul(x2: jnp.ndarray, w: QuantWeight) -> jnp.ndarray:
-    if x2.shape[0] <= _w4a8_group_m_max():
-        return _w4a8_dot_grouped(x2, w["q"], w["s"])
     if _use_pallas_w4a8():
+        # the kernel covers EVERY M: its [bm, bn] accumulator never leaves
+        # VMEM, where the XLA grouped dot's [G, M, N] int32 intermediate
+        # spills at the K=11008 shapes (even decode M pads to 8 sublanes)
         import os
 
         interp = os.environ.get("OVLA_PALLAS_INTERPRET", "0") == "1"
         return _w4a8_pallas_matmul(x2, w["q"], w["s"], interpret=interp)
+    if x2.shape[0] <= _w4a8_group_m_max():
+        return _w4a8_dot_grouped(x2, w["q"], w["s"])
     return _w4a8_dot_requant(x2, w["q"], w["s"])
 
 

@@ -395,3 +395,16 @@ def test_w4a8_pallas_gate_in_matmul_t(rng, monkeypatch):
     want2 = np.asarray(linear._w4a8_dot_requant(x, qw2["q"], qw2["s"]),
                        np.float32)
     assert np.abs(got2 - want2).max() <= 0.01 * np.abs(want2).max()
+
+
+def test_w4a8_pallas_kernel_decode_m(rng):
+    """The kernel handles decode-sized M (pads 1 -> 8 sublane rows) and
+    matches the XLA grouped dot — this is the bs=1 serving shape."""
+    w = jnp.asarray(rng.normal(size=(256, 512)).astype(np.float32))
+    qw = linear.quantize_weight_int4(w, group_size=64)
+    x = jnp.asarray(rng.normal(size=(1, 512)), jnp.bfloat16)
+    got = np.asarray(linear._w4a8_pallas_matmul(x, qw["q"], qw["s"],
+                                                interpret=True), np.float32)
+    want = np.asarray(linear._w4a8_dot_grouped(x, qw["q"], qw["s"]), np.float32)
+    assert got.shape == want.shape == (1, 256)
+    assert np.abs(got - want).max() <= 0.01 * np.abs(want).max()
