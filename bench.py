@@ -13,10 +13,12 @@ against that target.
 
 Env knobs: BENCH_SCALE=tiny|full|13b (tiny = smoke run; 13b = Llama-2-13B
 trunk, fits one 16 GB chip in int8); BENCH_CALLS=N (default 30);
-BENCH_BATCH=N (default 24) batched serving; BENCH_QUANT=int8|int4|bf16
-(default int8) — int8/int4 are turbo serving modes (weight-only quantized
-trunk; int4 = grouped scales, half the int8 weight stream); bf16 is the
-bit-parity mode; BENCH_SPECULATIVE=1 verified
+BENCH_BATCH=N (default 24) batched serving; BENCH_QUANT=int8|int4|mix|bf16
+(default mix — the measured-best headline config, PERF_r03.md ninth
+session) — int8/int4/mix are turbo serving modes (weight-only quantized
+trunk; int4 = grouped scales, half the int8 weight stream; mix =
+dual-precision, int8 prefill + grouped-int4 decode, both copies resident);
+bf16 is the bit-parity mode; BENCH_SPECULATIVE=1 verified
 draft-from-previous-step serving; BENCH_CAPTURE=1 emit all per-layer probe
 taps; BENCH_ACTION_DIM=1 isolates prefill.
 """
@@ -38,7 +40,7 @@ def main() -> None:
     scale = os.environ.get("BENCH_SCALE", "full")
     n_calls = int(os.environ.get("BENCH_CALLS", "30"))
     batch = int(os.environ.get("BENCH_BATCH", "24"))
-    quant = os.environ.get("BENCH_QUANT", "int8")
+    quant = os.environ.get("BENCH_QUANT", "mix")
 
     action_dim = int(os.environ.get("BENCH_ACTION_DIM", "7"))
     prompt_pad = int(os.environ.get("BENCH_PROMPT_PAD", "32"))
@@ -53,7 +55,7 @@ def main() -> None:
         # BENCH_SCALE=13b: Llama-2-13B trunk (13 GB int8 on one 16 GB chip)
         cfg = (vlm.VLMConfig.openvla_13b() if scale == "13b"
                else vlm.VLMConfig.openvla_7b())
-        if quant in ("int8", "int4"):
+        if quant in ("int8", "int4", "mix"):
             cfg = cfg.turbo()  # THE turbo numerics (single definition in vlm)
         serving = vla.VLAServingConfig(vlm=cfg, prompt_pad_len=prompt_pad,
                                        action_dim=action_dim,
@@ -64,7 +66,7 @@ def main() -> None:
     serving = serving.with_env_overrides()
 
     # init weights directly on device (bf16) — value-independent benchmark
-    if quant in ("int8", "int4"):
+    if quant in ("int8", "int4", "mix"):
         from openvla_probe_tpu.ops.linear import (
             _DEFAULT_QUANT_SUFFIXES,
             TURBO_QUANT_SUFFIXES,
@@ -84,9 +86,9 @@ def main() -> None:
         shapes = jax.eval_shape(
             lambda key: quantize_params({**vlm.init_params(cfg, key)},
                                         suffixes=suffixes,
-                                        bits=4 if quant == "int4" else 8),
+                                        bits={"int4": 4, "mix": "mix"}.get(quant, 8)),
             jax.random.key(0))
-        if quant == "int4":
+        if quant in ("int4", "mix"):
             # per-leaf eager materialization: the whole-tree codes+s4
             # co-materialization OOMs at 13B (ops.linear docstring)
             from openvla_probe_tpu.ops.linear import random_params_like_eager_int4
@@ -225,7 +227,12 @@ def main() -> None:
             args1[key] = args1[key][:1]
         args1["draft_tokens"] = jnp.asarray(
             np.asarray(out["action_tokens"])[:1], jnp.int32)
-        _ = np.asarray(spec1_fn(params, **args1)["action_tokens"])  # compile
+        # steady state = draft is the bs=1 model's OWN previous output, not
+        # the batched run's row 0 (batched-vs-bs1 matmul reduction orders
+        # disagree at random-weight margins, which would understate
+        # acceptance and time the sequential-tail path instead)
+        toks1 = np.asarray(spec1_fn(params, **args1)["action_tokens"])  # compile
+        args1["draft_tokens"] = jnp.asarray(toks1, jnp.int32)
         for _ in range(3):
             _ = np.asarray(spec1_fn(params, **args1)["action_tokens"])
         t0 = time.time()

@@ -367,17 +367,27 @@ def fuse_serving_params(llm_params: Params) -> Params:
     """Serving-side weight fusion: q/k/v -> one [L, (H+2Hkv)Dh, D] stack and
     gate/up -> one [L, 2F, D] stack, so each decode layer runs 4 projections
     instead of 7 (decode is HBM/dispatch bound — same bytes, fewer streams).
-    Works for plain and quantized ({q,s}) weights: per-output-channel scales
-    concatenate along the fused output dim, so numerics are IDENTICAL.
+    Works for plain, quantized ({q,s} — per-channel int8 AND group-major
+    int4), and dual-precision mixed leaves: every copy concatenates along
+    ITS output-channel axis (groups cover the shared in-dim, so the group
+    structure is untouched), so numerics are IDENTICAL.
     Training paths keep the unfused layout (HF checkpoint parity)."""
+    from ..ops.linear import is_grouped_int4
+
     layers = dict(llm_params["layers"])
 
     def cat(names, out):
         ws = [layers.pop(n) for n in names]
-        if isinstance(ws[0], dict):  # quantized {q, s}
+        if isinstance(ws[0], dict):  # quantized — concat each copy on its O axis
+            assert all(set(w) == set(ws[0]) for w in ws), \
+                f"fusing {names}: mismatched quant layouts {[set(w) for w in ws]}"
+            # per-key output-channel axis: q [L,O,I] / grouped q|q4
+            # [L,G,O,gsz] / grouped s|s4 [L,O,G] -> -2; per-channel s
+            # [L,O] -> -1 (grouped-only leaves carry the GROUPED s)
+            axis = {"s": -2 if is_grouped_int4(ws[0]) else -1}
             layers[out] = {
-                "q": jnp.concatenate([w["q"] for w in ws], axis=1),
-                "s": jnp.concatenate([w["s"] for w in ws], axis=1),
+                k: jnp.concatenate([w[k] for w in ws], axis=axis.get(k, -2))
+                for k in ws[0]
             }
         else:
             layers[out] = jnp.concatenate(ws, axis=1)

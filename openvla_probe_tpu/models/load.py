@@ -172,7 +172,7 @@ def load_vla(
     dtype=jnp.bfloat16,
     prompt_pad_len: int = 48,
     quantize_int8: bool = False,
-    quantize_bits: int = 8,
+    quantize_bits: Union[int, str] = 8,
     cache_dir: Optional[Union[str, Path]] = None,
     hf_token: Optional[str] = None,
     step_to_load: Optional[int] = None,
@@ -185,9 +185,11 @@ def load_vla(
     native run dir, an openvla/openvla-dev run id (`{model_type}/{id}` with
     `step_to_load` checkpoint selection), or an `org/name` HF repo
     (e.g. openvla/openvla-7b). `quantize_int8` switches the Llama trunk to
-    the weight-only turbo mode — int8, or grouped int4 with
-    `quantize_bits=4` (half the int8 weight stream; bf16 stays the
-    bit-parity mode).
+    the weight-only turbo mode — int8, grouped int4 with `quantize_bits=4`
+    (half the int8 weight stream), or dual-precision with
+    `quantize_bits="mix"` (int8 prefill + int4 decode, 1.5x the int8 bytes
+    resident; fastest end-to-end — PERF_r03.md); bf16 stays the bit-parity
+    mode.
     """
     path = Path(checkpoint_path)
     if path.is_file():

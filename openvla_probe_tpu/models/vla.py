@@ -88,6 +88,12 @@ class VLAServingConfig:
     | pallas      | int8      | turbo + Pallas kernels     | frozen-KV split decode| OVLA_PALLAS=1 ops gate (direct-runtime only) |
     | pallas_kv8  | int8      | turbo + int8 WHOLE cache   | stacked-carry Pallas fused-dequant kernel | margin-certified like turbo_kv8 (int8 decode-token KV too) |
 
+    The WEIGHT representation is orthogonal to the tier row: int8, grouped
+    int4, or dual-precision "mix" (quantize_weight_mixed: int8 prefill +
+    int4 decode copies, matmul_t dispatching on row count — the measured
+    headline config, PERF_r03.md ninth session) all serve through `turbo`,
+    exactly like `load_vla(quantize_bits=...)`.
+
     Build tiers with `for_tier(vlm_cfg, "turbo")`; `tier` records which row a
     config is, and gates tier-dependent features (speculative decoding is
     turbo-only: its batched verify pass is not reduction-order-identical to

@@ -140,6 +140,40 @@ def quantize_weight_int4(
     return {"q": materialize_int4(codes), "s": s}
 
 
+def quantize_weight_mixed(
+    w: jnp.ndarray, group_size: int = 128, emit_codes: bool = False
+) -> QuantWeight:
+    """Dual-precision serving leaf: per-channel int8 AND grouped int4, both
+    quantized from the SAME bf16 weights.
+
+    {"q": int8 [..., O, I], "s": f32 [..., O],          <- prefill (large M)
+     "q4": s4 [..., G, O, gsz], "s4": f32 [..., O, G]}  <- decode  (small M)
+
+    Rationale (PERF_r03.md): at prefill M the int8 w8a8 dot is the fastest
+    formulation (the w4a8 requant transient costs +19%); at decode M the
+    grouped-int4 batched dot BEATS int8 (0.016 vs 0.022 ms — the weight
+    stream halves and the [G,M,N] accumulator fuses in VMEM). Holding both
+    copies resident (int8 + int4 = 1.5x the int8 bytes) buys int8-tier
+    prefill AND int4-tier decode in one serving call. matmul_t dispatches on
+    the (static, traced-per-scan) row count. Numerics: prefill positions see
+    exactly the int8-turbo perturbation, decode matmuls the int4 one — both
+    individually certified (PARITY_r03.md).
+    """
+    w8 = quantize_weight(w)
+    in_dim = np.shape(w)[-1]
+    if in_dim % min(group_size, in_dim):
+        # ungroupable in-dim (same rule as quantize_params' bits=4 fallback):
+        # a single int8 copy serves both M regimes
+        return w8
+    w4 = quantize_weight_int4(w, group_size=group_size, emit_codes=emit_codes)
+    return {"q": w8["q"], "s": w8["s"], "q4": w4["q"], "s4": w4["s"]}
+
+
+def is_mixed_quant(w: Any) -> bool:
+    """Dual-precision {"q","s","q4","s4"} leaf (see quantize_weight_mixed)."""
+    return is_quantized(w) and "q4" in w
+
+
 def is_grouped_int4(w: Any) -> bool:
     """Grouped-int4 weight: q [..., G, O, gsz] (s4, or int8 CODES from
     emit_codes=True) with scales s [..., O, G]."""
@@ -513,6 +547,25 @@ def matmul_t(x: jnp.ndarray, w: AnyWeight) -> jnp.ndarray:
     lead = x.shape[:-1]
     K = x.shape[-1]
     x2 = x.reshape(-1, K)
+    if "q4" in w:
+        # dual-precision leaf: row count picks the copy (static per trace —
+        # the prefill and decode scan bodies trace separately, so each jit
+        # reads exactly one copy's bytes on its hot path). The decode copy
+        # is int4 at EVERY decode M, including the M=1 regime where XLA's
+        # grouped dot is slow (PERF_r03.md: bs=1 sequential int4 136.6 vs
+        # int8 82.4 ms): routing M=1 to the int8 copy would make the
+        # speculative verify (M=B*T, int4) and the sequential tail (M=1)
+        # read DIFFERENT weights, breaking spec-vs-sequential token
+        # equality by construction rather than by reduction order. bs=1
+        # sequential serving should use int8 or speculative mix instead.
+        if _use_w4a8() and x2.shape[0] <= _w4a8_group_m_max():
+            out = _w4a8_dot_grouped(x2, w["q4"], w["s4"])
+        elif _use_w8a8():
+            out = _w8a8_matmul(x2, {"q": w["q"], "s": w["s"]})
+        else:
+            wd = dequantize_weight(w, x.dtype)
+            out = x2 @ wd.T
+        return out.reshape(*lead, -1)
     int8 = w["q"].dtype == jnp.int8 and not is_grouped_int4(w)
     int4 = w["q"].dtype == jnp.int4
     if _use_pallas() and int8:
@@ -560,8 +613,13 @@ def random_params_like(
             # code leaf eagerly afterwards.
             codes = jax.random.randint(k, s.shape, -7, 8, dtype=jnp.int8)
             leaves.append(codes if int4_as_codes else materialize_int4(codes))
-        elif name == "s":
-            leaves.append((s_lo * (1.0 + jax.random.uniform(k, s.shape, jnp.float32))
+        elif name in ("s", "s4"):
+            # grouped-int4 scales ("s4", and bare grouped "s" leaves share
+            # the branch harmlessly): absmax over a 128-group of N(0, w) is
+            # ~3.2w, over /7 — keep effective weight magnitudes at the same
+            # operating point as the int8 copies
+            lo = weight_scale * 3.2 / 7.0 if name == "s4" else s_lo
+            leaves.append((lo * (1.0 + jax.random.uniform(k, s.shape, jnp.float32))
                            ).astype(s.dtype))
         elif jnp.issubdtype(s.dtype, jnp.floating):
             leaves.append((jax.random.normal(k, s.shape, jnp.float32) * weight_scale
@@ -638,13 +696,24 @@ def quantize_params(
     `emit_codes` (bits=4 under jit): leave int4 leaves as int8 CODES for the
     caller to materialize_int4 eagerly per leaf (s4 jit outputs carry
     poisoned layout metadata — see _canonical_s4_format).
+
+    bits="mix": dual-precision serving tier — the DECODE-stream leaves
+    (_DEFAULT_QUANT_SUFFIXES: llama trunk + lm_head, the bytes every cached
+    decode step streams) carry BOTH int8 and grouped-int4 copies
+    (quantize_weight_mixed); everything else in `suffixes` (the ViT towers,
+    which only ever run at prefill M) stays single-copy int8.
     """
-    if bits not in (4, 8):
-        raise ValueError(f"bits must be 4 or 8, got {bits}")
+    if bits not in (4, 8, "mix"):
+        raise ValueError(f"bits must be 4, 8 or 'mix', got {bits}")
 
     def walk(path, leaf):
         name = path[-1].key if path and hasattr(path[-1], "key") else ""
         if name in suffixes and np.ndim(leaf) >= 2:
+            if bits == "mix":
+                if name in _DEFAULT_QUANT_SUFFIXES:
+                    return quantize_weight_mixed(leaf, group_size=group_size,
+                                                 emit_codes=emit_codes)
+                return quantize_weight(leaf)
             if bits == 4:
                 if np.shape(leaf)[-1] % min(group_size, np.shape(leaf)[-1]):
                     # in-dims with no usable group size (SigLIP-so400m's mlp

@@ -176,12 +176,15 @@ def shard_params(
         p = _path_str(path)
         if is_quantized(leaf):
             # visit {"q","s"} pairs wholesale: the grouped-int4 layout is a
-            # dtype property of q that s's spec also depends on
+            # dtype property of q that s's spec also depends on. Dual-
+            # precision leaves (quantize_weight_mixed) add grouped-layout
+            # "q4"/"s4" siblings next to per-channel int8 "q"/"s": each key
+            # shards by ITS copy's layout rule.
             grouped = is_grouped_int4(leaf)
             return {
                 k: NamedSharding(mesh, param_spec(
-                    f"{p}/{k}", np.shape(leaf[k]), mesh, strategy,
-                    grouped_int4=grouped))
+                    f"{p}/{k.rstrip('4')}", np.shape(leaf[k]), mesh, strategy,
+                    grouped_int4=grouped or k in ("q4", "s4")))
                 for k in leaf
             }
         spec = param_spec(p, np.shape(leaf), mesh, strategy)

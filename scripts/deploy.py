@@ -30,7 +30,9 @@ class DeployConfig:
     host: str = "0.0.0.0"
     port: int = 8000
     quantize_int8: bool = False            # turbo serving mode (non-bit-parity)
-    quantize_bits: int = 8                 # 8 | 4 (grouped int4, half the stream)
+    quantize_bits: str = "8"               # 8 | 4 (grouped int4, half the
+                                           # stream) | mix (int8 prefill +
+                                           # int4 decode, fastest end-to-end)
     prompt_pad_len: int = 48
     dynamic_batching: bool = False         # micro-batch concurrent requests
     max_batch: int = 24
@@ -45,7 +47,8 @@ def main(cfg: DeployConfig) -> None:
     model = load_vla(
         cfg.openvla_path, prompt_pad_len=cfg.prompt_pad_len,
         quantize_int8=cfg.quantize_int8,
-        quantize_bits=cfg.quantize_bits,
+        quantize_bits=(int(cfg.quantize_bits) if str(cfg.quantize_bits).isdigit()
+                       else cfg.quantize_bits),
     )
     server = OpenVLAServer(
         model, base_vlm=Path(cfg.openvla_path).name,

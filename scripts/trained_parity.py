@@ -90,9 +90,11 @@ class TrainedParityConfig:
     # which quantized serving tier the quantized phase certifies: "turbo"
     # (the int8 bench headline), "turbo_kv8" (+ int8 frozen prefill KV — the
     # wider perturbation row of the tier matrix), "pallas_kv8" (int8 stacked
-    # cache + fused-dequant Pallas decode kernel), or "int4" (grouped int4
+    # cache + fused-dequant Pallas decode kernel), "int4" (grouped int4
     # weights served through the turbo config — the widest perturbation of
-    # the matrix, and the 13B-on-one-chip / halved-decode-stream tier)
+    # the matrix, and the 13B-on-one-chip / halved-decode-stream tier), or
+    # "mix" (dual-precision int8-prefill + int4-decode leaves — prefill
+    # positions see the int8 perturbation, decode matmuls the int4 one)
     int8_tier: str = "turbo"
     fleet_batch: int = 24                # steady-state fleet-serving batch
 
@@ -313,14 +315,17 @@ def load_adapters(base, pc: TrainedParityConfig):
     return restored["lora"], lcfg
 
 
-def merge_requantize_on_device(holder, lcfg, bits: int = 8):
+def merge_requantize_on_device(holder, lcfg, bits=8):
     """Merged turbo tree, leaf by leaf on device (bounded transients).
 
     Quantized {"q","s"} leaves: dequant + scale*B@A in fp32 per stacked layer
     (lax.map bounds the fp32 transient to ONE layer's weight), requantize —
-    per-channel int8, or grouped int4 with `bits=4` (leaves whose in-dim has
-    no usable group fall back to int8, mirroring ops.linear.quantize_params).
-    Plain adapted leaves merge in fp32 and keep their dtype.
+    per-channel int8, grouped int4 with `bits=4`, or dual-precision with
+    `bits="mix"` (BOTH copies quantized from the same merged fp32 weights —
+    exactly load_vla(quantize_bits="mix")'s relation to the bf16 master).
+    Leaves whose in-dim has no usable group fall back to int8, mirroring
+    ops.linear.quantize_params. Plain adapted leaves merge in fp32 and keep
+    their dtype.
 
     `holder` is a [base, lora] list whose entries this function POPS: the
     caller must hold no other references, so each replaced base leaf frees as
@@ -339,14 +344,19 @@ def merge_requantize_on_device(holder, lcfg, bits: int = 8):
     holder.clear()
     scale = lcfg.scaling
 
-    def merge_q(q, s, A, B, int4: bool = False):
+    def merge_q(q, s, A, B, mode: str = "int8"):
         wf = (q.astype(jnp.float32) * s[..., None].astype(jnp.float32)
               + scale * (B.astype(jnp.float32) @ A.astype(jnp.float32)))
-        # int4 leaves leave the jit as int8 CODES; the caller materializes
-        # s4 eagerly per leaf (s4 jit outputs carry poisoned layout metadata
-        # on TPU — ops.linear._canonical_s4_format)
-        return (quantize_weight_int4(wf, emit_codes=True) if int4
-                else quantize_weight(wf))
+        # int4 code leaves leave the jit as int8 CODES; the caller
+        # materializes s4 eagerly per leaf (s4 jit outputs carry poisoned
+        # layout metadata on TPU — ops.linear._canonical_s4_format)
+        if mode == "int4":
+            return quantize_weight_int4(wf, emit_codes=True)
+        if mode == "mix":
+            w8 = quantize_weight(wf)
+            w4 = quantize_weight_int4(wf, emit_codes=True)
+            return {"q": w8["q"], "s": w8["s"], "q4": w4["q"], "s4": w4["s"]}
+        return quantize_weight(wf)
 
     def merge_plain(w, A, B):
         wf = w.astype(jnp.float32) + scale * (B.astype(jnp.float32) @ A.astype(jnp.float32))
@@ -356,10 +366,10 @@ def merge_requantize_on_device(holder, lcfg, bits: int = 8):
     lflat, _ = jax.tree_util.tree_flatten(lora_params, is_leaf=_is_ab)
     assert len(pflat) == len(lflat), "adapter/base tree mismatch"
     del base, lora_params
-    stacked_q = jax.jit(lambda q, s, A, B, int4=False: jax.lax.map(
-        lambda args: merge_q(*args, int4=int4), (q, s, A, B)),
-        static_argnames=("int4",))
-    flat_q = jax.jit(merge_q, static_argnames=("int4",))
+    stacked_q = jax.jit(lambda q, s, A, B, mode="int8": jax.lax.map(
+        lambda args: merge_q(*args, mode=mode), (q, s, A, B)),
+        static_argnames=("mode",))
+    flat_q = jax.jit(merge_q, static_argnames=("mode",))
     plain = jax.jit(merge_plain)
     for i in range(len(pflat)):
         w, lw = pflat[i], lflat[i]
@@ -367,11 +377,15 @@ def merge_requantize_on_device(holder, lcfg, bits: int = 8):
             continue
         if is_quantized(w):
             I = w["q"].shape[-1]
-            int4 = bits == 4 and I % min(128, I) == 0
+            groupable = I % min(128, I) == 0
+            mode = bits if bits in (4, "mix") and groupable else 8
+            mode = {4: "int4", "mix": "mix", 8: "int8"}[mode]
             fn = stacked_q if w["q"].ndim >= 3 else flat_q
-            new = fn(w["q"], w["s"], lw["A"], lw["B"], int4=int4)
-            if int4:
+            new = fn(w["q"], w["s"], lw["A"], lw["B"], mode=mode)
+            if mode == "int4":
                 new = {"q": materialize_int4(new["q"]), "s": new["s"]}
+            elif mode == "mix":
+                new = {**new, "q4": materialize_int4(new["q4"])}
         else:
             new = plain(w, lw["A"], lw["B"])
         pflat[i] = new
@@ -390,9 +404,9 @@ def make_model(params, cfg, img_cfg, pad_len, tier: str = "parity"):
     serving = vla.VLAServingConfig(
         vlm=cfg, prompt_pad_len=pad_len,
         codec_vocab_size=min(cfg.llm.vocab_size, 32000),
-        # "int4" is a WEIGHT change, not a serving-graph change: it serves
-        # through the turbo config (same as load_vla(quantize_bits=4))
-        tier="turbo" if tier == "int4" else tier,
+        # "int4"/"mix" are WEIGHT changes, not serving-graph changes: they
+        # serve through the turbo config (same as load_vla(quantize_bits=...))
+        tier="turbo" if tier in ("int4", "mix") else tier,
         decode_impl=decode_impl,
         kv_int8=(tier == "turbo_kv8"),
         # this harness MEASURES the parity-tier speculative disagreement the
@@ -624,7 +638,7 @@ def main(pc: TrainedParityConfig) -> None:
     holder = [base, lora_params]
     del base, lora_params
     turbo_tree = merge_requantize_on_device(
-        holder, lcfg, bits=4 if pc.int8_tier == "int4" else 8)
+        holder, lcfg, bits={"int4": 4, "mix": "mix"}.get(pc.int8_tier, 8))
     gc.collect()
     tcfg = cfg.turbo() if pc.scale == "full" else cfg
     model = make_model(turbo_tree, tcfg, img_cfg, pad_len, tier=pc.int8_tier)

@@ -140,16 +140,20 @@ def test_prefill_taps_match_forward_taps():
     )
 
 
-@pytest.mark.parametrize("quantized", [False, True])
-def test_fused_serving_weights_token_identical(quantized):
+@pytest.mark.parametrize("quant", ["bf16", "int8", "int4", "mix"])
+def test_fused_serving_weights_token_identical(quant):
     """fuse_serving_params (qkv + gate_up stacks) must be BITWISE identical:
-    each output channel's dot is unchanged, only the dispatch count drops."""
+    each output channel's dot is unchanged, only the dispatch count drops.
+    Grouped-int4 and mixed leaves concat every copy on ITS output axis —
+    the group structure (which covers the shared in-dim) is untouched."""
     llm_cfg = _tiny_cfg()
     cfg, serving, params = _serving(llm_cfg)
-    if quantized:
+    if quant != "bf16":
         from openvla_probe_tpu.ops.linear import quantize_params
 
-        params = {**params, "llm": quantize_params(params["llm"])}
+        bits = {"int8": 8, "int4": 4, "mix": "mix"}[quant]
+        params = {**params, "llm": quantize_params(params["llm"], bits=bits,
+                                                   group_size=32)}
     ex = _example(serving)
     want = _run(params, serving, ex)
 

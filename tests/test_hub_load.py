@@ -232,3 +232,11 @@ def test_load_vla_quantized_tiers(tiny_run_dir):
     assert q4["s"].ndim == q4["q"].ndim - 1
     assert q4["q"].shape[-2] == q4["s"].shape[-2]   # O
     assert q4["q"].shape[-3] == q4["s"].shape[-1]   # G
+    # dual-precision serving tier: both copies resident on trunk leaves
+    from openvla_probe_tpu.ops.linear import is_mixed_quant
+
+    mm = load_mod.load_vla(pt, quantize_int8=True, quantize_bits="mix")
+    assert mm.cfg.tier == "turbo"
+    qm = mm.params["llm"]["layers"]["q_proj"]
+    assert is_mixed_quant(qm)
+    assert qm["q"].dtype == jnp.int8 and qm["q4"].dtype == jnp.int4

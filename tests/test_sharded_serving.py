@@ -201,3 +201,33 @@ def test_sharded_int4_tokens_match(setup):
     epmesh = make_mesh({"dp": 2, "ep": 2, "tp": 2})
     assert param_spec("llm/layers/gate_proj/q", (8, 4, 32, 512, 128), epmesh,
                       "tp", grouped_int4=True)[1] == "ep"
+
+
+def test_sharded_mix_tokens_match(setup):
+    """Dual-precision ("mix") leaves shard over tp with each copy following
+    ITS layout rule (q/s per-channel int8, q4/s4 grouped — shard_params keys
+    q4/s4 back to the q/s rules with grouped_int4=True). Tokens must match
+    the unsharded mix run, which itself dispatches int8 at prefill M and the
+    grouped-int4 dot at decode M."""
+    if jax.device_count() < 8:
+        pytest.skip("needs 8 devices")
+    from openvla_probe_tpu.ops.linear import is_mixed_quant, quantize_params
+
+    cfg, serving, params, img_cfg, args, _ = setup
+    qparams = {**params, "llm": quantize_params(params["llm"], bits="mix",
+                                                group_size=16)}
+    assert is_mixed_quant(qparams["llm"]["layers"]["q_proj"])
+
+    import functools
+
+    base_fn = jax.jit(functools.partial(
+        vla.predict_action_from_image, cfg=serving, image_cfg=img_cfg))
+    want = np.asarray(base_fn(
+        qparams, **{k: jnp.asarray(v) for k, v in args.items()})["action_tokens"])
+
+    mesh = make_mesh({"dp": 4, "fsdp": 1, "tp": 2})
+    call, sharded = vla.make_sharded_predict(
+        qparams, serving, mesh, image_cfg=img_cfg, strategy="tp")
+    out = call(sharded, args["image_u8"], args["input_ids"], args["prompt_len"],
+               args["q01"], args["q99"], args["action_mask"])
+    np.testing.assert_array_equal(np.asarray(out["action_tokens"]), want)

@@ -89,3 +89,55 @@ def test_merge_requantize_matches_merge_lora():
     # quantized leaves stay quantized
     assert set(got["layers"]["q_proj"].keys()) == {"q", "s"}
     assert got["layers"]["q_proj"]["q"].dtype == jnp.int8
+
+
+def test_merge_requantize_mix_mode():
+    """bits="mix": both copies quantize from the SAME merged fp32 weights —
+    q/s bit-match the bits=8 merge, q4/s4 bit-match quantize_weight_int4 of
+    the merged fp32 (= load_vla(quantize_bits="mix")'s relation to bf16)."""
+    from openvla_probe_tpu.ops.linear import (
+        dequantize_weight, is_mixed_quant, quantize_weight, quantize_weight_int4)
+    from openvla_probe_tpu.training import lora
+
+    g = np.random.default_rng(1)
+    base = {
+        "layers": {
+            "q_proj": quantize_weight(jnp.asarray(
+                g.standard_normal((2, 16, 128)), jnp.float32)),
+        },
+        "lm_head": quantize_weight(jnp.asarray(
+            g.standard_normal((32, 128)), jnp.float32)),
+    }
+    lcfg = lora.LoRAConfig(r=4, include_lm_head=True)
+    adapters = lora.init_lora_params(base, lcfg, jax.random.key(0))
+    adapters = jax.tree.map(lambda x: x + 0.1, adapters)
+
+    copy = lambda t: jax.tree.map(lambda x: x, t)
+    got8 = merge_requantize_on_device([copy(base), copy(adapters)], lcfg, bits=8)
+    gotm = merge_requantize_on_device([copy(base), copy(adapters)], lcfg, bits="mix")
+
+    # reconstruct the merged fp32 weights exactly as merge_q computes them
+    def wf_of(qw, ab):
+        return np.asarray(
+            qw["q"].astype(jnp.float32) * qw["s"][..., None].astype(jnp.float32)
+            + lcfg.scaling * (ab["B"].astype(jnp.float32)
+                              @ ab["A"].astype(jnp.float32)), np.float32)
+
+    wfs = {("layers", "q_proj"): wf_of(base["layers"]["q_proj"],
+                                       adapters["layers"]["q_proj"]),
+           ("lm_head",): wf_of(base["lm_head"], adapters["lm_head"])}
+    for path, wf in wfs.items():
+        m8, mm = got8, gotm
+        for k in path:
+            m8, mm = m8[k], mm[k]
+        assert is_mixed_quant(mm), path
+        np.testing.assert_array_equal(np.asarray(mm["q"]), np.asarray(m8["q"]))
+        np.testing.assert_array_equal(np.asarray(mm["s"]), np.asarray(m8["s"]))
+        # the int4 copy quantizes the SAME merged fp32 wf — up to one int4
+        # LSB of reassociation slack between the jitted and eager wf
+        w4 = quantize_weight_int4(jnp.asarray(wf))
+        d_mm = np.asarray(dequantize_weight({"q": mm["q4"], "s": mm["s4"]},
+                                            jnp.float32), np.float32)
+        d_w4 = np.asarray(dequantize_weight(w4, jnp.float32), np.float32)
+        lsb4 = float(np.abs(np.asarray(mm["s4"], np.float32)).max())
+        np.testing.assert_allclose(d_mm, d_w4, atol=1.01 * lsb4 + 1e-6)
