@@ -398,15 +398,13 @@ def _w4a8_dot_grouped_fwd(x2, q, s):
 
 
 def _w4a8_dot_grouped_bwd(res, g):
-    # same STE contract as _w8a8_dot: d/dx through the dequantized weight
+    # same STE contract as _w8a8_dot: d/dx through the dequantized weight —
+    # via the Pallas dx kernel (dequant in VMEM, no weight transient) when
+    # the w4a8 kernel gate is on, the XLA bf16-dequant dot otherwise
     q, s = res
-    wd = dequantize_weight({"q": q, "s": s}, jnp.bfloat16)
-    dx = jax.lax.dot_general(
-        g.astype(jnp.bfloat16), wd,
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ).astype(g.dtype)
-    return dx, np.zeros(q.shape, jax.dtypes.float0), jnp.zeros(s.shape, s.dtype)
+    return (_w4a8_dx(g, q, s),
+            np.zeros(q.shape, jax.dtypes.float0),
+            jnp.zeros(s.shape, s.dtype))
 
 
 _w4a8_dot_grouped.defvjp(_w4a8_dot_grouped_fwd, _w4a8_dot_grouped_bwd)
@@ -506,6 +504,125 @@ def _w4a8_pallas_matmul(x2: jnp.ndarray, q: jnp.ndarray, s: jnp.ndarray,
     return out[:M]
 
 
+def _w4a8_dx_kernel(g_ref, q_ref, s_ref, o_ref):
+    """dx[bm, gsz-slab of group gj] += g[bm, bn] @ (q4[gj, bn-slab] · s[bn, gj])
+
+    The STE backward's weight dequant happens IN VMEM: the s4 codes stream at
+    0.5 B/elem and widen in-register — no [N, K] bf16 (or int8) weight
+    transient in HBM, which is exactly what eats the freed int4 headroom in
+    the remat'd QLoRA step (PERF_r03.md "13B int4-base QLoRA" section).
+    Grid (mi, gj, nk): the output block (mi, gj) accumulates across the
+    innermost nk sweep (Mosaic executes the last grid dim sequentially)."""
+    from jax.experimental import pallas as pl
+
+    nk = pl.program_id(2)
+    gj = pl.program_id(1)
+    bn = g_ref.shape[1]
+    # s block is the full [bn, G] stripe (lane dim == array dim G satisfies
+    # the Mosaic block rule); slice THIS group's column dynamically
+    sg = jax.lax.dynamic_slice(s_ref[:], (0, gj), (bn, 1))       # [bn, 1]
+    wg = (q_ref[0].astype(jnp.float32) * sg).astype(jnp.bfloat16)  # [bn, gsz]
+    p = jax.lax.dot_general(
+        g_ref[:].astype(jnp.bfloat16), wg,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(nk == 0)
+    def _init():
+        o_ref[:] = p
+
+    @pl.when(nk != 0)
+    def _acc():
+        o_ref[:] = o_ref[:] + p
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _w4a8_dx_pallas(g2: jnp.ndarray, q: jnp.ndarray, s: jnp.ndarray,
+                    interpret: bool = False) -> jnp.ndarray:
+    """g2 [M, N] @ dequant(grouped-int4 [G, N, gsz]) -> dx [M, K=G*gsz]."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    M, N = g2.shape
+    G, N2, gsz = q.shape
+    assert N == N2
+    bn = next((b for b in (512, 256, 128) if N % b == 0), None)
+    if bn is None or gsz % 128:
+        wd = dequantize_weight({"q": q, "s": s}, jnp.bfloat16)
+        return jax.lax.dot_general(
+            g2.astype(jnp.bfloat16), wd,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(g2.dtype)
+    bm = min(256, max(8, -(-M // 8) * 8))
+    m_pad = (-M) % bm
+    if m_pad:
+        g2 = jnp.pad(g2, ((0, m_pad), (0, 0)))
+    Mp = M + m_pad
+
+    out = pl.pallas_call(
+        _w4a8_dx_kernel,
+        grid=(Mp // bm, G, N // bn),
+        in_specs=[
+            pl.BlockSpec((bm, bn), lambda i, j, k: (i, k), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bn, gsz), lambda i, j, k: (j, k, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bn, G), lambda i, j, k: (k, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((bm, gsz), lambda i, j, k: (i, j), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Mp, G * gsz), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * Mp * N * G * gsz,
+            bytes_accessed=Mp * N * 2 + N * G * gsz // 2 + Mp * G * gsz * 4,
+            transcendentals=0),
+        interpret=interpret,
+    )(g2, q, s)
+    return out[:M].astype(g2.dtype)
+
+
+def _w4a8_dx(g2: jnp.ndarray, q: jnp.ndarray, s: jnp.ndarray) -> jnp.ndarray:
+    """STE backward for grouped-int4 weights: dx = g2 @ dequant(W).
+
+    Pallas (dequant-in-VMEM, no HBM weight transient) when the w4a8 kernel
+    gate is on; XLA bf16-dequant dot otherwise."""
+    if _use_pallas_w4a8():
+        import os
+
+        interp = os.environ.get("OVLA_PALLAS_INTERPRET", "0") == "1"
+        return _w4a8_dx_pallas(g2, q, s, interpret=interp)
+    wd = dequantize_weight({"q": q, "s": s}, jnp.bfloat16)
+    return jax.lax.dot_general(
+        g2.astype(jnp.bfloat16), wd,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(g2.dtype)
+
+
+@jax.custom_vjp
+def _w4a8_pallas_dot(x2: jnp.ndarray, q: jnp.ndarray, s: jnp.ndarray) -> jnp.ndarray:
+    """Differentiable wrapper over the fused Pallas w4a8 forward: the raw
+    pallas_call has no VJP, so QLoRA over an int4 base with the kernel gate
+    on would fail in grad. Backward is the same STE contract as
+    _w4a8_dot_grouped — via the Pallas dx kernel, so a training step never
+    materializes a weight transient in either direction."""
+    import os
+
+    interp = os.environ.get("OVLA_PALLAS_INTERPRET", "0") == "1"
+    return _w4a8_pallas_matmul(x2, q, s, interpret=interp)
+
+
+def _w4a8_pallas_dot_fwd(x2, q, s):
+    return _w4a8_pallas_dot(x2, q, s), (q, s)
+
+
+def _w4a8_pallas_dot_bwd(res, g):
+    q, s = res
+    return (_w4a8_dx(g, q, s),
+            np.zeros(q.shape, jax.dtypes.float0),
+            jnp.zeros(s.shape, s.dtype))
+
+
+_w4a8_pallas_dot.defvjp(_w4a8_pallas_dot_fwd, _w4a8_pallas_dot_bwd)
+
+
 def _use_pallas_w4a8() -> bool:
     import os
 
@@ -519,11 +636,10 @@ def _w4a8_matmul(x2: jnp.ndarray, w: QuantWeight) -> jnp.ndarray:
     if _use_pallas_w4a8():
         # the kernel covers EVERY M: its [bm, bn] accumulator never leaves
         # VMEM, where the XLA grouped dot's [G, M, N] int32 intermediate
-        # spills at the K=11008 shapes (even decode M pads to 8 sublanes)
-        import os
-
-        interp = os.environ.get("OVLA_PALLAS_INTERPRET", "0") == "1"
-        return _w4a8_pallas_matmul(x2, w["q"], w["s"], interpret=interp)
+        # spills at the K=11008 shapes (even decode M pads to 8 sublanes).
+        # The custom-VJP wrapper keeps QLoRA-over-int4 differentiable with
+        # the Pallas STE backward (dx kernel, no weight transient).
+        return _w4a8_pallas_dot(x2, w["q"], w["s"])
     if x2.shape[0] <= _w4a8_group_m_max():
         return _w4a8_dot_grouped(x2, w["q"], w["s"])
     return _w4a8_dot_requant(x2, w["q"], w["s"])

@@ -408,3 +408,76 @@ def test_w4a8_pallas_kernel_decode_m(rng):
     want = np.asarray(linear._w4a8_dot_grouped(x, qw["q"], qw["s"]), np.float32)
     assert got.shape == want.shape == (1, 256)
     assert np.abs(got - want).max() <= 0.01 * np.abs(want).max()
+
+
+def test_w4a8_dx_pallas_matches_dequant(rng):
+    """The Pallas STE-backward kernel (dequant in VMEM) matches the XLA
+    bf16-dequant dot to accumulation-order dust. gsz=128 engages the real
+    kernel path (smaller groups fall back to the XLA dot)."""
+    w = jnp.asarray(rng.normal(size=(256, 256)).astype(np.float32))
+    qw = linear.quantize_weight_int4(w, group_size=128)
+    g2 = jnp.asarray(rng.normal(size=(40, 256)), jnp.bfloat16)
+    got = np.asarray(linear._w4a8_dx_pallas(g2, qw["q"], qw["s"],
+                                            interpret=True), np.float32)
+    wd = np.asarray(linear.dequantize_weight(qw, jnp.float32))
+    want = np.asarray(g2, np.float32) @ wd
+    assert got.shape == (40, 256)
+    assert np.abs(got - want).max() <= 0.02 * np.abs(want).max()
+
+
+def test_w4a8_dx_pallas_small_group_fallback(rng):
+    """gsz that doesn't tile the lane dim falls back to the XLA dequant dot
+    inside _w4a8_dx_pallas (no Mosaic-hostile block shapes)."""
+    w = jnp.asarray(rng.normal(size=(256, 256)).astype(np.float32))
+    qw = linear.quantize_weight_int4(w, group_size=64)
+    g2 = jnp.asarray(rng.normal(size=(8, 256)), jnp.bfloat16)
+    got = np.asarray(linear._w4a8_dx_pallas(g2, qw["q"], qw["s"],
+                                            interpret=True), np.float32)
+    wd = np.asarray(linear.dequantize_weight(qw, jnp.float32))
+    want = np.asarray(g2, np.float32) @ wd
+    assert np.abs(got - want).max() <= 0.02 * np.abs(want).max()
+
+
+def test_w4a8_pallas_dot_grad_matches_gate_off(rng, monkeypatch):
+    """QLoRA-over-int4 with the Pallas w4a8 gate ON is differentiable: the
+    custom-VJP wrapper's d/dx (Pallas dx kernel) matches the gate-off STE
+    backward. Both forwards quantize activations identically; only f32
+    accumulation order differs."""
+    w = jnp.asarray(rng.normal(size=(256, 256)).astype(np.float32))
+    qw = linear.quantize_weight_int4(w, group_size=128)
+    x = jnp.asarray(rng.normal(size=(64, 256)), jnp.bfloat16)  # M > group max
+
+    def loss_off(x_):
+        return jnp.sum(linear.matmul_t(x_, qw).astype(jnp.float32) ** 2)
+
+    g_off = np.asarray(jax.grad(loss_off)(x), np.float32)
+
+    monkeypatch.setenv("OVLA_PALLAS", "1")
+    monkeypatch.setenv("OVLA_PALLAS_INTERPRET", "1")
+
+    def loss_on(x_):
+        return jnp.sum(linear.matmul_t(x_, qw).astype(jnp.float32) ** 2)
+
+    g_on = np.asarray(jax.grad(loss_on)(x), np.float32)
+    assert np.isfinite(g_on).all()
+    # forwards differ by accumulation order (one bf16 rounding per output),
+    # which the x2 loss doubles; compare with a relative bound
+    assert np.abs(g_on - g_off).max() <= 0.05 * np.abs(g_off).max()
+
+
+def test_w4a8_grouped_grad_pallas_bwd(rng, monkeypatch):
+    """With the kernel gate on, the GROUPED dot's STE backward also rides the
+    Pallas dx kernel (decode-M shapes keep the XLA grouped forward)."""
+    w = jnp.asarray(rng.normal(size=(256, 256)).astype(np.float32))
+    qw = linear.quantize_weight_int4(w, group_size=128)
+    x = jnp.asarray(rng.normal(size=(8, 256)), jnp.bfloat16)
+
+    def loss(x_):
+        return jnp.sum(linear._w4a8_dot_grouped(x_, qw["q"], qw["s"]
+                                                ).astype(jnp.float32) ** 2)
+
+    g_off = np.asarray(jax.grad(loss)(x), np.float32)
+    monkeypatch.setenv("OVLA_PALLAS", "1")
+    monkeypatch.setenv("OVLA_PALLAS_INTERPRET", "1")
+    g_on = np.asarray(jax.grad(loss)(x), np.float32)
+    assert np.abs(g_on - g_off).max() <= 0.05 * np.abs(g_off).max()
