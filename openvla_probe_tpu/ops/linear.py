@@ -397,17 +397,18 @@ def _w4a8_dot_grouped_fwd(x2, q, s):
     return _w4a8_dot_grouped(x2, q, s), (q, s)
 
 
-def _w4a8_dot_grouped_bwd(res, g):
+def _w4a8_ste_bwd(res, g):
     # same STE contract as _w8a8_dot: d/dx through the dequantized weight —
     # via the Pallas dx kernel (dequant in VMEM, no weight transient) when
-    # the w4a8 kernel gate is on, the XLA bf16-dequant dot otherwise
+    # the w4a8 kernel gate is on, the XLA bf16-dequant dot otherwise.
+    # Shared by BOTH w4a8 forwards (_w4a8_dot_grouped, _w4a8_pallas_dot).
     q, s = res
     return (_w4a8_dx(g, q, s),
             np.zeros(q.shape, jax.dtypes.float0),
             jnp.zeros(s.shape, s.dtype))
 
 
-_w4a8_dot_grouped.defvjp(_w4a8_dot_grouped_fwd, _w4a8_dot_grouped_bwd)
+_w4a8_dot_grouped.defvjp(_w4a8_dot_grouped_fwd, _w4a8_ste_bwd)
 
 
 def _w4a8_dot_requant(x2: jnp.ndarray, q: jnp.ndarray, s: jnp.ndarray) -> jnp.ndarray:
@@ -435,7 +436,7 @@ def _use_w4a8() -> bool:
 
 # --- Pallas w4a8 matmul (prefill shapes) --------------------------------------
 
-def _w4a8_pallas_kernel(x_ref, q_ref, st_ref, o_ref, *, gsz: int):
+def _w4a8_pallas_kernel(x_ref, q_ref, st_ref, o_ref, xi_ref, *, gsz: int):
     """o[bm, bn] = Σ_g (quant(x)[:, g·gsz:(g+1)·gsz] @ q4[g].T) · st[g]
 
     The fused form of the large-M requant path: the s4 codes stream straight
@@ -443,20 +444,27 @@ def _w4a8_pallas_kernel(x_ref, q_ref, st_ref, o_ref, *, gsz: int):
     and hit the int8 MXU per K-group with the group scale applied to each
     int32 partial. x rides full-K resident; st = scales TRANSPOSED [G, bn]
     (a [1, bn] dynamic row slice broadcasts; a 1-D slice is Mosaic-hostile).
+    Mosaic lowers dynamic slices only through REFS (ref[pl.ds(...)]): the
+    quantized activations land in an int8 VMEM scratch (`xi_ref`) so the
+    per-group K-slice is a ref load, and q/st slices index their refs —
+    `jax.lax.dynamic_slice` on a VALUE is an unimplemented Pallas primitive
+    (first real-chip compile of this kernel failed exactly there).
     """
+    from jax.experimental import pallas as pl
+
     x = x_ref[:].astype(jnp.float32)
     sx = jnp.maximum(jnp.max(jnp.abs(x), axis=-1, keepdims=True) / 127.0, 1e-8)
-    xi = jnp.clip(jnp.round(x / sx), -127, 127).astype(jnp.int8)
+    xi_ref[:] = jnp.clip(jnp.round(x / sx), -127, 127).astype(jnp.int8)
     bm = x.shape[0]
     bn = o_ref.shape[1]
     G = q_ref.shape[0]
 
     def body(g, acc):
-        xg = jax.lax.dynamic_slice(xi, (0, g * gsz), (bm, gsz))
-        wg = q_ref[g].astype(jnp.int8)                            # [bn, gsz]
+        xg = xi_ref[:, pl.ds(g * gsz, gsz)]                       # [bm, gsz]
+        wg = q_ref[pl.ds(g, 1), :, :][0].astype(jnp.int8)         # [bn, gsz]
         p = jax.lax.dot_general(xg, wg, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.int32)
-        sg = jax.lax.dynamic_slice(st_ref[:], (g, 0), (1, bn))    # [1, bn]
+        sg = st_ref[pl.ds(g, 1), :]                               # [1, bn]
         return acc + p.astype(jnp.float32) * sg
 
     acc = jax.lax.fori_loop(0, G, body, jnp.zeros((bm, bn), jnp.float32))
@@ -477,7 +485,10 @@ def _w4a8_pallas_matmul(x2: jnp.ndarray, q: jnp.ndarray, s: jnp.ndarray,
     M, K = x2.shape
     G, N, gsz = q.shape
     bn = next((b for b in (512, 256, 128) if N % b == 0), None)
-    if bn is None:
+    # non-128 gsz makes the in-kernel (bm, gsz) activation slices lane-dim
+    # slices off the 128 grid — Mosaic-hostile on real TPU (interpret mode
+    # doesn't care, and keeps the small-group tests on the kernel path)
+    if bn is None or (gsz % 128 and not interpret):
         return _w4a8_dot_requant(x2, q, s)
     bm = min(256, max(8, -(-M // 8) * 8))
     m_pad = (-M) % bm
@@ -495,6 +506,7 @@ def _w4a8_pallas_matmul(x2: jnp.ndarray, q: jnp.ndarray, s: jnp.ndarray,
             pl.BlockSpec((G, bn), lambda i, j: (0, j), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((bm, bn), lambda i, j: (i, j), memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((bm, K), jnp.int8)],
         out_shape=jax.ShapeDtypeStruct((Mp, N), x2.dtype),
         cost_estimate=pl.CostEstimate(
             flops=2 * Mp * K * N, bytes_accessed=Mp * K * 2 + N * K // 2 + Mp * N * 2,
@@ -504,29 +516,42 @@ def _w4a8_pallas_matmul(x2: jnp.ndarray, q: jnp.ndarray, s: jnp.ndarray,
     return out[:M]
 
 
-def _w4a8_dx_kernel(g_ref, q_ref, s_ref, o_ref):
-    """dx[bm, gsz-slab of group gj] += g[bm, bn] @ (q4[gj, bn-slab] · s[bn, gj])
+def _w4a8_dx_kernel(g_ref, q_ref, st_ref, o_ref):
+    """dx[bm, Gb·gsz slab] += Σ_gi (g[bm, bn] ⊙ s[n, gi]) @ q4-codes[gi, bn]
 
     The STE backward's weight dequant happens IN VMEM: the s4 codes stream at
     0.5 B/elem and widen in-register — no [N, K] bf16 (or int8) weight
     transient in HBM, which is exactly what eats the freed int4 headroom in
     the remat'd QLoRA step (PERF_r03.md "13B int4-base QLoRA" section).
-    Grid (mi, gj, nk): the output block (mi, gj) accumulates across the
-    innermost nk sweep (Mosaic executes the last grid dim sequentially)."""
+    The group scale s[n, g] is indexed by the CONTRACTION dim n, so it
+    applies to the gradient's lanes — a natural [1, bn] broadcast with no
+    transposes or lane-dim dynamic slices. Grid (mi, kj, nk): the output
+    block (mi, kj) spans Gb groups (amortizing the gradient stripe's HBM
+    reads over a wide K-slab) and accumulates across the innermost nk sweep
+    (Mosaic executes the last grid dim sequentially)."""
     from jax.experimental import pallas as pl
 
     nk = pl.program_id(2)
-    gj = pl.program_id(1)
-    bn = g_ref.shape[1]
-    # s block is the full [bn, G] stripe (lane dim == array dim G satisfies
-    # the Mosaic block rule); slice THIS group's column dynamically
-    sg = jax.lax.dynamic_slice(s_ref[:], (0, gj), (bn, 1))       # [bn, 1]
-    wg = (q_ref[0].astype(jnp.float32) * sg).astype(jnp.bfloat16)  # [bn, gsz]
-    p = jax.lax.dot_general(
-        g_ref[:].astype(jnp.bfloat16), wg,
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
+    kj = pl.program_id(1)
+    Gb, bn, gsz = q_ref.shape
+    G = st_ref.shape[0]
+    g = g_ref[:].astype(jnp.float32)
+    slabs = []
+    for gi in range(Gb):                       # static unroll
+        row = kj * Gb + gi                     # absolute group index (traced)
+        # sublane-dim dynamic REF load of the full-G scale stripe (Mosaic
+        # lowers dynamic slices only through refs; jax.lax.dynamic_slice on
+        # a value is an unimplemented Pallas primitive). OOB rows clamp to
+        # G-1 for the load and zero-mask, so tail-block q garbage
+        # contributes 0.
+        sg = st_ref[pl.ds(jnp.minimum(row, G - 1), 1), :]          # [1, bn]
+        sg = jnp.where(row < G, sg, jnp.zeros_like(sg))
+        gs = (g * sg).astype(jnp.bfloat16)                         # [bm, bn]
+        wq = q_ref[gi].astype(jnp.int8).astype(jnp.bfloat16)       # [bn, gsz]
+        slabs.append(jax.lax.dot_general(
+            gs, wq, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32))
+    p = jnp.concatenate(slabs, axis=1) if len(slabs) > 1 else slabs[0]
 
     @pl.when(nk == 0)
     def _init():
@@ -535,6 +560,15 @@ def _w4a8_dx_kernel(g_ref, q_ref, s_ref, o_ref):
     @pl.when(nk != 0)
     def _acc():
         o_ref[:] = o_ref[:] + p
+
+
+def _w4a8_dx_xla(g2: jnp.ndarray, q: jnp.ndarray, s: jnp.ndarray) -> jnp.ndarray:
+    """XLA form of the STE dx: bf16-dequant the grouped weight, one dot."""
+    wd = dequantize_weight({"q": q, "s": s}, jnp.bfloat16)
+    return jax.lax.dot_general(
+        g2.astype(jnp.bfloat16), wd,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(g2.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -548,34 +582,39 @@ def _w4a8_dx_pallas(g2: jnp.ndarray, q: jnp.ndarray, s: jnp.ndarray,
     G, N2, gsz = q.shape
     assert N == N2
     bn = next((b for b in (512, 256, 128) if N % b == 0), None)
-    if bn is None or gsz % 128:
-        wd = dequantize_weight({"q": q, "s": s}, jnp.bfloat16)
-        return jax.lax.dot_general(
-            g2.astype(jnp.bfloat16), wd,
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32).astype(g2.dtype)
+    if bn is None or (gsz % 128 and not interpret):
+        return _w4a8_dx_xla(g2, q, s)
     bm = min(256, max(8, -(-M // 8) * 8))
+    # groups per output slab: a wide slab amortizes the gradient stripe
+    # (g re-reads = ceil(G/Gb), the round-9 review's G-times-traffic bug),
+    # bounded by a ~4 MB f32 out block; the tail slab zero-masks past G
+    Gb = min(G, max(1, (4 * 1024 * 1024 // 4 // bm) // gsz))
+    nj = -(-G // Gb)
     m_pad = (-M) % bm
     if m_pad:
         g2 = jnp.pad(g2, ((0, m_pad), (0, 0)))
     Mp = M + m_pad
+    st = s.T   # [G, N] — scales slice along sublanes inside the kernel
 
     out = pl.pallas_call(
         _w4a8_dx_kernel,
-        grid=(Mp // bm, G, N // bn),
+        grid=(Mp // bm, nj, N // bn),
         in_specs=[
             pl.BlockSpec((bm, bn), lambda i, j, k: (i, k), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bn, gsz), lambda i, j, k: (j, k, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((bn, G), lambda i, j, k: (k, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((Gb, bn, gsz), lambda i, j, k: (j, k, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, bn), lambda i, j, k: (0, k), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((bm, gsz), lambda i, j, k: (i, j), memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((bm, Gb * gsz), lambda i, j, k: (i, j),
+                               memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((Mp, G * gsz), jnp.float32),
         cost_estimate=pl.CostEstimate(
             flops=2 * Mp * N * G * gsz,
-            bytes_accessed=Mp * N * 2 + N * G * gsz // 2 + Mp * G * gsz * 4,
+            # honest traffic: g re-read once per K-slab, codes once per M-tile
+            bytes_accessed=(Mp * N * 2 * nj + (N * G * gsz // 2) * (Mp // bm)
+                            + Mp * G * gsz * 4),
             transcendentals=0),
         interpret=interpret,
-    )(g2, q, s)
+    )(g2, q, st)
     return out[:M].astype(g2.dtype)
 
 
@@ -589,11 +628,7 @@ def _w4a8_dx(g2: jnp.ndarray, q: jnp.ndarray, s: jnp.ndarray) -> jnp.ndarray:
 
         interp = os.environ.get("OVLA_PALLAS_INTERPRET", "0") == "1"
         return _w4a8_dx_pallas(g2, q, s, interpret=interp)
-    wd = dequantize_weight({"q": q, "s": s}, jnp.bfloat16)
-    return jax.lax.dot_general(
-        g2.astype(jnp.bfloat16), wd,
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32).astype(g2.dtype)
+    return _w4a8_dx_xla(g2, q, s)
 
 
 @jax.custom_vjp
@@ -613,14 +648,7 @@ def _w4a8_pallas_dot_fwd(x2, q, s):
     return _w4a8_pallas_dot(x2, q, s), (q, s)
 
 
-def _w4a8_pallas_dot_bwd(res, g):
-    q, s = res
-    return (_w4a8_dx(g, q, s),
-            np.zeros(q.shape, jax.dtypes.float0),
-            jnp.zeros(s.shape, s.dtype))
-
-
-_w4a8_pallas_dot.defvjp(_w4a8_pallas_dot_fwd, _w4a8_pallas_dot_bwd)
+_w4a8_pallas_dot.defvjp(_w4a8_pallas_dot_fwd, _w4a8_ste_bwd)
 
 
 def _use_pallas_w4a8() -> bool:

@@ -441,11 +441,13 @@ def test_w4a8_dx_pallas_small_group_fallback(rng):
 def test_w4a8_pallas_dot_grad_matches_gate_off(rng, monkeypatch):
     """QLoRA-over-int4 with the Pallas w4a8 gate ON is differentiable: the
     custom-VJP wrapper's d/dx (Pallas dx kernel) matches the gate-off STE
-    backward. Both forwards quantize activations identically; only f32
-    accumulation order differs."""
+    backward. M <= group-M max so BOTH paths run on the int4 weights (the
+    grouped XLA dot vs the Pallas kernel — at larger M the gate-off path
+    requantizes to int8 and the comparison would absorb a weight delta);
+    only f32 accumulation order differs."""
     w = jnp.asarray(rng.normal(size=(256, 256)).astype(np.float32))
     qw = linear.quantize_weight_int4(w, group_size=128)
-    x = jnp.asarray(rng.normal(size=(64, 256)), jnp.bfloat16)  # M > group max
+    x = jnp.asarray(rng.normal(size=(24, 256)), jnp.bfloat16)  # M <= group max
 
     def loss_off(x_):
         return jnp.sum(linear.matmul_t(x_, qw).astype(jnp.float32) ** 2)
