@@ -490,7 +490,11 @@ def _w4a8_pallas_matmul(x2: jnp.ndarray, q: jnp.ndarray, s: jnp.ndarray,
     # doesn't care, and keeps the small-group tests on the kernel path)
     if bn is None or (gsz % 128 and not interpret):
         return _w4a8_dot_requant(x2, q, s)
-    bm = min(256, max(8, -(-M // 8) * 8))
+    # VMEM cap on the row tile: the kernel holds ~7 B/elem of (bm, K)
+    # resident (bf16 x block + f32 cast + int8 scratch) — at K=11008 a
+    # bm=256 tile alone is ~17 MB and cannot compile
+    bm_cap = max(8, ((8 * 1024 * 1024) // (7 * K)) // 8 * 8)
+    bm = min(256, bm_cap, max(8, -(-M // 8) * 8))
     m_pad = (-M) % bm
     if m_pad:
         x2 = jnp.pad(x2, ((0, m_pad), (0, 0)))
