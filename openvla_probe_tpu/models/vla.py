@@ -646,6 +646,10 @@ class OpenVLA:
         self.image_cfg = image_cfg or ImageTransformConfig.dinosiglip_224()
         self._jit_cache: Dict[Any, Any] = {}
         self._env_snapshot = _serving_env_snapshot()
+        # multi-LoRA serving state (set_adapters): N adapter banks resident
+        # next to the frozen base; requests pick adapters per row
+        self.lora_bank: Optional[Any] = None
+        self.adapter_names: List[str] = []
 
     def _check_env_drift(self) -> None:
         now = _serving_env_snapshot()
@@ -708,6 +712,93 @@ class OpenVLA:
             )
         return self._jit_cache[key]
 
+    # --- multi-LoRA serving (models/multilora.py) --------------------------
+    def set_adapters(self, adapters: Any, lora_cfg: Any, dtype: Any = None) -> None:
+        """Install N LoRA adapter banks over the (frozen, possibly quantized)
+        base: `adapters` is a {name: lora_tree} dict or a sequence of trees
+        (init_lora_params layout — e.g. load_adapter_checkpoint per finetune
+        run). After this, `predict_action(..., adapter=...)` serves any
+        mixture of adapters in one batched call; `adapter=None` rows serve
+        the bare base. One compiled graph covers every mixture (the one-hot
+        `sel` rides as a traced argument)."""
+        from . import multilora
+
+        if isinstance(adapters, dict):
+            names = list(adapters)
+            trees = [adapters[n] for n in names]
+        else:
+            trees = list(adapters)
+            names = [str(i) for i in range(len(trees))]
+        self.lora_bank = multilora.stack_adapter_banks(
+            trees, lora_cfg, dtype=dtype or self.cfg.vlm.llm.dtype)
+        self.adapter_names = names
+
+    @property
+    def n_adapters(self) -> int:
+        return len(self.adapter_names)
+
+    def _resolve_adapter_ids(self, adapter: Any, batch: int) -> np.ndarray:
+        """name | id | per-row sequence -> [B] int ids (-1 = bare base)."""
+        if self.lora_bank is None:
+            raise ValueError("no adapter banks installed; call set_adapters first")
+
+        def one(a) -> int:
+            if a is None:
+                return -1
+            if isinstance(a, str):
+                try:
+                    return self.adapter_names.index(a)
+                except ValueError:
+                    raise ValueError(f"unknown adapter {a!r}; have {self.adapter_names}")
+            i = int(a)
+            if not -1 <= i < self.n_adapters:
+                raise ValueError(f"adapter id {i} out of range [-1, {self.n_adapters})")
+            return i
+
+        if isinstance(adapter, (str, int)) or adapter is None:
+            return np.full((batch,), one(adapter), np.int32)
+        ids = np.asarray([one(a) for a in adapter], np.int32)
+        if ids.shape != (batch,):
+            raise ValueError(f"need one adapter per request row ({batch}), got {ids.shape}")
+        return ids
+
+    def _get_ml_jit(self, collect: bool, first_logits: bool = False):
+        key = ("ml", self.cfg, collect, first_logits)
+        if key not in self._jit_cache:
+            from . import multilora
+
+            def fn(params, bank, sel, image_u8, input_ids, prompt_len,
+                   q01, q99, action_mask):
+                adapted = multilora.attach_multilora(params, bank, sel)
+                return predict_action_from_image(
+                    adapted, self.cfg, image_u8, self.image_cfg, input_ids,
+                    prompt_len, q01, q99, action_mask,
+                    collect_hidden_states=collect,
+                    return_first_logits=first_logits,
+                )
+
+            self._jit_cache[key] = jax.jit(fn)
+        return self._jit_cache[key]
+
+    def _get_ml_spec_jit(self, collect: bool):
+        key = ("ml_spec", self.cfg, collect)
+        if key not in self._jit_cache:
+            from . import multilora
+
+            def fn(params, bank, sel, image_u8, input_ids, prompt_len,
+                   draft_tokens, q01, q99, action_mask):
+                adapted = multilora.attach_multilora(params, bank, sel)
+                pixels = apply_image_transform(image_u8, self.image_cfg).astype(
+                    self.cfg.vlm.llm.dtype)
+                return predict_action_speculative_core(
+                    adapted, self.cfg, pixels, input_ids, prompt_len,
+                    draft_tokens, q01, q99, action_mask,
+                    collect_hidden_states=collect,
+                )
+
+            self._jit_cache[key] = jax.jit(fn)
+        return self._jit_cache[key]
+
     def _get_spec_jit(self, collect: bool):
         key = ("spec", self.cfg, collect)
         if key not in self._jit_cache:
@@ -735,6 +826,8 @@ class OpenVLA:
         # speculation — pass the PREVIOUS control step's action_tokens; greedy
         # outputs are identical, a fully-accepted draft skips the sequential
         # decode entirely (bs=1 robot-loop latency lever)
+        adapter: Any = None,                # multi-LoRA: name | id | per-row
+        # sequence (None entries = bare base); requires set_adapters
     ) -> Dict[str, np.ndarray]:
         self._check_env_drift()
         if (draft_tokens is not None and self.cfg.tier == "parity"
@@ -766,6 +859,13 @@ class OpenVLA:
                 np.asarray(stats.get("mask", np.ones_like(stats["q01"], bool)), bool)
             ),
         )
+        ml_args = ()
+        if adapter is not None:
+            from . import multilora
+
+            ids = self._resolve_adapter_ids(adapter, B)
+            sel = multilora.adapter_one_hot(jnp.asarray(ids), self.n_adapters)
+            ml_args = (self.lora_bank, sel)
         if draft_tokens is not None:
             if return_first_logits:
                 raise ValueError(
@@ -776,9 +876,13 @@ class OpenVLA:
             draft = np.asarray(draft_tokens, np.int32)
             if draft.ndim == 1:
                 draft = np.broadcast_to(draft, (B, draft.shape[0]))
-            out = self._get_spec_jit(return_hidden_states)(
-                self.params, draft_tokens=jnp.asarray(draft), **common,
-            )
+            fn = (self._get_ml_spec_jit(return_hidden_states) if ml_args
+                  else self._get_spec_jit(return_hidden_states))
+            out = fn(self.params, *ml_args,
+                     draft_tokens=jnp.asarray(draft), **common)
+        elif ml_args:
+            out = self._get_ml_jit(return_hidden_states, return_first_logits)(
+                self.params, *ml_args, **common)
         else:
             out = self._get_jit(return_hidden_states, return_first_logits)(
                 self.params, **common)
@@ -793,11 +897,14 @@ class OpenVLA:
         prompts: Sequence[str],             # B prompts (lengths may differ)
         unnorm_keys: Optional[Sequence[Optional[str]]] = None,
         batch_buckets: Tuple[int, ...] = (1, 2, 4, 8, 16, 24, 32),
+        adapters: Optional[Sequence[Any]] = None,   # per-row multi-LoRA
+        # adapter names/ids (None entries = bare base); requires set_adapters
     ) -> List[Dict[str, np.ndarray]]:
-        """Heterogeneous-request batch: per-row prompts and per-row norm
-        stats in ONE device call (the reference is bs=1-only). The batch pads
-        up to a fixed bucket (rows replicated) so XLA never sees a new shape.
-        Returns one result dict per request."""
+        """Heterogeneous-request batch: per-row prompts, per-row norm stats,
+        and (with set_adapters) per-row LoRA adapters in ONE device call (the
+        reference is bs=1-only). The batch pads up to a fixed bucket (rows
+        replicated) so XLA never sees a new shape. Returns one result dict
+        per request."""
         self._check_env_drift()
         images = np.asarray(images)
         B = len(prompts)
@@ -823,8 +930,17 @@ class OpenVLA:
         def pad_rows(x):
             return np.concatenate([x, np.repeat(x[:1], pad, axis=0)]) if pad else x
 
-        out = self._get_jit(False)(
-            self.params,
+        ml_args = ()
+        if adapters is not None:
+            from . import multilora
+
+            aids = self._resolve_adapter_ids(list(adapters), B)
+            sel = multilora.adapter_one_hot(
+                jnp.asarray(pad_rows(aids)), self.n_adapters)
+            ml_args = (self.lora_bank, sel)
+        fn = self._get_ml_jit(False) if ml_args else self._get_jit(False)
+        out = fn(
+            self.params, *ml_args,
             image_u8=jnp.asarray(pad_rows(images)),
             input_ids=jnp.asarray(pad_rows(ids)),
             prompt_len=jnp.asarray(pad_rows(lens)),

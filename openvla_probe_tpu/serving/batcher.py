@@ -35,6 +35,7 @@ class _Pending:
     image: np.ndarray
     prompt: str
     unnorm_key: Optional[str]
+    adapter: Any = None            # multi-LoRA: per-request adapter name/id
     event: threading.Event = field(default_factory=threading.Event)
     result: Optional[Dict[str, np.ndarray]] = None
     error: Optional[Exception] = None
@@ -69,11 +70,11 @@ class DynamicBatcher:
     # --- client side ---------------------------------------------------
     def predict_action(
         self, image: np.ndarray, prompt: str, unnorm_key: Optional[str] = None,
-        timeout: float = 60.0,
+        timeout: float = 60.0, adapter: Any = None,
     ) -> Dict[str, np.ndarray]:
         if self._stop.is_set():
             raise RuntimeError("DynamicBatcher is shut down")
-        p = _Pending(np.asarray(image, np.uint8), prompt, unnorm_key)
+        p = _Pending(np.asarray(image, np.uint8), prompt, unnorm_key, adapter)
         self._q.put(p)
         if not p.event.wait(timeout):
             raise TimeoutError("predict_action batcher timed out")
@@ -125,10 +126,17 @@ class DynamicBatcher:
             if not group:
                 continue
             try:
+                # multi-LoRA requests batch WITH plain ones (per-row one-hot;
+                # None rows serve the bare base) — only an all-plain group
+                # stays on the adapter-free graph
+                kw = {}
+                if any(p.adapter is not None for p in group):
+                    kw["adapters"] = [p.adapter for p in group]
                 results = self.model.predict_action_batch(
                     np.stack([p.image for p in group]),
                     [p.prompt for p in group],
                     [p.unnorm_key for p in group],
+                    **kw,
                 )
                 for p, r in zip(group, results):
                     p.result = r

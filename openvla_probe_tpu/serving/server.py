@@ -112,9 +112,15 @@ class OpenVLAServer:
         image = np.asarray(payload["image"], dtype=np.uint8)
         prompt = get_openvla_prompt(str(payload["instruction"]), self.base_vlm)
         stream_id = payload.get("stream_id")
+        # multi-LoRA: optional per-request adapter name/id (deploy.py
+        # --adapters; models/multilora.py). Requests with different adapters
+        # still micro-batch together — the selection is a per-row one-hot.
+        adapter = payload.get("adapter")
+        akw = {"adapter": adapter} if adapter is not None else {}
         if self.batcher is not None:
             out = self.batcher.predict_action(
-                image, prompt, unnorm_key=payload.get("unnorm_key")
+                image, prompt, unnorm_key=payload.get("unnorm_key"),
+                **akw,
             )
         elif self._spec_streams and stream_id is not None:
             sid = str(stream_id)
@@ -124,7 +130,7 @@ class OpenVLAServer:
             # the verify pass re-derives the greedy tokens exactly
             out = self.model.predict_action(
                 image, prompt, unnorm_key=payload.get("unnorm_key"),
-                draft_tokens=draft,
+                draft_tokens=draft, **akw,
             )
             toks = out.get("action_tokens")
             if toks is not None:
@@ -137,7 +143,8 @@ class OpenVLAServer:
                     self._stream_drafts[sid] = np.asarray(toks).reshape(-1)
         else:
             out = self.model.predict_action(
-                image, prompt, unnorm_key=payload.get("unnorm_key")
+                image, prompt, unnorm_key=payload.get("unnorm_key"),
+                **akw,
             )
         return {"action": out["actions"]}
 

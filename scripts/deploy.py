@@ -37,6 +37,12 @@ class DeployConfig:
     dynamic_batching: bool = False         # micro-batch concurrent requests
     max_batch: int = 24
     max_wait_ms: float = 8.0
+    # multi-LoRA serving (models/multilora.py): comma list "name=adapter_dir"
+    # of scripts/finetune.py adapter checkpoints. All named adapters stay
+    # resident over the ONE (quantized) base; a request picks its adapter via
+    # the payload's "adapter" field, and mixed-adapter requests micro-batch
+    # together. The reference needs one merged model replica per task.
+    adapters: str = ""
 
 
 def main(cfg: DeployConfig) -> None:
@@ -50,6 +56,18 @@ def main(cfg: DeployConfig) -> None:
         quantize_bits=(int(cfg.quantize_bits) if str(cfg.quantize_bits).isdigit()
                        else cfg.quantize_bits),
     )
+    if cfg.adapters:
+        from openvla_probe_tpu.models import multilora
+
+        pairs = [s.split("=", 1) for s in cfg.adapters.split(",") if s]
+        if not all(len(p) == 2 for p in pairs):
+            raise ValueError("--adapters must be a comma list of name=dir pairs")
+        trees = {name: multilora.load_adapter_checkpoint(d) for name, d in pairs}
+        lcfg = multilora.infer_lora_config(next(iter(trees.values())))
+        model.set_adapters(trees, lcfg)
+        overwatch.info(
+            f"Installed {len(trees)} LoRA adapters over the shared base "
+            f"(r={lcfg.r}): {list(trees)}")
     server = OpenVLAServer(
         model, base_vlm=Path(cfg.openvla_path).name,
         dynamic_batching=cfg.dynamic_batching,
