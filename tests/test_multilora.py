@@ -220,6 +220,22 @@ def test_serving_quantized_base(setup):
     assert ml["action_tokens"].shape == (2, 5)
 
 
+@pytest.mark.parametrize("bits", [4, "mix"])
+def test_serving_int4_and_mix_bases(setup, bits):
+    """Adapter banks compose with EVERY quantized base matmul_t serves —
+    grouped int4 and dual-precision mix included (module docstring claim)."""
+    serving, params, lcfg, adapters, img_cfg, stats, imgs = setup
+    qparams = quantize_params({**params}, bits=bits, group_size=32)
+    m = vla.OpenVLA(qparams, serving, _Tok(), stats, img_cfg)
+    m.set_adapters(adapters, lcfg)
+    base_out = m.predict_action(imgs[:2], "pick the mug", unnorm_key="x")
+    ml = m.predict_action(imgs[:2], "pick the mug", unnorm_key="x",
+                          adapter=[None, "task2"])
+    # zero row rides the quantized base bit-exactly; adapter row diverges
+    np.testing.assert_array_equal(ml["action_tokens"][0], base_out["action_tokens"][0])
+    assert ml["action_tokens"].shape == (2, 5)
+
+
 def test_batch_api_per_row_adapters(setup):
     serving, params, lcfg, adapters, img_cfg, stats, imgs = setup
     m = _wrapper(setup)
