@@ -223,6 +223,13 @@ def load_vla(
     if not norm_stats:
         overwatch.warning("Checkpoint carries no norm_stats; predict_action will need explicit stats")
     params = bundle["params"]
+    if quantize_bits != 8 and not quantize_int8:
+        # conflicting knobs RAISE (the with_env_overrides convention):
+        # silently serving bf16 parity after the caller asked for an int4/mix
+        # trunk would mislabel every downstream measurement
+        raise ValueError(
+            f"quantize_bits={quantize_bits!r} requires quantize_int8=True "
+            "(the quantize switch); without it the model serves bf16 parity")
     if quantize_int8:
         from ..ops.linear import quantize_params
 

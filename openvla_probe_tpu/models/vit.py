@@ -177,7 +177,13 @@ def _block(cfg: ViTConfig, bp: Params, x: jnp.ndarray, B: int, N: int) -> jnp.nd
     D = x.shape[-1]
     import os
 
-    from ..ops.linear import is_quantized
+    from ..ops.linear import is_grouped_int4, is_quantized
+
+    def _pc_int8(w) -> bool:
+        # the fused tower kernels (ops/vit_mlp.py) consume per-channel int8
+        # codes [O, K] — a mix leaf qualifies via its int8 copy, but grouped
+        # int4 ([G, O, gsz] codes) must stay on the XLA w4a8 path
+        return is_quantized(w) and not is_grouped_int4(w)
 
     # OVLA_PALLAS_INTERPRET=1 routes every tower kernel in interpret mode on
     # CPU — exercises the exact _block wiring (stacked-tree scan slices,
@@ -191,8 +197,8 @@ def _block(cfg: ViTConfig, bp: Params, x: jnp.ndarray, B: int, N: int) -> jnp.nd
     fused_linears = (
         kernels_on
         and os.environ.get("OVLA_PALLAS_VITLIN", "1") == "1"
-        and is_quantized(bp["qkv_w"])
-        and is_quantized(bp["proj_w"])
+        and _pc_int8(bp["qkv_w"])
+        and _pc_int8(bp["proj_w"])
     )
     if fused_linears:
         # LN1 + activation-quantize + int8 qkv in one dispatch (ops/vit_mlp.py)
@@ -253,8 +259,8 @@ def _block(cfg: ViTConfig, bp: Params, x: jnp.ndarray, B: int, N: int) -> jnp.nd
     if (
         kernels_on
         and os.environ.get("OVLA_PALLAS_VITMLP", "1") == "1"
-        and is_quantized(bp["fc1_w"])
-        and is_quantized(bp["fc2_w"])
+        and _pc_int8(bp["fc1_w"])
+        and _pc_int8(bp["fc2_w"])
     ):
         # fused MLP half-block: LN2 + quantize + int8 fc1 + GELU + re-quantize
         # + int8 fc2 + LayerScale + residual in ONE dispatch — the [B*N, F]

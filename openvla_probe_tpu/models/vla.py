@@ -67,7 +67,7 @@ def _serving_env_snapshot() -> Tuple[Tuple[str, str], ...]:
             # ops/linear.py): flipping one mid-session must raise, not no-op
             "OVLA_PALLAS_MATMUL", "OVLA_PALLAS_ATTN", "OVLA_PALLAS_DECODE",
             "OVLA_PALLAS_VITMLP", "OVLA_PALLAS_VITLIN", "OVLA_PALLAS_VITATTN",
-            "OVLA_VITMLP_BM", "OVLA_PALLAS_INTERPRET")
+            "OVLA_VITMLP_BM", "OVLA_PALLAS_INTERPRET", "OVLA_FLASH_ONESHOT")
     return tuple((k, os.environ.get(k, "")) for k in keys)
 
 
@@ -151,6 +151,10 @@ class VLAServingConfig:
         if self.flat_cache and (self.decode_impl != "stacked" or self.split_prefill):
             raise ValueError("flat_cache is a stacked-carry-decode option "
                              "(and excludes split_prefill's 5D pad path)")
+        if self.tier == "turbo_kv8" and not self.kv_int8:
+            raise ValueError("tier='turbo_kv8' without kv_int8=True would "
+                             "mislabel the numerics row; use tier='turbo' or "
+                             "for_tier(vlm_cfg, 'turbo_kv8')")
         if (self.tier == "pallas_kv8") != (self.decode_impl == "stacked_kv8"):
             raise ValueError("the pallas_kv8 tier and decode_impl='stacked_kv8' "
                              "imply each other (the int8 stacked cache IS the "
@@ -205,16 +209,28 @@ class VLAServingConfig:
                              "OVLA_SPLIT_PREFILL=1 (stacked-path option); "
                              "unset one")
         if kv8:
+            if c.tier == "parity":
+                raise ValueError(
+                    "OVLA_KV_INT8=1 on a parity config would mix fp32-score "
+                    "parity numerics with an int8 KV cache under a turbo_kv8 "
+                    "label; build for_tier(vlm_cfg, 'turbo_kv8') instead")
             # int8 prefill KV is a numerics change: the tier label follows
             c = dataclasses.replace(c, decode_impl="frozen_kv", kv_int8=True,
                                     tier="turbo_kv8")
         elif legacy is not None:
+            to_stacked = legacy == "1"
             c = dataclasses.replace(
-                c, decode_impl="stacked" if legacy == "1" else "frozen_kv",
-                kv_int8=False if legacy == "1" else c.kv_int8)
+                c, decode_impl="stacked" if to_stacked else "frozen_kv",
+                kv_int8=False if to_stacked else c.kv_int8,
+                # dropping the int8 KV drops the turbo_kv8 LABEL too — the
+                # tier field must always name the numerics actually served
+                tier=("turbo" if (to_stacked and c.tier == "turbo_kv8")
+                      else c.tier))
         if split:
             c = dataclasses.replace(c, split_prefill=True, decode_impl="stacked",
-                                    kv_int8=False)
+                                    kv_int8=False,
+                                    tier=("turbo" if c.tier == "turbo_kv8"
+                                          else c.tier))
         if "OVLA_DECODE_UNROLL" in env:
             c = dataclasses.replace(c, decode_unroll=env["OVLA_DECODE_UNROLL"] == "1")
         if env.get("OVLA_FLAT_CACHE", "0") == "1":

@@ -76,6 +76,10 @@ class DynamicBatcher:
             raise RuntimeError("DynamicBatcher is shut down")
         p = _Pending(np.asarray(image, np.uint8), prompt, unnorm_key, adapter)
         self._q.put(p)
+        if self._stop.is_set():
+            # shutdown raced between the check above and the put: sweep the
+            # queue ourselves so this request fails now, not at its timeout
+            self._sweep_queue()
         if not p.event.wait(timeout):
             raise TimeoutError("predict_action batcher timed out")
         if p.error is not None:
@@ -120,7 +124,33 @@ class DynamicBatcher:
             # (now in dq) join this batch
         return group
 
+    def _fail(self, p: _Pending) -> None:
+        p.error = RuntimeError("DynamicBatcher shut down before serving request")
+        p.event.set()
+
+    def _sweep_queue(self) -> None:
+        """Fail everything in the arrival queue (thread-safe: queue.Queue
+        hands each request to exactly one sweeper)."""
+        while True:
+            try:
+                p = self._q.get_nowait()
+            except queue.Empty:
+                return
+            self._fail(p)
+
     def _loop(self) -> None:
+        try:
+            self._run()
+        finally:
+            # the worker OWNS the backlog — failing it here (and only here)
+            # means no other thread ever touches the deques concurrently,
+            # and a request drained after shutdown's sweep still gets failed
+            for dq in self._backlog.values():
+                while dq:
+                    self._fail(dq.popleft())
+            self._sweep_queue()
+
+    def _run(self) -> None:
         while not self._stop.is_set():
             group = self._gather()
             if not group:
@@ -152,18 +182,8 @@ class DynamicBatcher:
     def shutdown(self) -> None:
         self._stop.set()
         self._worker.join(timeout=2.0)
-        # fail anything still queued or backlogged so callers error
-        # immediately instead of blocking for their full timeout (the worker
-        # is stopped, so the backlog is safe to touch here)
-        leftovers: List[_Pending] = []
-        while True:
-            try:
-                leftovers.append(self._q.get_nowait())
-            except queue.Empty:
-                break
-        for dq in self._backlog.values():
-            leftovers.extend(dq)
-            dq.clear()
-        for p in leftovers:
-            p.error = RuntimeError("DynamicBatcher shut down before serving request")
-            p.event.set()
+        # sweep the (thread-safe) arrival queue so queued callers error now;
+        # the BACKLOG is failed by the worker's own exit path — if the join
+        # timed out (worker mid-device-call), backlogged callers are failed
+        # the moment the worker reaches its finally, never stranded
+        self._sweep_queue()

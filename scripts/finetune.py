@@ -67,6 +67,10 @@ class FinetuneConfig:
 
 
 def main(cfg: FinetuneConfig) -> None:
+    if cfg.quantize_bits != 8 and not cfg.quantize_base:
+        # conflicting knobs RAISE: --quantize_bits 4 without --quantize_base
+        # would silently train over the bf16 base and mislabel the run
+        raise ValueError("quantize_bits != 8 requires --quantize_base")
     import functools
 
     import jax

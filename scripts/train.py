@@ -283,7 +283,6 @@ def main(cfg: TrainConfig) -> None:
         it = iter(data_it)
     else:
         it = iter(dataset)
-    buf = []
     schedule = make_schedule(opt_cfg)
     max_steps = v.max_steps or (v.epochs * max(1, len(dataset) // global_bs))
     # async: snapshot-to-host is synchronous, the write overlaps the next
@@ -309,6 +308,31 @@ def main(cfg: TrainConfig) -> None:
         prefetcher = DevicePrefetcher(it, local_bs, collator, _prep,
                                       depth=cfg.prefetch_depth)
     overwatch.info(f"Training `{run_id}` for {max_steps} steps on mesh {dict(mesh.shape)}")
+    try:
+        _train_loop(cfg, state, step_fn, schedule, metrics, guard, writer,
+                    prefetcher, it, collator, to_global, local_rows, local_bs,
+                    run_dir, data_it, max_steps)
+    finally:
+        # ALWAYS runs — a mid-run exception must not leave an in-flight async
+        # checkpoint truncated on disk, nor a prefetch daemon thread inside
+        # device_put at interpreter teardown (utils/prefetch.py docstring)
+        if prefetcher is not None:
+            prefetcher.close()
+        if writer is not None:
+            writer.close()   # final checkpoint durable before exit
+        guard.restore()
+    metrics.finalize()
+    overwatch.info("Training complete")
+
+
+def _train_loop(cfg, state, step_fn, schedule, metrics, guard, writer,
+                prefetcher, it, collator, to_global, local_rows, local_bs,
+                run_dir, data_it, max_steps) -> None:
+    import jax
+
+    from openvla_probe_tpu.training import checkpointing as ckpt
+
+    buf: list = []
     while int(jax.device_get(state.step)) < max_steps:
         if prefetcher is not None:
             gbatch, dataset_names = next(prefetcher)
@@ -356,13 +380,6 @@ def main(cfg: TrainConfig) -> None:
                 f"--is_resume True --resume_step {step}"
             )
             break
-    if prefetcher is not None:
-        prefetcher.close()
-    if writer is not None:
-        writer.close()   # final checkpoint durable before exit
-    guard.restore()
-    metrics.finalize()
-    overwatch.info("Training complete")
 
 
 if __name__ == "__main__":

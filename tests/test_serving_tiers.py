@@ -86,7 +86,12 @@ def test_env_overrides(monkeypatch):
     assert base.with_env_overrides().decode_impl == "frozen_kv"
     monkeypatch.setenv("OVLA_KV_INT8", "1")
     monkeypatch.delenv("OVLA_LEGACY_DECODE")
-    c = base.with_env_overrides()
+    # parity numerics + int8 KV would serve a row no tier names: RAISE, never
+    # stamp 'turbo_kv8' on fp32-score numerics
+    with pytest.raises(ValueError, match="parity config"):
+        base.with_env_overrides()
+    turbo = vla.VLAServingConfig.for_tier(vlm.VLMConfig.tiny(), "turbo")
+    c = turbo.with_env_overrides()
     assert c.kv_int8 and c.decode_impl == "frozen_kv"   # implied, never a no-op
     assert c.tier == "turbo_kv8"   # numerics change => the tier label follows
     monkeypatch.setenv("OVLA_LEGACY_DECODE", "1")
@@ -100,6 +105,13 @@ def test_env_overrides(monkeypatch):
     monkeypatch.setenv("OVLA_DECODE_UNROLL", "0")
     c = base.with_env_overrides()
     assert c.decode_unroll is False and c.split_prefill is True
+    # dropping the int8 KV via LEGACY=1 must drop the turbo_kv8 LABEL too
+    monkeypatch.delenv("OVLA_SPLIT_PREFILL")
+    monkeypatch.delenv("OVLA_DECODE_UNROLL")
+    monkeypatch.setenv("OVLA_LEGACY_DECODE", "1")
+    kv8cfg = vla.VLAServingConfig.for_tier(vlm.VLMConfig.tiny(), "turbo_kv8")
+    c = kv8cfg.with_env_overrides()
+    assert c.decode_impl == "stacked" and not c.kv_int8 and c.tier == "turbo"
 
 
 def test_pallas_subgate_flip_raises(wrapper_parts, monkeypatch):
