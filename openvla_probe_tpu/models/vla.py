@@ -635,6 +635,60 @@ def make_sharded_predict(
     return call, sharded_params
 
 
+def make_sharded_multilora_predict(
+    params: Params,
+    lora_bank: Any,
+    cfg: VLAServingConfig,
+    mesh,
+    image_cfg: Optional[ImageTransformConfig] = None,
+    strategy: str = "tp",
+) -> Tuple[Any, Params, Any]:
+    """Multi-chip multi-LoRA serving: N adapter banks shard WITH the base.
+
+    Bank factors follow the base weight's tp layout (parallel.sharding: an
+    out-sharded base shards Bt's O, a contraction-sharded base shards A's I
+    so the partial delta psums together with the base matmul) — the delta
+    path adds no extra collectives beyond the base's own. `sel` [B, N] rides
+    the dp axis with the batch. Returns (call, sharded_params, sharded_bank);
+    call(p, bank, sel, image_u8, input_ids, prompt_len, q01, q99, action_mask).
+    The bank is a jit ARGUMENT (a closed-over tree would become a lowering
+    constant — the 8.45 GB OOM class)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from ..parallel.sharding import shard_params
+    from . import multilora
+
+    image_cfg = image_cfg or ImageTransformConfig.dinosiglip_224()
+    param_shardings = shard_params(params, mesh, strategy=strategy)
+    sharded_params = jax.device_put(params, param_shardings)
+    bank_shardings = shard_params(lora_bank, mesh, strategy=strategy)
+    sharded_bank = jax.device_put(lora_bank, bank_shardings)
+
+    batch_axes = ("dp",) if "dp" in mesh.axis_names and mesh.shape["dp"] > 1 else ()
+    bspec = NamedSharding(mesh, P(*batch_axes)) if batch_axes else NamedSharding(mesh, P())
+    rep = NamedSharding(mesh, P())
+
+    def serve(p, bank, sel, image_u8, input_ids, prompt_len, q01, q99, action_mask):
+        adapted = multilora.attach_multilora(p, bank, sel)
+        return predict_action_from_image(
+            adapted, cfg, image_u8, image_cfg, input_ids, prompt_len,
+            q01, q99, action_mask,
+        )
+
+    fn = jax.jit(
+        serve,
+        in_shardings=(param_shardings, bank_shardings, bspec,
+                      bspec, bspec, bspec, rep, rep, rep),
+    )
+
+    def call(p, bank, sel, image_u8, input_ids, prompt_len, q01, q99, action_mask):
+        return fn(p, bank, jnp.asarray(sel), jnp.asarray(image_u8),
+                  jnp.asarray(input_ids), jnp.asarray(prompt_len),
+                  jnp.asarray(q01), jnp.asarray(q99), jnp.asarray(action_mask))
+
+    return call, sharded_params, sharded_bank
+
+
 class OpenVLA:
     """Stateful convenience wrapper: jit caching, tokenizer, norm-stats lookup.
 

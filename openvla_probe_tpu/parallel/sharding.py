@@ -92,6 +92,23 @@ def _tp_dim(path: str, shape: Tuple[int, ...],
         if leaf == "q":
             return n - 2 if is_out else n - 1
         return n - 1 if is_out else None
+    # LoRA factors under a target weight's name (streamed {A [.., r, I],
+    # B [.., O, r]} and multi-LoRA banks {A [.., N, r, I], Bt [.., N, r, O]}):
+    # the delta must land with the BASE's layout — an out-sharded base
+    # (column-parallel) shards the O-carrying factor (Bt last dim / B's -2),
+    # a contraction-sharded base (row-parallel) shards A's I so the partial
+    # delta psums together with the base matmul's partial. The rank dim is
+    # never sharded (r ~ 16-32 lanes).
+    if leaf in ("A", "B", "Bt") and len(parts) >= 2:
+        d0 = _TP_DIM_BY_SUFFIX.get(parts[-2])
+        if d0 is None:
+            return None
+        is_out = d0 != 2
+        if leaf == "A":
+            return None if is_out else len(shape) - 1
+        if leaf == "Bt":
+            return len(shape) - 1 if is_out else None
+        return len(shape) - 2 if is_out else None        # B [.., O, r]
     # projector dicts are {fc*: {w,b}} — path ends in w/b
     if leaf == "w" and len(shape) == 2:
         if "/fc1/" in path or path.endswith("fc1/w"):

@@ -102,8 +102,21 @@ class OpenVLAServer:
         self._max_streams = max_streams
         self._stream_drafts: "Dict[str, np.ndarray]" = {}
         self._stream_lock = threading.Lock()
+        # request-latency ring (seconds, last 2048 requests) for GET /stats
+        # percentiles — includes any batching wait, i.e. what the CLIENT sees
+        import collections
+
+        self._lat = collections.deque(maxlen=2048)
 
     def predict_action(self, payload: Dict[str, Any]) -> Dict[str, Any]:
+        import time
+
+        t0 = time.monotonic()
+        out = self._predict_action(payload)
+        self._lat.append(time.monotonic() - t0)
+        return out
+
+    def _predict_action(self, payload: Dict[str, Any]) -> Dict[str, Any]:
         if "instruction" not in payload or "image" not in payload:
             raise ValueError(
                 "Payload must contain 'image' and 'instruction' keys "
@@ -184,7 +197,16 @@ class OpenVLAServer:
                         "dynamic_batching": server_self.batcher is not None,
                         "speculative_streams": server_self._spec_streams,
                         "active_streams": len(server_self._stream_drafts),
+                        "adapters": list(getattr(server_self.model,
+                                                 "adapter_names", [])),
                     }
+                    lat = np.asarray(server_self._lat, np.float64)
+                    if lat.size:
+                        p50, p95, p99 = np.percentile(lat, [50, 95, 99]) * 1e3
+                        stats["latency_ms"] = {
+                            "count": int(lat.size), "p50": round(float(p50), 2),
+                            "p95": round(float(p95), 2), "p99": round(float(p99), 2),
+                        }
                     if server_self.batcher is not None:
                         b = server_self.batcher
                         stats.update(b.stats)

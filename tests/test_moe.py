@@ -371,8 +371,13 @@ def test_moe_quantized_and_lora_expert_sharding_specs():
     assert param_spec("llm/layers/down_proj/q", (L, E, D, F), mesh, "tp") == P(None, "ep", None, "tp")
     # (4096-wide D so the leaf clears MIN_SHARD_ELEMS' replicate-tiny rule)
     assert param_spec("llm/layers/down_proj/s", (L, E, 4096), mesh, "tp") == P(None, "ep", None)
+    # LoRA factors now follow the BASE's tp layout too (multi-LoRA sharding
+    # rules, addressed from the END so the E axis drops out): out-sharded
+    # up_proj shards B's O dim, its A stays replicated; contraction-sharded
+    # down_proj shards A's I dim
     assert param_spec("llm/layers/up_proj/A", (L, E, 32, D), mesh, "tp") == P(None, "ep", None, None)
-    assert param_spec("llm/layers/up_proj/B", (L, E, F, 32), mesh, "tp") == P(None, "ep", None, None)
+    assert param_spec("llm/layers/up_proj/B", (L, E, F, 32), mesh, "tp") == P(None, "ep", "tp", None)
+    assert param_spec("llm/layers/down_proj/A", (L, E, 32, F), mesh, "tp") == P(None, "ep", None, "tp")
     # dense quantized leaves keep their unshifted rules
     assert param_spec("llm/layers/gate_proj/q", (L, F, D), mesh, "tp") == P(None, "tp", None)
     # dense down s is tp-replicated (spans the un-sharded output dim)

@@ -334,3 +334,80 @@ def test_server_payload_adapter(setup):
     want = m.predict_action(imgs[0], get_openvla_prompt("pick the mug"),
                             unnorm_key="x", adapter="task2")
     np.testing.assert_array_equal(out["action"], want["actions"])
+
+
+# --- tp/dp sharded multi-LoRA serving -----------------------------------------
+
+def test_bank_param_specs_follow_base_layout():
+    """Bank factors shard WITH the base (parallel.sharding tp rules): an
+    out-sharded base shards Bt's O, a contraction-sharded base shards A's I;
+    the rank/N dims never shard. 7B-like shapes, pure spec check."""
+    from jax.sharding import PartitionSpec as P
+
+    from openvla_probe_tpu.parallel.mesh import make_mesh
+    from openvla_probe_tpu.parallel.sharding import param_spec
+
+    if jax.device_count() < 8:
+        pytest.skip("needs 8 devices")
+    mesh = make_mesh({"dp": 4, "fsdp": 1, "tp": 2})
+
+    def axes(path, shape):
+        spec = param_spec(path, shape, mesh, "tp")
+        return tuple(spec) + (None,) * (len(shape) - len(spec))
+
+    # q_proj is out-sharded: A replicated, Bt splits O
+    assert "tp" not in axes("llm/layers/q_proj/A", (32, 4, 32, 4096))
+    assert axes("llm/layers/q_proj/Bt", (32, 4, 32, 4096))[-1] == "tp"
+    # down_proj is contraction-sharded: A splits I, Bt replicated
+    assert axes("llm/layers/down_proj/A", (32, 4, 32, 11008))[-1] == "tp"
+    assert "tp" not in axes("llm/layers/down_proj/Bt", (32, 4, 32, 4096))
+    # streamed-LoRA B [L, O, r] splits O for out-sharded bases
+    assert axes("llm/layers/q_proj/B", (32, 4096, 32))[1] == "tp"
+
+
+def test_sharded_multilora_matches_unsharded(setup):
+    """make_sharded_multilora_predict under a dp2/tp2 mesh: greedy tokens
+    equal the single-device multi-LoRA run, with bank leaves actually
+    sharded (the delta path rides the base's collectives)."""
+    import functools
+
+    from openvla_probe_tpu.parallel.mesh import make_mesh
+
+    serving, params, lcfg, _, img_cfg, stats, imgs = setup
+    if jax.device_count() < 8:
+        pytest.skip("needs 8 devices")
+    # r=8 / N=4 puts the ffn bank factors over MIN_SHARD_ELEMS so the tp
+    # rule is exercised, not just vacuously replicated
+    lcfg8 = lora.LoRAConfig(r=8, include_lm_head=True)
+    trees = [_rand_lora(params, lcfg8, 50 + i) for i in range(4)]
+    bank = multilora.stack_adapter_banks(trees, lcfg8)
+    B = imgs.shape[0]
+    P_len = serving.prompt_pad_len
+    r = np.random.default_rng(3)
+    ids = np.zeros((B, P_len), np.int32)
+    ids[:, 0] = 1
+    ids[:, 1:7] = r.integers(3, 500, (B, 6))
+    args = dict(
+        image_u8=imgs, input_ids=ids,
+        prompt_len=np.full((B,), 7, np.int32),
+        q01=-np.ones(5, np.float32), q99=np.ones(5, np.float32),
+        action_mask=np.array([True] * 4 + [False]),
+    )
+    sel = multilora.adapter_one_hot(np.array([0, 3, -1, 2]), 4)
+
+    def serve(p, bank, sel, **kw):
+        adapted = multilora.attach_multilora(p, bank, sel)
+        return vla.predict_action_from_image(adapted, serving,
+                                             kw.pop("image_u8"), img_cfg, **kw)
+
+    want = jax.jit(serve)(params, bank, sel,
+                          **{k: jnp.asarray(v) for k, v in args.items()})
+    want_toks = np.asarray(want["action_tokens"])
+
+    mesh = make_mesh({"dp": 4, "fsdp": 1, "tp": 2})
+    call, sp, sb = vla.make_sharded_multilora_predict(
+        params, bank, serving, mesh, image_cfg=img_cfg, strategy="tp")
+    out = call(sp, sb, sel, args["image_u8"], args["input_ids"],
+               args["prompt_len"], args["q01"], args["q99"], args["action_mask"])
+    np.testing.assert_array_equal(np.asarray(out["action_tokens"]), want_toks)
+    assert any(not l.sharding.is_fully_replicated for l in jax.tree.leaves(sb))

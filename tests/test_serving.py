@@ -146,6 +146,9 @@ def test_stats_endpoint():
         assert stats["dynamic_batching"] is True
         assert stats["requests"] >= 1 and stats["batches"] >= 1
         assert stats["max_batch"] == 4
+        # client-observed latency percentiles ride the ring buffer
+        lat = stats["latency_ms"]
+        assert lat["count"] >= 1 and lat["p50"] <= lat["p95"] <= lat["p99"]
     finally:
         srv.shutdown()
         srv.batcher.shutdown()
