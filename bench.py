@@ -55,6 +55,15 @@ def main() -> None:
         # BENCH_SCALE=13b: Llama-2-13B trunk (13 GB int8 on one 16 GB chip)
         cfg = (vlm.VLMConfig.openvla_13b() if scale == "13b"
                else vlm.VLMConfig.openvla_7b())
+        # BENCH_LLM=<catalog id>: swap the trunk for any catalog LLM backbone
+        # (e.g. mistral-v0.1-7b-pure — GQA 8-kv-head decode at 7B scale)
+        llm_id = os.environ.get("BENCH_LLM", "")
+        if llm_id:
+            import dataclasses
+
+            from openvla_probe_tpu.models.catalog import LLM_BACKBONES
+
+            cfg = dataclasses.replace(cfg, llm=LLM_BACKBONES[llm_id]["cfg"])
         if quant in ("int8", "int4", "mix"):
             cfg = cfg.turbo()  # THE turbo numerics (single definition in vlm)
         serving = vla.VLAServingConfig(vlm=cfg, prompt_pad_len=prompt_pad,

@@ -411,3 +411,28 @@ def test_sharded_multilora_matches_unsharded(setup):
                args["prompt_len"], args["q01"], args["q99"], args["action_mask"])
     np.testing.assert_array_equal(np.asarray(out["action_tokens"]), want_toks)
     assert any(not l.sharding.is_fully_replicated for l in jax.tree.leaves(sb))
+
+
+def test_adapter_hot_swap_reuses_graph(setup):
+    """set_adapters with a same-geometry bank (same N, r, targets) serves new
+    weights through the SAME compiled graph (the bank is a jit argument, not
+    a constant); a different N recompiles. Fleet ops can rotate task adapters
+    without a serving pause."""
+    serving, params, lcfg, adapters, img_cfg, stats, imgs = setup
+    m = _wrapper(setup)
+    m.set_adapters(adapters, lcfg)
+    out0 = m.predict_action(imgs[:2], "pick the mug", unnorm_key="x",
+                            adapter="task1")
+    n_graphs = len(m._jit_cache)
+    # swap in freshly-initialized banks of the SAME geometry
+    swapped = {f"task{i}": _rand_lora(params, lcfg, 70 + i) for i in range(3)}
+    m.set_adapters(swapped, lcfg)
+    out1 = m.predict_action(imgs[:2], "pick the mug", unnorm_key="x",
+                            adapter="task1")
+    assert len(m._jit_cache) == n_graphs          # no recompile
+    assert (out0["action_tokens"] != out1["action_tokens"]).any()  # new weights
+    # a 2-adapter bank is a new sel geometry: still served (new graph)
+    m.set_adapters({k: swapped[k] for k in ("task0", "task1")}, lcfg)
+    out2 = m.predict_action(imgs[:2], "pick the mug", unnorm_key="x",
+                            adapter="task1")
+    assert out2["action_tokens"].shape == (2, 5)
