@@ -82,7 +82,10 @@ def save_rollout_video(rollout_images, idx: int, success: bool, task_description
         for img in rollout_images:
             writer.append_data(img)
         writer.close()
-    except ImportError:
+    except Exception:
+        # imageio absent OR its ffmpeg backend missing (get_writer raises
+        # ValueError, not ImportError) — never lose the rollout over a codec
+        base.with_suffix(".mp4").unlink(missing_ok=True)  # drop partial file
         path = base.with_suffix(".npz")
         np.savez_compressed(path, frames=np.stack(rollout_images))
     if log_file is not None:
