@@ -32,6 +32,11 @@ import numpy as np
 
 
 def main() -> None:
+    if os.environ.get("OVLA_COMPILE_CACHE"):
+        from openvla_probe_tpu.utils.platform import setup_compilation_cache
+
+        setup_compilation_cache(os.environ["OVLA_COMPILE_CACHE"])
+
     import jax
     import jax.numpy as jnp
 
