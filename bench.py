@@ -30,6 +30,43 @@ import time
 
 import numpy as np
 
+# ---------------------------------------------------------------------------
+# Global deadline + guaranteed-artifact machinery (VERDICT r3 weak #1): the
+# driver runs bench under its own ~25 min budget and `timeout` kill. Round 3's
+# layered stage timeouts (30 min backend wait + 35 min flash subprocess + main
+# run) could exceed that, so the driver's SIGTERM landed while bench was still
+# waiting — and NO JSON line was emitted (BENCH_r03.json rc=124, empty). Now:
+#   - ONE global budget, BENCH_DEADLINE seconds from process start (default
+#     1200); every stage sizes itself from the REMAINING budget.
+#   - the artifact is emitted on EVERY exit path: success, exception, SIGTERM/
+#     SIGINT (the `timeout` kill signal), or atexit — whichever fires first
+#     wins; the others see _ARTIFACT_PRINTED and stay silent.
+# ---------------------------------------------------------------------------
+_START = time.time()
+_ARTIFACT_PRINTED = False
+_PENDING_ARTIFACT = None  # headline measured but bonus fields still running
+
+
+def _remaining() -> float:
+    budget = float(os.environ.get("BENCH_DEADLINE", "1200"))
+    return budget - (time.time() - _START)
+
+
+def _emit(artifact: dict) -> None:
+    global _ARTIFACT_PRINTED
+    if _ARTIFACT_PRINTED:
+        return
+    _ARTIFACT_PRINTED = True
+    print(json.dumps(artifact), flush=True)
+
+
+def _emit_error(reason: str) -> None:
+    _emit({
+        "metric": "predict_action calls/sec/chip (7-DoF @ 224px)",
+        "value": 0.0, "unit": "calls/s", "vs_baseline": 0.0,
+        "error": reason,
+    })
+
 
 def main() -> None:
     if os.environ.get("OVLA_COMPILE_CACHE"):
@@ -216,13 +253,37 @@ def main() -> None:
 
     calls_per_s = batch / dt
 
+    # the headline is now measured: stash it so the SIGTERM/atexit path emits
+    # THIS number (without the bs=1 bonus fields) rather than an error
+    # artifact if the driver's deadline lands during the bs=1 extra below
+    global _PENDING_ARTIFACT
+    _PENDING_ARTIFACT = {
+        "metric": "predict_action calls/sec/chip (7-DoF @ 224px)",
+        "value": round(calls_per_s, 3),
+        "unit": "calls/s",
+        "vs_baseline": round(calls_per_s / 30.0, 3),
+        "p50_latency_ms": round(dt * 1e3, 2),
+        "batch": batch,
+        "quant": quant,
+        "compile_s": round(compile_s, 1),
+        "scale": scale,
+        "backend": jax.default_backend(),
+        **({"speculative": True,
+            "n_accepted": int(np.asarray(out["n_accepted"])[0])} if speculative else {}),
+        **({"capture": True} if capture else {}),
+    }
+
     # bs=1 speculative robot-loop point (BENCH_BS1=0 to skip): rides every
     # BENCH artifact next to the throughput point, so the latency story isn't
     # only in the README table. Draft = the model's own row-0 tokens (the
     # steady-state full-acceptance operating mode).
     extra = {}
+    # the bs=1 point is a bonus: skip it when the global deadline can no
+    # longer fit its compile (~2-8 min tunneled) — the headline number must
+    # reach the artifact regardless
     if (scale != "tiny" and not speculative and not capture
-            and action_dim == 7 and os.environ.get("BENCH_BS1", "1") == "1"):
+            and action_dim == 7 and os.environ.get("BENCH_BS1", "1") == "1"
+            and _remaining() > 240):
         from openvla_probe_tpu.ops.image import apply_image_transform
 
         def spec1(params, image_u8, input_ids, prompt_len, draft_tokens,
@@ -258,37 +319,26 @@ def main() -> None:
         extra = {"bs1_spec_p50_ms": round(dt1 * 1e3, 2),
                  "bs1_spec_accepted": int(np.asarray(o1["n_accepted"])[0])}
 
-    print(json.dumps({
-        "metric": "predict_action calls/sec/chip (7-DoF @ 224px)",
-        "value": round(calls_per_s, 3),
-        "unit": "calls/s",
-        "vs_baseline": round(calls_per_s / 30.0, 3),
-        "p50_latency_ms": round(dt * 1e3, 2),
-        "batch": batch,
-        "quant": quant,
-        "compile_s": round(compile_s, 1),
-        "scale": scale,
-        "backend": jax.default_backend(),
-        **({"speculative": True,
-            "n_accepted": int(np.asarray(out["n_accepted"])[0])} if speculative else {}),
-        **({"capture": True} if capture else {}),
-        **extra,
-    }))
+    _emit({**_PENDING_ARTIFACT, **extra})
 
 
 def _await_backend() -> bool:
     """Bounded wait for a live default backend (the axon TPU tunnel has had
     multi-hour outages where even a trivial jit hangs — see the verify
     skill's outage signature). Probes a trivial matmul in a SUBPROCESS under
-    a per-probe timeout, retrying until BENCH_BACKEND_WAIT seconds (default
-    30 min; 0 disables the probe). Returns False when the backend never
-    answered, so main can emit an honest error artifact instead of hanging
-    the driver forever."""
+    a per-probe timeout. Budget = min(BENCH_BACKEND_WAIT, global remaining
+    minus a reserve for the measurement itself), so the wait can never eat
+    the whole driver budget (the round-3 failure mode). Returns False when
+    the backend never answered, so main can emit an honest error artifact
+    instead of hanging the driver forever."""
     import subprocess
 
-    budget = float(os.environ.get("BENCH_BACKEND_WAIT", "1800"))
+    # reserve ~2/3 of the global budget for the actual measurement (a cold
+    # first-of-day compile through the tunnel can take 4-10 min)
+    budget = min(float(os.environ.get("BENCH_BACKEND_WAIT", "600")),
+                 _remaining() - 0.66 * float(os.environ.get("BENCH_DEADLINE", "1200")))
     if budget <= 0:
-        return True
+        return True  # no room to probe — let the run itself hit the backend
     probe = ("import jax, numpy as np; "
              "x = jax.numpy.ones((8, 8)); print(float(np.asarray(x @ x).sum()))")
     deadline = time.time() + budget
@@ -316,7 +366,10 @@ def _try_flash_subprocess() -> bool:
     artifact on success, fall back to the pure-XLA path on any failure.
 
     Engages only for the full-scale mix default with no explicit OVLA_PALLAS
-    choice; BENCH_TRY_FLASH=0 disables."""
+    choice; BENCH_TRY_FLASH=0 disables. Its timeout is carved from the
+    GLOBAL remaining budget with a reserve left for the pure-XLA fallback —
+    it can no longer (round-3 failure) claim 35 min the driver doesn't have;
+    when the remaining budget can't fit flash + fallback, flash is skipped."""
     import subprocess
 
     if (os.environ.get("BENCH_TRY_FLASH", "1") != "1"
@@ -324,8 +377,17 @@ def _try_flash_subprocess() -> bool:
             or os.environ.get("BENCH_QUANT", "mix") != "mix"
             or "OVLA_PALLAS" in os.environ):
         return False
+    flash_timeout = min(2100.0, _remaining() - 420.0)  # keep 7 min for fallback
+    if flash_timeout < 300.0:
+        print("# not enough budget for the flash attempt; running XLA path",
+              file=sys.stderr)
+        return False
     env = dict(os.environ,
                BENCH_TRY_FLASH="0", OVLA_PALLAS="1",
+               # backend liveness was just confirmed by _await_backend, and
+               # the child must spend its whole slice measuring
+               BENCH_BACKEND_WAIT="0",
+               BENCH_DEADLINE=str(int(flash_timeout - 15)),
                # flash prefill attention ONLY — every other kernel is a
                # measured e2e loser (PERF_r03.md kernel A/B table)
                OVLA_PALLAS_MATMUL="0", OVLA_PALLAS_DECODE="0",
@@ -333,7 +395,7 @@ def _try_flash_subprocess() -> bool:
                OVLA_PALLAS_VITMLP="0", OVLA_PALLAS_W4A8="0")
     try:
         r = subprocess.run([sys.executable, os.path.abspath(__file__)],
-                           env=env, capture_output=True, timeout=2100)
+                           env=env, capture_output=True, timeout=flash_timeout)
     except subprocess.TimeoutExpired:
         print("# flash subprocess timed out; falling back to XLA path",
               file=sys.stderr)
@@ -346,7 +408,7 @@ def _try_flash_subprocess() -> bool:
                 break
             if r.returncode == 0 and art.get("value", 0) > 0:
                 art["pallas_flash"] = True
-                print(json.dumps(art))
+                _emit(art)
                 return True
             break
     print(f"# flash subprocess failed (rc={r.returncode}); falling back",
@@ -354,14 +416,57 @@ def _try_flash_subprocess() -> bool:
     return False
 
 
+def _install_exit_guards() -> None:
+    """The artifact must be emitted on EVERY exit path. `timeout`/the driver
+    kill with SIGTERM (which skips atexit), so both a signal handler and an
+    atexit hook are installed; _emit's printed-flag makes them idempotent."""
+    import atexit
+    import signal
+
+    def on_signal(signum, frame):
+        if _PENDING_ARTIFACT is not None:
+            _emit(_PENDING_ARTIFACT)
+        else:
+            _emit_error(f"killed by signal {signum} before measurement finished")
+        # restore default + re-raise so the exit code stays signal-accurate
+        signal.signal(signum, signal.SIG_DFL)
+        sys.stdout.flush()
+        os.kill(os.getpid(), signum)
+
+    for sig in (signal.SIGTERM, signal.SIGINT):
+        try:
+            signal.signal(sig, on_signal)
+        except (ValueError, OSError):
+            pass
+
+    @atexit.register
+    def on_exit():
+        if not _ARTIFACT_PRINTED:
+            if _PENDING_ARTIFACT is not None:
+                _emit(_PENDING_ARTIFACT)
+            else:
+                _emit_error("bench exited before any measurement completed")
+
+
 if __name__ == "__main__":
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    _install_exit_guards()
     if not _await_backend():
-        print(json.dumps({
-            "metric": "predict_action calls/sec/chip (7-DoF @ 224px)",
-            "value": 0.0, "unit": "calls/s", "vs_baseline": 0.0,
-            "error": "default backend unavailable (axon outage) — no measurement",
-        }))
+        _emit_error("default backend unavailable (axon outage) — no measurement")
         sys.exit(1)
-    if not _try_flash_subprocess():
-        main()
+    try:
+        if not _try_flash_subprocess():
+            main()
+    except BaseException as e:  # noqa: BLE001 — artifact-before-death contract
+        if _PENDING_ARTIFACT is not None:
+            # headline was measured; only a bonus stage died — report the
+            # failure on stderr but keep the run (and its exit code) good
+            _emit(_PENDING_ARTIFACT)
+            import traceback
+
+            traceback.print_exc()
+            sys.exit(0)
+        _emit_error(f"{type(e).__name__}: {e}")
+        if not isinstance(e, KeyboardInterrupt):
+            raise
+        sys.exit(1)

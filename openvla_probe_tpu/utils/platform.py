@@ -25,7 +25,11 @@ def setup_compilation_cache(cache_dir: str,
     (later compilations still use the cache). Entries below
     `min_compile_secs` of compile time are not persisted (default 1.0 —
     skip trivial kernels, keep every real serving/training graph);
-    `OVLA_COMPILE_CACHE_MIN_SECS` overrides.
+    `OVLA_COMPILE_CACHE_MIN_SECS` overrides. Entry-size gating stays at the
+    JAX default unless `OVLA_COMPILE_CACHE_MIN_BYTES` is set (ADVICE r3:
+    forcing -1 persisted every tiny kernel with no size guard). The cache
+    dir grows without bound over many distinct shapes; it is always safe to
+    delete between runs.
     """
     import jax
 
@@ -34,7 +38,10 @@ def setup_compilation_cache(cache_dir: str,
             os.environ.get("OVLA_COMPILE_CACHE_MIN_SECS", "1.0"))
     os.makedirs(cache_dir, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", str(cache_dir))
-    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    min_bytes = os.environ.get("OVLA_COMPILE_CACHE_MIN_BYTES")
+    if min_bytes is not None:
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes",
+                          int(min_bytes))
     jax.config.update("jax_persistent_cache_min_compile_time_secs",
                       float(min_compile_secs))
 

@@ -32,6 +32,11 @@ class HFConvertConfig:
     llm_backbone_id: str = "llama2-7b-pure"
     arch_specifier: str = "no-align+fused-gelu-mlp"
     image_resize_strategy: str = "resize-naive"
+    # local dir holding the base LLM tokenizer files (tokenizer.json /
+    # tokenizer.model + configs) — the reference converter re-saves the HF
+    # tokenizer into the export (convert_openvla_weights_to_hf.py:243-245);
+    # with zero egress we copy from local files instead
+    tokenizer_path: Optional[str] = None
 
 
 def main(cfg: HFConvertConfig) -> None:
@@ -58,19 +63,28 @@ def main(cfg: HFConvertConfig) -> None:
     out = Path(cfg.output_dir)
     out.mkdir(parents=True, exist_ok=True)
     save_file(state, str(out / "model.safetensors"))
-    hf_config = {
-        "model_type": "openvla",
-        "vision_backbone_id": cfg.vision_backbone_id,
-        "llm_backbone_id": cfg.llm_backbone_id,
-        "arch_specifier": cfg.arch_specifier,
-        "image_resize_strategy": cfg.image_resize_strategy,
-        "text_config": {"vocab_size": model_cfg.llm.vocab_size},
-        "pad_to_multiple_of": 64,
-    }
+
+    # every non-weight file of a reference-complete HF dir: full
+    # OpenVLAConfig-schema config.json + preprocessor/processor configs +
+    # tokenizer files + dataset_statistics.json — the set the reference
+    # converter's save_pretrained calls produce, so the export is directly
+    # consumable by AutoModelForVision2Seq/AutoProcessor (VERDICT r3 #3)
+    from openvla_probe_tpu.models.hf_export import write_export_sidecars
+
+    norm_stats = None
     stats_path = Path(cfg.run_dir) / "dataset_statistics.json"
     if stats_path.exists():
-        hf_config["norm_stats"] = json.loads(stats_path.read_text())
-    (out / "config.json").write_text(json.dumps(hf_config, indent=2))
+        norm_stats = json.loads(stats_path.read_text())
+    result = write_export_sidecars(
+        out, model_cfg, img_cfg,
+        cfg.vision_backbone_id, cfg.llm_backbone_id, cfg.arch_specifier,
+        cfg.image_resize_strategy, norm_stats=norm_stats,
+        tokenizer_src=Path(cfg.tokenizer_path) if cfg.tokenizer_path else None)
+    if not result["copied_tokenizer_files"]:
+        overwatch.warning(
+            "No tokenizer files copied (pass --tokenizer_path to a local "
+            "Llama tokenizer dir); wrote contract-only tokenizer_config.json "
+            "— AutoProcessor loading needs the real tokenizer data")
     overwatch.info(f"Wrote HF export to {out}")
 
 

@@ -19,10 +19,19 @@ from openvla_probe_tpu.utils.platform import (apply_platform_env,
 
 @pytest.fixture
 def restore_cache_config():
+    # capture the ACTUAL pre-test values (ADVICE r3: restoring hardcoded
+    # assumed defaults silently leaks config if JAX's defaults change or
+    # another fixture set these first)
+    before = {
+        "jax_compilation_cache_dir": jax.config.jax_compilation_cache_dir,
+        "jax_persistent_cache_min_entry_size_bytes":
+            jax.config.jax_persistent_cache_min_entry_size_bytes,
+        "jax_persistent_cache_min_compile_time_secs":
+            jax.config.jax_persistent_cache_min_compile_time_secs,
+    }
     yield
-    jax.config.update("jax_compilation_cache_dir", None)
-    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    for name, value in before.items():
+        jax.config.update(name, value)
 
 
 def test_setup_writes_executables(tmp_path, restore_cache_config):
@@ -50,6 +59,19 @@ def test_apply_platform_env_wires_cache(tmp_path, restore_cache_config,
     assert jax.config.jax_compilation_cache_dir == str(cache_dir)
     assert jax.config.jax_persistent_cache_min_compile_time_secs == 2.5
     assert cache_dir.is_dir()
+
+
+def test_entry_size_respects_default_and_env(tmp_path, restore_cache_config,
+                                             monkeypatch):
+    # without the env knob, entry-size gating is left at whatever JAX has
+    before = jax.config.jax_persistent_cache_min_entry_size_bytes
+    monkeypatch.delenv("OVLA_COMPILE_CACHE_MIN_BYTES", raising=False)
+    setup_compilation_cache(str(tmp_path / "a"), min_compile_secs=0.0)
+    assert jax.config.jax_persistent_cache_min_entry_size_bytes == before
+    # with the knob, it is applied
+    monkeypatch.setenv("OVLA_COMPILE_CACHE_MIN_BYTES", "4096")
+    setup_compilation_cache(str(tmp_path / "b"), min_compile_secs=0.0)
+    assert jax.config.jax_persistent_cache_min_entry_size_bytes == 4096
 
 
 def test_env_absent_is_noop(monkeypatch):
