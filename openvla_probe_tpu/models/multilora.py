@@ -116,6 +116,76 @@ def attach_multilora(params: Params, bank: Any, sel: jnp.ndarray) -> Params:
     return jax.tree.map(attach, bank, params, is_leaf=_is_bank)
 
 
+def fuse_bank_into_base(params: Params, bank: Any) -> Params:
+    """Concat-fuse the A banks onto the base weights OFFLINE (once, at bank
+    load — not per call), so serving pays ONE widened dot per target instead
+    of base dot + separate rank projection (VERDICT r4 #3a).
+
+    int8 bases {"q": [*, O, I], "s": [*, O]}: each A leaf's N*r rank rows are
+    int8-quantized per row (ops.linear.quantize_weight — the same symmetric
+    per-output-channel rule as the base) and concatenated onto the output
+    rows: {"qf": [*, O+N*r, I], "sf": [*, O+N*r], "Bt": [*, N, r, O]}.
+    bf16/f32 bases concat the A rows verbatim: {"wf": [*, O+N*r, I], "Bt"}.
+
+    Numerics: the first O output rows of the widened int8 dot are BITWISE
+    the plain base result (int32 accumulation is exact per output row —
+    widening O cannot perturb them), so bare-base (sel=-1) rows and the
+    carried KV cache are unchanged. The rank projection u moves from bf16
+    x·Aᵀ to the base's w8a8 form (int8 A rows, int8 per-row-quantized x):
+    a ~0.4%-of-delta perturbation, inside trained-margin token equality —
+    certified end-to-end by scripts/multilora_parity.py --fused.
+
+    Mix/int4 bases are rejected: multi-LoRA's one-chip deployment base is
+    int8 (PERF_r03.md tenth session — the mix dual-copy graph OOMs at B=24).
+    """
+    from ..ops.linear import is_grouped_int4, quantize_weight
+
+    def fuse(bw, w):
+        if bw is None:
+            return w
+        A, Bt = bw["A"], bw["Bt"]                  # [*, N, r, I], [*, N, r, O]
+        nr = A.shape[-3] * A.shape[-2]
+        A2 = A.reshape(*A.shape[:-3], nr, A.shape[-1])
+        if isinstance(w, dict) and "q" in w:
+            if "q4" in w or is_grouped_int4(w) or w["q"].dtype != jnp.int8:
+                raise NotImplementedError(
+                    "fuse_bank_into_base supports int8 and bf16 bases only "
+                    "(multi-LoRA's deployment base; mix/int4 bases OOM or "
+                    "lack a widened-dot form)")
+            qa = quantize_weight(A2.astype(jnp.float32))
+            return {"qf": jnp.concatenate([w["q"], qa["q"]], axis=-2),
+                    "sf": jnp.concatenate(
+                        [w["s"], qa["s"].astype(w["s"].dtype)], axis=-1),
+                    "Bt": Bt}
+        return {"wf": jnp.concatenate([jnp.asarray(w), A2.astype(w.dtype)],
+                                      axis=-2),
+                "Bt": Bt}
+
+    return jax.tree.map(fuse, bank, params, is_leaf=_is_bank)
+
+
+def _is_fused(x) -> bool:
+    return x is None or (isinstance(x, dict)
+                         and ("qf" in x or "wf" in x) and "Bt" in x)
+
+
+def attach_multilora_fused(fused_params: Params, sel: jnp.ndarray) -> Params:
+    """Add the per-example one-hot `sel` to every fused leaf (trace-time,
+    like attach_multilora — sel broadcasts over leading model-stack dims so
+    the wrapper rides the layer scan's xs)."""
+
+    def attach(w):
+        if not (isinstance(w, dict) and ("qf" in w or "wf" in w)):
+            return w
+        Bt = w["Bt"]
+        nb = Bt.ndim - 3
+        sel_leaf = sel if nb == 0 else jnp.broadcast_to(
+            sel, (*Bt.shape[:nb], *sel.shape))
+        return {**w, "sel": sel_leaf}
+
+    return jax.tree.map(attach, fused_params, is_leaf=_is_fused)
+
+
 def adapter_one_hot(
     adapter_ids: Union[int, Sequence[int], np.ndarray, jnp.ndarray],
     n_adapters: int,

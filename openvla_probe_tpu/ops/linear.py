@@ -50,6 +50,19 @@ def is_multilora(w: Any) -> bool:
     return isinstance(w, dict) and "base" in w and "A" in w and "sel" in w
 
 
+def is_multilora_fused(w: Any) -> bool:
+    """Concat-fused multi-LoRA wrapper (models/multilora.fuse_bank_into_base):
+    the A bank's N*r rank rows are quantized and CONCATENATED onto the base
+    weight's output rows offline, so the base projection and the rank
+    projection are ONE widened dot — {"qf": [O+N*r, K] int8, "sf": [O+N*r],
+    "Bt": [N, r, O], "sel": [B, N]} (bf16 bases use "wf" instead of qf/sf).
+    The first O output rows are BITWISE the plain base result: the int8 dot
+    accumulates exactly in int32 per output row, so widening O cannot change
+    them (and bf16 rows are computed per-element the same way)."""
+    return isinstance(w, dict) and "Bt" in w and "sel" in w and (
+        "qf" in w or "wf" in w)
+
+
 def quantize_weight(w: jnp.ndarray) -> QuantWeight:
     """Symmetric per-output-channel int8 quantization of [..., O, I]."""
     wf = jnp.asarray(w, jnp.float32)
@@ -354,6 +367,17 @@ def _use_w8a8() -> bool:
     import os
 
     return os.environ.get("OVLA_W8A8", "1") == "1"
+
+
+def _multilora_impl() -> str:
+    """A/B knob for the UNfused multi-LoRA delta formulation:
+    "masked" (default; explicit repeat+multiply between the two flat
+    matmuls) or "einsum" (sel folded into one contraction — VERDICT r4 #3b
+    asked for this A/B). The fused form is selected structurally, by
+    attaching fuse_bank_into_base's wrapper instead."""
+    import os
+
+    return os.environ.get("OVLA_MULTILORA_IMPL", "masked")
 
 
 # --- w4a8: grouped int4 weights on the int8 MXU -------------------------------
@@ -714,12 +738,49 @@ def matmul_t(x: jnp.ndarray, w: AnyWeight) -> jnp.ndarray:
         Bex = sel.shape[0]
         x3 = x.reshape(Bex, -1, K)                       # rows are batch-major
         T = x3.shape[1]
+        if _multilora_impl() == "einsum":
+            # A/B variant (VERDICT r4 #3b): fold the sel mask into one
+            # einsum instead of an explicit repeat+multiply, letting XLA
+            # choose where to apply it. Same math, different graph shape.
+            u4 = (x3.reshape(Bex * T, K) @ A.reshape(N * r, I).astype(dt).T
+                  ).reshape(Bex, T, N, r)
+            delta = jnp.einsum("btnr,bn,nro->bto", u4, sel, Bt.astype(dt),
+                               preferred_element_type=dt)
+            return y + delta.reshape(*lead, O)
         u = x3.reshape(Bex * T, K) @ A.reshape(N * r, I).astype(dt).T
         # mask columns are n-major blocks of r, matching A.reshape(N*r, I)
         mask = jnp.repeat(sel, r, axis=1)                # [Bex, N*r]
         u = (u.reshape(Bex, T, N * r) * mask[:, None, :]).reshape(Bex * T, N * r)
         delta = u @ Bt.reshape(N * r, O).astype(dt)
         return y + delta.reshape(*lead, O)
+    if is_multilora_fused(w):
+        # concat-fused multi-LoRA (models/multilora.fuse_bank_into_base):
+        # ONE widened dot computes base output and rank projection together —
+        # the per-target first delta matmul disappears from the graph
+        # (VERDICT r4 #3a). The rank rows ride the base's own representation:
+        # int8 bases carry int8-quantized A rows (delta perturbation ~0.4% of
+        # the delta itself — far inside trained-margin token equality,
+        # certified by scripts/multilora_parity.py), bf16 bases carry A rows
+        # verbatim (bit-identical delta math to the masked form).
+        dt = x.dtype
+        Bt = w["Bt"]                                     # [N, r, O]
+        sel = w["sel"].astype(dt)                        # [Bex, N]
+        N, r, O = Bt.shape
+        lead, K = x.shape[:-1], x.shape[-1]
+        x2 = x.reshape(-1, K)
+        if "qf" in w:
+            y_u = (_w8a8_dot(x2, w["qf"], w["sf"]) if _use_w8a8()
+                   else x2 @ (w["qf"].astype(dt)
+                              * w["sf"][:, None].astype(dt)).T)
+        else:
+            y_u = x2 @ w["wf"].astype(dt).T
+        y, u = y_u[:, :O], y_u[:, O:]                    # [.., O], [.., N*r]
+        Bex = sel.shape[0]
+        T = x2.shape[0] // Bex
+        mask = jnp.repeat(sel, r, axis=1)                # [Bex, N*r]
+        u = (u.reshape(Bex, T, N * r) * mask[:, None, :]).reshape(Bex * T, N * r)
+        delta = u @ Bt.reshape(N * r, O).astype(dt)
+        return (y + delta).reshape(*lead, O)
     if is_lora_wrapped(w):
         # QLoRA-style frozen base: plain or int8 {"q","s"} — the int8 base
         # takes the fast w8a8 forward whose custom VJP (straight-through,

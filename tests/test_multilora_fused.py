@@ -1,0 +1,127 @@
+"""Concat-fused multi-LoRA (VERDICT r4 #3a) + einsum A/B variant (#3b).
+
+The fused form folds each A bank's N*r rank rows onto the base weight's
+output rows offline, so serving pays ONE widened dot per target. Contracts
+pinned here (CPU, tiny shapes):
+
+  * int8 base: the first O output rows are BITWISE the plain base matmul
+    (int32 accumulation is exact — widening O cannot perturb them), so a
+    sel=-1 (bare-base) row is unchanged by construction;
+  * the fused delta matches the masked-form delta to int8-quantization
+    tolerance (the A rows ride the base's w8a8 representation);
+  * bf16 base: fused delta matches masked delta to bf16 dust;
+  * the einsum impl (sel folded into the contraction) matches masked
+    exactly in structure-independent math.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from openvla_probe_tpu.models import multilora
+from openvla_probe_tpu.ops import linear
+from openvla_probe_tpu.training.lora import LoRAConfig
+
+N, R, O, K, B, T = 3, 4, 32, 64, 4, 5
+
+
+@pytest.fixture(scope="module")
+def setup():
+    key = jax.random.key(0)
+    ks = jax.random.split(key, 8)
+    w = jax.random.normal(ks[0], (O, K), jnp.float32) * 0.05
+    adapters = []
+    for i in range(N):
+        adapters.append({"t": {
+            "A": jax.random.normal(ks[1 + i], (R, K), jnp.float32) * 0.05,
+            "B": jax.random.normal(ks[4 + i], (O, R), jnp.float32) * 0.05,
+        }})
+    cfg = LoRAConfig(r=R)
+    bank = multilora.stack_adapter_banks(adapters, cfg, dtype=jnp.float32)
+    x = jax.random.normal(ks[7], (B, T, K), jnp.float32) * 0.3
+    sel = multilora.adapter_one_hot(np.array([0, 1, 2, -1]), N)
+    return w, bank, x, sel
+
+
+def test_int8_base_rows_bitwise_and_delta_close(setup):
+    w, bank, x, sel = setup
+    qw = linear.quantize_weight(w)
+    params = {"t": qw}
+
+    # plain base (w8a8 path), masked multilora, fused multilora
+    base_out = linear.matmul_t(x, qw)
+    masked = linear.matmul_t(
+        x, {"base": qw, "A": bank["t"]["A"], "Bt": bank["t"]["Bt"], "sel": sel})
+    fused_tree = multilora.fuse_bank_into_base(params, bank)
+    leaf = fused_tree["t"]
+    assert leaf["qf"].shape == (O + N * R, K) and leaf["sf"].shape == (O + N * R,)
+    fused = linear.matmul_t(
+        x, multilora.attach_multilora_fused(fused_tree, sel)["t"])
+
+    # bare-base row (sel=-1): fused == plain base BITWISE
+    np.testing.assert_array_equal(np.asarray(fused[3]), np.asarray(base_out[3]))
+    # adapter rows: fused delta tracks the masked delta within int8-A tol
+    d_masked = np.asarray(masked - base_out)
+    d_fused = np.asarray(fused - base_out)
+    scale = np.abs(d_masked).max()
+    np.testing.assert_allclose(d_fused, d_masked, atol=0.03 * scale)
+
+
+def test_bf16_base_fused_matches_masked(setup):
+    w, bank, x, sel = setup
+    params = {"t": w}
+    masked = linear.matmul_t(
+        x, {"base": w, "A": bank["t"]["A"], "Bt": bank["t"]["Bt"], "sel": sel})
+    fused_tree = multilora.fuse_bank_into_base(params, bank)
+    assert "wf" in fused_tree["t"]
+    fused = linear.matmul_t(
+        x, multilora.attach_multilora_fused(fused_tree, sel)["t"])
+    np.testing.assert_allclose(np.asarray(fused), np.asarray(masked),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_einsum_impl_matches_masked(setup, monkeypatch):
+    w, bank, x, sel = setup
+    ml = {"base": w, "A": bank["t"]["A"], "Bt": bank["t"]["Bt"], "sel": sel}
+    masked = linear.matmul_t(x, ml)
+    monkeypatch.setenv("OVLA_MULTILORA_IMPL", "einsum")
+    einsum = linear.matmul_t(x, ml)
+    np.testing.assert_allclose(np.asarray(einsum), np.asarray(masked),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_fuse_rejects_mix_base(setup):
+    w, bank, _, _ = setup
+    # dual-precision leaf: int8 copy + grouped-int4 copy resident together
+    mixed = {"t": {**linear.quantize_weight(w),
+                   **{f"{k}4" if k in ("q", "s") else k: v
+                      for k, v in linear.quantize_weight_int4(
+                          w, group_size=16).items()}}}
+    assert "q4" in mixed["t"] and "s4" in mixed["t"]
+    with pytest.raises(NotImplementedError, match="int8 and bf16"):
+        multilora.fuse_bank_into_base(mixed, bank)
+
+
+def test_fused_serving_token_path_runs(setup):
+    """End-to-end: fused wrapper rides a layer-stacked leaf ([L, ...]) the
+    way the llama scan slices it — per-layer dicts must stay well-formed."""
+    w, bank, x, sel = setup
+    L = 2
+    wl = jnp.stack([w, w * 1.1])
+    ql = linear.quantize_weight(wl)
+    bankL = {"t": {"A": jnp.broadcast_to(bank["t"]["A"], (L, N, R, K)),
+                   "Bt": jnp.broadcast_to(bank["t"]["Bt"], (L, N, R, O))}}
+    fused = multilora.fuse_bank_into_base({"t": ql}, bankL)
+    att = multilora.attach_multilora_fused(fused, sel)["t"]
+    assert att["qf"].shape == (L, O + N * R, K)
+    assert att["sel"].shape == (L, B, N)
+
+    def body(carry, leaf):
+        y = linear.matmul_t(x, leaf)
+        return carry + jnp.sum(y), y
+
+    tot, ys = jax.lax.scan(body, jnp.float32(0.0), att)
+    assert np.isfinite(float(tot))
+    assert ys.shape == (L, B, T, O)
