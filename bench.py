@@ -16,8 +16,10 @@ trunk, fits one 16 GB chip in int8); BENCH_CALLS=N (default 30);
 BENCH_BATCH=N (default 24) batched serving; BENCH_QUANT=int8|int4|mix|bf16
 (default mix — the measured-best headline config, PERF_r03.md ninth
 session) — int8/int4/mix are turbo serving modes (weight-only quantized
-trunk; int4 = grouped scales, half the int8 weight stream; mix =
-dual-precision, int8 prefill + grouped-int4 decode, both copies resident);
+trunk; int4 = grouped scales, half the int8 weight stream — fidelity note:
+int4 is margin-certified >=99.7% token agreement, NOT token-exact
+(PARITY_r03.md; README int4 note); mix = dual-precision, int8 prefill +
+grouped-int4 decode, both copies resident);
 bf16 is the bit-parity mode; BENCH_SPECULATIVE=1 verified
 draft-from-previous-step serving; BENCH_CAPTURE=1 emit all per-layer probe
 taps; BENCH_ACTION_DIM=1 isolates prefill.
