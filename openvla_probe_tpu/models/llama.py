@@ -239,6 +239,33 @@ def make_causal_mask(attn_mask: jnp.ndarray, tq: int, tk: int, offset: int = 0) 
 
 # --- layer + model ----------------------------------------------------------
 
+def _norm_maybe_quant(cfg: LlamaConfig, x: jnp.ndarray, norm_w: jnp.ndarray,
+                      proj_leaf) -> Any:
+    """RMSNorm — fused with the int8 activation quantize when the consuming
+    projection carries an int8 copy and the fused kernel is enabled
+    (OVLA_PALLAS=1 + OVLA_PALLAS_RMSQ=1; VERDICT r4 #8 prefill lever).
+
+    Returns either the normed bf16 tensor (unfused) or a PrequantActivation
+    (q8 + row scales) that matmul_t consumes directly. Per-leaf gating keeps
+    every other path untouched: LoRA/multi-LoRA wrappers, bf16 leaves, and
+    the mix tier's int4-copy regime (M <= group_m_max reads the int4 copy —
+    prequant would silently switch it to int8) all take the plain norm."""
+    from ..ops import rmsnorm_quant as _rq
+    from ..ops.linear import PrequantActivation, _use_w8a8, _w4a8_group_m_max
+
+    M = x.shape[0] * x.shape[1]
+    if (_rq.use_fused_rmsq() and _use_w8a8() and M > 8
+            and isinstance(proj_leaf, dict)
+            and "q" in proj_leaf and "base" not in proj_leaf
+            and proj_leaf["q"].dtype == jnp.int8
+            and not ("q4" in proj_leaf and M <= _w4a8_group_m_max())):
+        q8, sx = _rq.rms_norm_quant(
+            x, norm_w, cfg.rms_norm_eps,
+            interpret=jax.default_backend() != "tpu")
+        return PrequantActivation(q8, sx, x.dtype)
+    return rms_norm(x, norm_w, cfg.rms_norm_eps)
+
+
 def _qkv(cfg: LlamaConfig, lp: Params, h: jnp.ndarray, B: int, T: int):
     """q/k/v projections; uses the fused qkv stack when present
     (fuse_serving_params)."""
@@ -313,7 +340,8 @@ def _layer_forward(
     B, T, D = x.shape
     H, Hkv, Dh = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
 
-    h = rms_norm(x, lp["input_layernorm"], cfg.rms_norm_eps)
+    h = _norm_maybe_quant(cfg, x, lp["input_layernorm"],
+                          lp.get("qkv_proj", lp.get("q_proj")))
     q, k, v = _qkv(cfg, lp, h, B, T)
     q, k = apply_rope(q, k, cos, sin, cfg.rope_dtype)
 
@@ -348,16 +376,19 @@ def _layer_forward(
     ).reshape(B, T, D)
     x = x + matmul_t(attn, lp["o_proj"])
 
-    h = rms_norm(x, lp["post_attention_layernorm"], cfg.rms_norm_eps)
     if "router" in lp:
         # kv_valid's first T columns are exactly this block's per-token
         # validity (uncached: attn_mask[:, :T]; cached zero-offset prefill:
         # the first T cache slots; decode passes None — a decoded token is
-        # always real)
+        # always real). The router consumes the float normed activation, so
+        # the MoE site never takes the fused norm+quantize.
+        h = rms_norm(x, lp["post_attention_layernorm"], cfg.rms_norm_eps)
         tok_valid = None if kv_valid is None else kv_valid[:, :T]
         y, moe_aux = _moe_mlp(cfg, lp, h, token_valid=tok_valid)
         x = x + y
     else:
+        h = _norm_maybe_quant(cfg, x, lp["post_attention_layernorm"],
+                              lp.get("gate_up_proj", lp.get("gate_proj")))
         x = x + _mlp(cfg, lp, h)
         moe_aux = jnp.zeros((2,), jnp.float32)
     return x, new_cache, moe_aux

@@ -63,6 +63,35 @@ def is_multilora_fused(w: Any) -> bool:
         "qf" in w or "wf" in w)
 
 
+@jax.tree_util.register_pytree_node_class
+class PrequantActivation:
+    """Activation rows already RMS-normed AND int8-quantized by the fused
+    `ops.rmsnorm_quant` kernel: q8 [..., K] int8 + per-row scales sx
+    [..., 1] f32, with the original activation dtype carried statically so
+    the dot's output matches what the unfused path would produce.
+    `matmul_t` consumes this in place of the bf16 tensor — the int8 dot's
+    operands are identical to _quantize_activations' output, so this is a
+    pure HBM-traffic optimization of the SAME turbo-tier math."""
+
+    def __init__(self, q8, sx, dtype):
+        self.q8, self.sx, self.dtype = q8, sx, jnp.dtype(dtype)
+
+    def tree_flatten(self):
+        return (self.q8, self.sx), self.dtype
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(children[0], children[1], aux)
+
+    @property
+    def shape(self):
+        return self.q8.shape
+
+    @property
+    def ndim(self):
+        return self.q8.ndim
+
+
 def quantize_weight(w: jnp.ndarray) -> QuantWeight:
     """Symmetric per-output-channel int8 quantization of [..., O, I]."""
     wf = jnp.asarray(w, jnp.float32)
@@ -713,7 +742,23 @@ def _w4a8_matmul(x2: jnp.ndarray, w: QuantWeight) -> jnp.ndarray:
 
 def matmul_t(x: jnp.ndarray, w: AnyWeight) -> jnp.ndarray:
     """x [..., K] @ w[O, K].T -> [..., O]; w may be bf16/f32, quantized, or a
-    streamed-LoRA wrapper {"base", "A", "B"}."""
+    streamed-LoRA wrapper {"base", "A", "B"}. `x` may also be a
+    PrequantActivation (fused rmsnorm+quantize output) when w carries an
+    int8 copy — the dot then skips its own activation quantize."""
+    if isinstance(x, PrequantActivation):
+        if not (isinstance(w, dict) and "q" in w and w["q"].dtype == jnp.int8):
+            raise TypeError(
+                "PrequantActivation requires an int8-copy weight leaf; got "
+                f"{type(w)} — gate fused rmsnorm+quantize per leaf")
+        K = x.q8.shape[-1]
+        lead = x.q8.shape[:-1]
+        x2 = x.q8.reshape(-1, K)
+        s2 = x.sx.reshape(-1, 1)
+        acc = jax.lax.dot_general(
+            x2, w["q"], dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32)
+        out = (acc.astype(jnp.float32) * s2 * w["s"][None, :]).astype(x.dtype)
+        return out.reshape(*lead, -1)
     if is_multilora(w):
         # multi-adapter serving (models/multilora.py): N adapter banks share
         # one frozen (possibly quantized) base; `sel` [B, N] one-hot picks
