@@ -233,8 +233,14 @@ def load_vla(
     if quantize_int8:
         from ..ops.linear import quantize_params
 
+        # free_source: at 7B the bf16 trunk (12.6 GB) must not stay resident
+        # while its int8/int4 copies materialize — each source leaf's buffer
+        # is deleted as its quantized copy lands (full-scale dress-rehearsal
+        # OOM, PERF_r04.md). bundle["params"] is dead after this point.
         params = {**params,
-                  "llm": quantize_params(params["llm"], bits=quantize_bits)}
+                  "llm": quantize_params(params["llm"], bits=quantize_bits,
+                                         free_source=True)}
+        bundle["params"] = None
     serving = vla.VLAServingConfig(
         vlm=bundle["cfg"], prompt_pad_len=prompt_pad_len,
         codec_vocab_size=_codec_vocab_size(path, bundle["cfg"]),

@@ -116,7 +116,8 @@ def attach_multilora(params: Params, bank: Any, sel: jnp.ndarray) -> Params:
     return jax.tree.map(attach, bank, params, is_leaf=_is_bank)
 
 
-def fuse_bank_into_base(params: Params, bank: Any) -> Params:
+def fuse_bank_into_base(params: Params, bank: Any,
+                        free_source: bool = False) -> Params:
     """Concat-fuse the A banks onto the base weights OFFLINE (once, at bank
     load — not per call), so serving pays ONE widened dot per target instead
     of base dot + separate rank projection (VERDICT r4 #3a).
@@ -137,6 +138,11 @@ def fuse_bank_into_base(params: Params, bank: Any) -> Params:
 
     Mix/int4 bases are rejected: multi-LoRA's one-chip deployment base is
     int8 (PERF_r03.md tenth session — the mix dual-copy graph OOMs at B=24).
+
+    Single-chip serving form: the sharded path
+    (vla.make_sharded_multilora_predict) keeps the masked banks — a tp
+    split of the widened [O+N*r] rows would interleave base and bank output
+    channels across shards and break matmul_t's static y/u split.
     """
     from ..ops.linear import is_grouped_int4, quantize_weight
 
@@ -153,13 +159,26 @@ def fuse_bank_into_base(params: Params, bank: Any) -> Params:
                     "(multi-LoRA's deployment base; mix/int4 bases OOM or "
                     "lack a widened-dot form)")
             qa = quantize_weight(A2.astype(jnp.float32))
-            return {"qf": jnp.concatenate([w["q"], qa["q"]], axis=-2),
-                    "sf": jnp.concatenate(
-                        [w["s"], qa["s"].astype(w["s"].dtype)], axis=-1),
-                    "Bt": Bt}
-        return {"wf": jnp.concatenate([jnp.asarray(w), A2.astype(w.dtype)],
-                                      axis=-2),
-                "Bt": Bt}
+            out = {"qf": jnp.concatenate([w["q"], qa["q"]], axis=-2),
+                   "sf": jnp.concatenate(
+                       [w["s"], qa["s"].astype(w["s"].dtype)], axis=-1),
+                   "Bt": Bt}
+        else:
+            out = {"wf": jnp.concatenate([jnp.asarray(w), A2.astype(w.dtype)],
+                                         axis=-2),
+                   "Bt": Bt}
+        if free_source:
+            # 7B deployment: the fused copy replaces the base trunk — delete
+            # source buffers as each fused leaf lands so base + fused are
+            # never co-resident (the same streaming rule as
+            # ops.linear.quantize_params(free_source=True))
+            jax.block_until_ready(out)
+            for arr in ([w["q"], w["s"]] if isinstance(w, dict) else [w]):
+                if isinstance(arr, jax.Array):
+                    arr.delete()
+            if isinstance(A, jax.Array):
+                A.delete()
+        return out
 
     return jax.tree.map(fuse, bank, params, is_leaf=_is_bank)
 

@@ -783,14 +783,24 @@ class OpenVLA:
         return self._jit_cache[key]
 
     # --- multi-LoRA serving (models/multilora.py) --------------------------
-    def set_adapters(self, adapters: Any, lora_cfg: Any, dtype: Any = None) -> None:
+    def set_adapters(self, adapters: Any, lora_cfg: Any, dtype: Any = None,
+                     fused: bool = False) -> None:
         """Install N LoRA adapter banks over the (frozen, possibly quantized)
         base: `adapters` is a {name: lora_tree} dict or a sequence of trees
         (init_lora_params layout — e.g. load_adapter_checkpoint per finetune
         run). After this, `predict_action(..., adapter=...)` serves any
         mixture of adapters in one batched call; `adapter=None` rows serve
         the bare base. One compiled graph covers every mixture (the one-hot
-        `sel` rides as a traced argument)."""
+        `sel` rides as a traced argument).
+
+        `fused=True` installs the concat-fused form (the measured-faster
+        deployment path, PERF_r04.md: 39.17 vs 38.03 calls/s at N=4): the A
+        banks are quantized onto the base weight rows and the FUSED tree
+        REPLACES the base trunk (streaming, never co-resident at 7B). Every
+        request then rides the fused graph — bare-base rows are bitwise the
+        plain base (exact int32 accumulation), so `predict_action` without
+        an adapter keeps its contract at the cost of the ~3% widened-dot
+        rows. int8 and bf16 bases only."""
         from . import multilora
 
         if isinstance(adapters, dict):
@@ -802,6 +812,11 @@ class OpenVLA:
         self.lora_bank = multilora.stack_adapter_banks(
             trees, lora_cfg, dtype=dtype or self.cfg.vlm.llm.dtype)
         self.adapter_names = names
+        if fused:
+            self.params = multilora.fuse_bank_into_base(
+                self.params, self.lora_bank, free_source=True)
+            self.lora_bank = "fused"   # sentinel: banks live inside params
+            self._jit_cache.clear()    # plain graphs hold dead base buffers
 
     @property
     def n_adapters(self) -> int:
@@ -845,6 +860,45 @@ class OpenVLA:
                     prompt_len, q01, q99, action_mask,
                     collect_hidden_states=collect,
                     return_first_logits=first_logits,
+                )
+
+            self._jit_cache[key] = jax.jit(fn)
+        return self._jit_cache[key]
+
+    def _get_mlf_jit(self, collect: bool, first_logits: bool = False):
+        """Fused-install serving graph: banks live INSIDE params (qf/sf/Bt
+        leaves); only `sel` rides as the extra traced argument."""
+        key = ("mlf", self.cfg, collect, first_logits)
+        if key not in self._jit_cache:
+            from . import multilora
+
+            def fn(params, sel, image_u8, input_ids, prompt_len,
+                   q01, q99, action_mask):
+                adapted = multilora.attach_multilora_fused(params, sel)
+                return predict_action_from_image(
+                    adapted, self.cfg, image_u8, self.image_cfg, input_ids,
+                    prompt_len, q01, q99, action_mask,
+                    collect_hidden_states=collect,
+                    return_first_logits=first_logits,
+                )
+
+            self._jit_cache[key] = jax.jit(fn)
+        return self._jit_cache[key]
+
+    def _get_mlf_spec_jit(self, collect: bool):
+        key = ("mlf_spec", self.cfg, collect)
+        if key not in self._jit_cache:
+            from . import multilora
+
+            def fn(params, sel, image_u8, input_ids, prompt_len,
+                   draft_tokens, q01, q99, action_mask):
+                adapted = multilora.attach_multilora_fused(params, sel)
+                pixels = apply_image_transform(image_u8, self.image_cfg).astype(
+                    self.cfg.vlm.llm.dtype)
+                return predict_action_speculative_core(
+                    adapted, self.cfg, pixels, input_ids, prompt_len,
+                    draft_tokens, q01, q99, action_mask,
+                    collect_hidden_states=collect,
                 )
 
             self._jit_cache[key] = jax.jit(fn)
@@ -930,12 +984,15 @@ class OpenVLA:
             ),
         )
         ml_args = ()
-        if adapter is not None:
+        fused = self.lora_bank == "fused"
+        if adapter is not None or fused:
             from . import multilora
 
+            # fused install: EVERY request rides the fused graph (bare-base
+            # rows are bitwise the plain base — exact int32 rows)
             ids = self._resolve_adapter_ids(adapter, B)
             sel = multilora.adapter_one_hot(jnp.asarray(ids), self.n_adapters)
-            ml_args = (self.lora_bank, sel)
+            ml_args = (sel,) if fused else (self.lora_bank, sel)
         if draft_tokens is not None:
             if return_first_logits:
                 raise ValueError(
@@ -946,12 +1003,14 @@ class OpenVLA:
             draft = np.asarray(draft_tokens, np.int32)
             if draft.ndim == 1:
                 draft = np.broadcast_to(draft, (B, draft.shape[0]))
-            fn = (self._get_ml_spec_jit(return_hidden_states) if ml_args
+            fn = (self._get_mlf_spec_jit(return_hidden_states) if fused
+                  else self._get_ml_spec_jit(return_hidden_states) if ml_args
                   else self._get_spec_jit(return_hidden_states))
             out = fn(self.params, *ml_args,
                      draft_tokens=jnp.asarray(draft), **common)
         elif ml_args:
-            out = self._get_ml_jit(return_hidden_states, return_first_logits)(
+            get = self._get_mlf_jit if fused else self._get_ml_jit
+            out = get(return_hidden_states, return_first_logits)(
                 self.params, *ml_args, **common)
         else:
             out = self._get_jit(return_hidden_states, return_first_logits)(
@@ -1001,14 +1060,17 @@ class OpenVLA:
             return np.concatenate([x, np.repeat(x[:1], pad, axis=0)]) if pad else x
 
         ml_args = ()
-        if adapters is not None:
+        fused = self.lora_bank == "fused"
+        if adapters is not None or fused:
             from . import multilora
 
-            aids = self._resolve_adapter_ids(list(adapters), B)
+            aids = self._resolve_adapter_ids(
+                list(adapters) if adapters is not None else None, B)
             sel = multilora.adapter_one_hot(
                 jnp.asarray(pad_rows(aids)), self.n_adapters)
-            ml_args = (self.lora_bank, sel)
-        fn = self._get_ml_jit(False) if ml_args else self._get_jit(False)
+            ml_args = (sel,) if fused else (self.lora_bank, sel)
+        fn = (self._get_mlf_jit(False) if fused
+              else self._get_ml_jit(False) if ml_args else self._get_jit(False))
         out = fn(
             self.params, *ml_args,
             image_u8=jnp.asarray(pad_rows(images)),

@@ -43,6 +43,10 @@ class DeployConfig:
     # the payload's "adapter" field, and mixed-adapter requests micro-batch
     # together. The reference needs one merged model replica per task.
     adapters: str = ""
+    # concat-fused adapter install (PERF_r04.md: 39.17 vs 38.03 calls/s at
+    # N=4): A banks quantize onto the base weight rows; every request rides
+    # the fused graph (bare-base rows stay bitwise). int8/bf16 bases only.
+    fused_adapters: bool = False
 
 
 def main(cfg: DeployConfig) -> None:
@@ -64,10 +68,10 @@ def main(cfg: DeployConfig) -> None:
             raise ValueError("--adapters must be a comma list of name=dir pairs")
         trees = {name: multilora.load_adapter_checkpoint(d) for name, d in pairs}
         lcfg = multilora.infer_lora_config(next(iter(trees.values())))
-        model.set_adapters(trees, lcfg)
+        model.set_adapters(trees, lcfg, fused=cfg.fused_adapters)
         overwatch.info(
             f"Installed {len(trees)} LoRA adapters over the shared base "
-            f"(r={lcfg.r}): {list(trees)}")
+            f"(r={lcfg.r}{', fused' if cfg.fused_adapters else ''}): {list(trees)}")
     server = OpenVLAServer(
         model, base_vlm=Path(cfg.openvla_path).name,
         dynamic_batching=cfg.dynamic_batching,

@@ -104,6 +104,100 @@ def test_fuse_rejects_mix_base(setup):
         multilora.fuse_bank_into_base(mixed, bank)
 
 
+def _tiny_openvla(quantize=True):
+    from openvla_probe_tpu.models import vla, vlm
+    from openvla_probe_tpu.ops.image import (BackboneTransformSpec,
+                                             ImageTransformConfig)
+
+    cfg = vlm.VLMConfig.tiny()
+    serving = vla.VLAServingConfig(vlm=cfg, action_dim=5, prompt_pad_len=12,
+                                   codec_vocab_size=cfg.llm.vocab_size,
+                                   tier="turbo" if quantize else "parity")
+    params = vlm.init_params(cfg, jax.random.key(0))
+    if quantize:
+        params = {**params, "llm": linear.quantize_params(params["llm"])}
+    s = cfg.vision[0].image_size
+    img_cfg = ImageTransformConfig(specs=(
+        BackboneTransformSpec((s, s), "bicubic", (0.485, 0.456, 0.406), (0.229, 0.224, 0.225)),
+        BackboneTransformSpec((s, s), "bicubic", (0.5, 0.5, 0.5), (0.5, 0.5, 0.5)),
+    ))
+    stats = {"x": {"action": {"q01": -np.ones(5, np.float32),
+                              "q99": np.ones(5, np.float32)}}}
+
+    class _Tok:
+        def encode(self, t):
+            return [1] + [(len(w) % 300) + 3 for w in t.split()]
+
+    return vla.OpenVLA(params, serving, _Tok(), stats, img_cfg), params, s
+
+
+def _rand_adapters(params, lcfg, n):
+    from openvla_probe_tpu.training import lora as _lora
+
+    out = {}
+    for i in range(n):
+        t = _lora.init_lora_params(params, lcfg, jax.random.key(40 + i))
+        leaves, td = jax.tree_util.tree_flatten(t, is_leaf=_lora._is_ab)
+        ks = jax.random.split(jax.random.key(90 + i), len(leaves))
+        out[f"t{i}"] = jax.tree_util.tree_unflatten(td, [
+            None if l is None else
+            {"A": l["A"], "B": jax.random.normal(k, l["B"].shape, jnp.float32) * 0.05}
+            for l, k in zip(leaves, ks)])
+    return out
+
+
+def test_openvla_fused_install_bare_base_bitwise():
+    """set_adapters(fused=True): a no-adapter request must produce BITWISE
+    the plain model's tokens (base rows of the widened int8 dot are exact;
+    the masked delta contributes literal zeros)."""
+    from openvla_probe_tpu.training.lora import LoRAConfig
+
+    model, params, s = _tiny_openvla()
+    img = np.random.default_rng(3).integers(0, 256, (2, s, s, 3), np.uint8)
+    want = model.predict_action(img, "pick it up", unnorm_key="x")
+
+    model2, _, _ = _tiny_openvla()
+    lcfg = LoRAConfig(r=4, include_lm_head=True)
+    model2.set_adapters(_rand_adapters(params, lcfg, 2), lcfg, fused=True)
+    assert model2.lora_bank == "fused"
+    got = model2.predict_action(img, "pick it up", unnorm_key="x")
+    np.testing.assert_array_equal(got["action_tokens"], want["action_tokens"])
+
+
+def test_openvla_fused_install_adapter_rows_and_spec():
+    from openvla_probe_tpu.training.lora import LoRAConfig
+
+    model, params, s = _tiny_openvla()
+    lcfg = LoRAConfig(r=4, include_lm_head=True)
+    adapters = _rand_adapters(params, lcfg, 2)
+    model.set_adapters(adapters, lcfg, fused=True)
+    img = np.random.default_rng(4).integers(0, 256, (3, s, s, 3), np.uint8)
+
+    out = model.predict_action(img, "pick it up", unnorm_key="x",
+                               adapter=["t0", "t1", None])
+    assert out["action_tokens"].shape == (3, 5)
+
+    # masked-form install for comparison: per-row logits must track within
+    # the int8-A quantization tolerance
+    model_m, _, _ = _tiny_openvla()
+    model_m.set_adapters(adapters, lcfg)
+    out_f = model.predict_action(img, "pick it up", unnorm_key="x",
+                                 adapter=["t0", "t1", None],
+                                 return_first_logits=True)
+    out_m = model_m.predict_action(img, "pick it up", unnorm_key="x",
+                                   adapter=["t0", "t1", None],
+                                   return_first_logits=True)
+    f, m = (np.asarray(out_f["first_logits"], np.float32),
+            np.asarray(out_m["first_logits"], np.float32))
+    assert np.abs(f - m).max() <= 0.05 * max(np.abs(m).max(), 1.0)
+
+    # speculative path composes with the fused install
+    spec = model.predict_action(img, "pick it up", unnorm_key="x",
+                                adapter=["t0", "t1", None],
+                                draft_tokens=out["action_tokens"])
+    np.testing.assert_array_equal(spec["action_tokens"], out["action_tokens"])
+
+
 def test_fused_serving_token_path_runs(setup):
     """End-to-end: fused wrapper rides a layer-stacked leaf ([L, ...]) the
     way the llama scan slices it — per-layer dicts must stay well-formed."""
