@@ -28,6 +28,7 @@ import os
 from pathlib import Path
 from typing import Any, Dict, List, Optional, Union
 
+import jax
 import jax.numpy as jnp
 
 from ..overwatch import initialize_overwatch
@@ -191,31 +192,43 @@ def load_vla(
     resident; fastest end-to-end — PERF_r03.md); bf16 stays the bit-parity
     mode.
     """
+    import contextlib
+
     path = Path(checkpoint_path)
-    if path.is_file():
-        # reference calling convention: .../<RUN_ID>/checkpoints/<CKPT>.pt
-        if path.suffix != ".pt" or path.parent.name != "checkpoints":
-            raise ValueError(f"Expected .../<run>/checkpoints/<ckpt>.pt, got {path}")
-        run_dir = path.parents[1]
-        bundle = catalog.load_prismatic_checkpoint(
-            run_dir / "config.json", path,
-            run_dir / "dataset_statistics.json", dtype=dtype)
-        bundle["tokenizer"] = _tokenizer_for(run_dir, bundle)
-        path = run_dir
-    elif (not path.is_dir()
-          and (str(checkpoint_path) in catalog.GLOBAL_REGISTRY
-               or str(checkpoint_path) in catalog.MODEL_REGISTRY)):
-        # registry ids route through load() (which honors hf_repo for
-        # released standalone policies like openvla-7b)
-        bundle = load(checkpoint_path, dtype=dtype, cache_dir=cache_dir,
-                      hf_token=hf_token)
-    elif not path.is_dir() and "/" not in str(checkpoint_path):
-        # openvla-dev run id: {model_type}/{id}/... with step discovery
-        bundle, path = _load_vla_from_hub(str(checkpoint_path), model_type,
-                                          step_to_load, cache_dir, hf_token,
-                                          dtype)
-    else:
-        bundle = load(path, dtype=dtype, cache_dir=cache_dir, hf_token=hf_token)
+    # quantized serving: build (and quantize) the checkpoint tree on the
+    # HOST CPU backend first, then ship only the quantized bytes to the
+    # accelerator. Quantizing on-device needs the full bf16 trunk + f32
+    # absmax transients + both quantized copies concurrently — measured
+    # 20.6 GB at 7B-mix against a 15.75 GB chip (dress rehearsal,
+    # PERF_r04.md). CPU-side it is a few minutes in host RAM, and the
+    # host->device transfer shrinks to the quantized footprint.
+    build_ctx = (jax.default_device(jax.local_devices(backend="cpu")[0])
+                 if quantize_int8 else contextlib.nullcontext())
+    with build_ctx:
+        if path.is_file():
+            # reference calling convention: .../<RUN_ID>/checkpoints/<CKPT>.pt
+            if path.suffix != ".pt" or path.parent.name != "checkpoints":
+                raise ValueError(f"Expected .../<run>/checkpoints/<ckpt>.pt, got {path}")
+            run_dir = path.parents[1]
+            bundle = catalog.load_prismatic_checkpoint(
+                run_dir / "config.json", path,
+                run_dir / "dataset_statistics.json", dtype=dtype)
+            bundle["tokenizer"] = _tokenizer_for(run_dir, bundle)
+            path = run_dir
+        elif (not path.is_dir()
+              and (str(checkpoint_path) in catalog.GLOBAL_REGISTRY
+                   or str(checkpoint_path) in catalog.MODEL_REGISTRY)):
+            # registry ids route through load() (which honors hf_repo for
+            # released standalone policies like openvla-7b)
+            bundle = load(checkpoint_path, dtype=dtype, cache_dir=cache_dir,
+                          hf_token=hf_token)
+        elif not path.is_dir() and "/" not in str(checkpoint_path):
+            # openvla-dev run id: {model_type}/{id}/... with step discovery
+            bundle, path = _load_vla_from_hub(str(checkpoint_path), model_type,
+                                              step_to_load, cache_dir, hf_token,
+                                              dtype)
+        else:
+            bundle = load(path, dtype=dtype, cache_dir=cache_dir, hf_token=hf_token)
     norm_stats = bundle.get("norm_stats") or {}
     sidecar = Path(path) / "dataset_statistics.json"
     if sidecar.exists():
@@ -231,16 +244,40 @@ def load_vla(
             f"quantize_bits={quantize_bits!r} requires quantize_int8=True "
             "(the quantize switch); without it the model serves bf16 parity")
     if quantize_int8:
-        from ..ops.linear import quantize_params
+        from ..ops.linear import materialize_int4, quantize_params
 
-        # free_source: at 7B the bf16 trunk (12.6 GB) must not stay resident
-        # while its int8/int4 copies materialize — each source leaf's buffer
-        # is deleted as its quantized copy lands (full-scale dress-rehearsal
-        # OOM, PERF_r04.md). bundle["params"] is dead after this point.
-        params = {**params,
-                  "llm": quantize_params(params["llm"], bits=quantize_bits,
-                                         free_source=True)}
+        cpu = jax.local_devices(backend="cpu")[0]
+        dev = jax.devices()[0]
+        with jax.default_device(cpu):
+            # quantize on host (the whole tree is CPU-resident from
+            # build_ctx); int4 leaves stay int8 CODES here — they get their
+            # canonical s4 layout at birth ON the accelerator below
+            shapes = jax.eval_shape(
+                lambda p: quantize_params(p, bits=quantize_bits), params["llm"])
+            raw = jax.jit(
+                lambda p: quantize_params(p, bits=quantize_bits, emit_codes=True),
+                donate_argnums=0)(params["llm"])
         bundle["params"] = None
+
+        def ship(sh, lf):
+            # per-leaf host->device; codes leaves materialize to s4 on the
+            # device and the int8 codes transient frees immediately, so the
+            # device peak is the final tree + ONE codes leaf
+            on_dev = jax.device_put(lf, dev)
+            if sh.dtype == jnp.int4:
+                s4 = materialize_int4(on_dev)
+                on_dev.delete()
+                return s4
+            return on_dev
+
+        llm_q = jax.tree.map(ship, shapes, raw)
+        params = {**params, "llm": llm_q}
+        # the non-trunk leaves (vision/projector/embed, still CPU-resident
+        # under build_ctx) ship as-is
+        params = jax.tree.map(
+            lambda lf: (jax.device_put(lf, dev)
+                        if isinstance(lf, jax.Array) and lf.device != dev
+                        else lf), params)
     serving = vla.VLAServingConfig(
         vlm=bundle["cfg"], prompt_pad_len=prompt_pad_len,
         codec_vocab_size=_codec_vocab_size(path, bundle["cfg"]),
