@@ -803,6 +803,13 @@ class OpenVLA:
         rows. int8 and bf16 bases only."""
         from . import multilora
 
+        if self.lora_bank == "fused":
+            raise ValueError(
+                "adapters were installed with fused=True — the base trunk "
+                "was consumed by the fused tree, so banks cannot be swapped "
+                "in place. Rebuild the OpenVLA (load_vla) to change the "
+                "adapter set; the masked install (fused=False) supports "
+                "same-geometry hot-swap.")
         if isinstance(adapters, dict):
             names = list(adapters)
             trees = [adapters[n] for n in names]

@@ -198,6 +198,17 @@ def test_openvla_fused_install_adapter_rows_and_spec():
     np.testing.assert_array_equal(spec["action_tokens"], out["action_tokens"])
 
 
+def test_fused_install_rejects_reinstall():
+    from openvla_probe_tpu.training.lora import LoRAConfig
+
+    model, params, _ = _tiny_openvla()
+    lcfg = LoRAConfig(r=4, include_lm_head=True)
+    adapters = _rand_adapters(params, lcfg, 2)
+    model.set_adapters(adapters, lcfg, fused=True)
+    with pytest.raises(ValueError, match="fused=True"):
+        model.set_adapters(adapters, lcfg)
+
+
 def test_fused_serving_token_path_runs(setup):
     """End-to-end: fused wrapper rides a layer-stacked leaf ([L, ...]) the
     way the llama scan slices it — per-layer dicts must stay well-formed."""
