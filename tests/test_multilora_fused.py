@@ -198,6 +198,29 @@ def test_openvla_fused_install_adapter_rows_and_spec():
     np.testing.assert_array_equal(spec["action_tokens"], out["action_tokens"])
 
 
+def test_fused_install_batch_api_mixed_rows():
+    """predict_action_batch with a fused install: per-row adapters (incl.
+    bare-base None rows) ride the fused graph — the serving-server batcher's
+    code path."""
+    from openvla_probe_tpu.training.lora import LoRAConfig
+
+    model, params, s = _tiny_openvla()
+    lcfg = LoRAConfig(r=4, include_lm_head=True)
+    model.set_adapters(_rand_adapters(params, lcfg, 2), lcfg, fused=True)
+    imgs = np.random.default_rng(7).integers(0, 256, (3, s, s, 3), np.uint8)
+    results = model.predict_action_batch(
+        imgs, ["pick it up"] * 3, unnorm_keys=["x"] * 3,
+        adapters=["t0", None, "t1"])
+    assert len(results) == 3
+    for r in results:
+        assert r["action_tokens"].shape == (5,)
+    # no-adapters batch also rides the fused graph (bare-base rows)
+    results2 = model.predict_action_batch(imgs, ["pick it up"] * 3,
+                                          unnorm_keys=["x"] * 3)
+    np.testing.assert_array_equal(results2[1]["action_tokens"],
+                                  results[1]["action_tokens"])
+
+
 def test_fused_install_rejects_reinstall():
     from openvla_probe_tpu.training.lora import LoRAConfig
 
