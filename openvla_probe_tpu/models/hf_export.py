@@ -268,23 +268,27 @@ def save_tokenizer_files(out_dir: Path, tokenizer_src: Optional[Path]) -> List[s
             if (src / name).exists():
                 shutil.copyfile(src / name, out_dir / name)
                 copied.append(name)
-        if copied:
-            return copied
-    # honest placeholder: the contract fields the reference tokenizer ships
-    # (LlamaTokenizerFast, BOS "<s>" id 1, right padding, pad "<PAD>")
-    (out_dir / "tokenizer_config.json").write_text(json.dumps({
-        "tokenizer_class": "LlamaTokenizerFast",
-        "add_bos_token": True, "add_eos_token": False,
-        "bos_token": "<s>", "eos_token": "</s>", "unk_token": "<unk>",
-        "pad_token": "<PAD>", "padding_side": "right",
-        "model_max_length": 2048, "clean_up_tokenization_spaces": False,
-        "legacy": False,
-    }, indent=2))
-    (out_dir / "special_tokens_map.json").write_text(json.dumps({
-        "bos_token": "<s>", "eos_token": "</s>", "unk_token": "<unk>",
-        "pad_token": "<PAD>",
-    }, indent=2))
-    return copied
+    # fill any missing CONFIG sidecars with the reference tokenizer's
+    # contract fields (LlamaTokenizerFast, BOS "<s>" id 1, right padding,
+    # pad "<PAD>") — a source dir holding only tokenizer.model must still
+    # yield a loadable dir, not a silent AutoProcessor failure
+    if "tokenizer_config.json" not in copied:
+        (out_dir / "tokenizer_config.json").write_text(json.dumps({
+            "tokenizer_class": "LlamaTokenizerFast",
+            "add_bos_token": True, "add_eos_token": False,
+            "bos_token": "<s>", "eos_token": "</s>", "unk_token": "<unk>",
+            "pad_token": "<PAD>", "padding_side": "right",
+            "model_max_length": 2048, "clean_up_tokenization_spaces": False,
+            "legacy": False,
+        }, indent=2))
+    if "special_tokens_map.json" not in copied:
+        (out_dir / "special_tokens_map.json").write_text(json.dumps({
+            "bos_token": "<s>", "eos_token": "</s>", "unk_token": "<unk>",
+            "pad_token": "<PAD>",
+        }, indent=2))
+    # "copied" reports only DATA files to the caller's warning: without
+    # tokenizer.json/tokenizer.model the dir still needs real vocab data
+    return [n for n in copied if n in ("tokenizer.json", "tokenizer.model")]
 
 
 def write_export_sidecars(

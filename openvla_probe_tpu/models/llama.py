@@ -240,25 +240,35 @@ def make_causal_mask(attn_mask: jnp.ndarray, tq: int, tk: int, offset: int = 0) 
 # --- layer + model ----------------------------------------------------------
 
 def _norm_maybe_quant(cfg: LlamaConfig, x: jnp.ndarray, norm_w: jnp.ndarray,
-                      proj_leaf) -> Any:
-    """RMSNorm — fused with the int8 activation quantize when the consuming
-    projection carries an int8 copy and the fused kernel is enabled
+                      proj_leaves) -> Any:
+    """RMSNorm — fused with the int8 activation quantize when EVERY consuming
+    projection takes the w8a8 int8 dot and the fused kernel is enabled
     (OVLA_PALLAS=1 + OVLA_PALLAS_RMSQ=1; VERDICT r4 #8 prefill lever).
 
     Returns either the normed bf16 tensor (unfused) or a PrequantActivation
-    (q8 + row scales) that matmul_t consumes directly. Per-leaf gating keeps
-    every other path untouched: LoRA/multi-LoRA wrappers, bf16 leaves, and
-    the mix tier's int4-copy regime (M <= group_m_max reads the int4 copy —
-    prequant would silently switch it to int8) all take the plain norm."""
+    (q8 + row scales) that matmul_t consumes directly. Per-leaf gating over
+    ALL consumers (q/k/v or gate/up — a custom-targeted LoRA can wrap a
+    subset) keeps every other path untouched: LoRA/multi-LoRA wrappers,
+    bf16 leaves, and the mix tier's int4-copy regime (M <= group_m_max
+    reads the int4 copy) all take the plain norm. The Pallas wi8 matmul
+    (OVLA_PALLAS_MATMUL, on by default under the master gate) serves int8
+    leaves with bf16 activations — a DIFFERENT numeric class than w8a8 —
+    so the fusion also stands down whenever that kernel would run."""
     from ..ops import rmsnorm_quant as _rq
-    from ..ops.linear import PrequantActivation, _use_w8a8, _w4a8_group_m_max
+    from ..ops.linear import (PrequantActivation, _use_pallas, _use_w8a8,
+                              _w4a8_group_m_max)
+
+    def w8a8_leaf(leaf) -> bool:
+        return (isinstance(leaf, dict)
+                and "q" in leaf and "base" not in leaf
+                and leaf["q"].dtype == jnp.int8
+                and not ("q4" in leaf and M <= _w4a8_group_m_max()))
 
     M = x.shape[0] * x.shape[1]
-    if (_rq.use_fused_rmsq() and _use_w8a8() and M > 8
-            and isinstance(proj_leaf, dict)
-            and "q" in proj_leaf and "base" not in proj_leaf
-            and proj_leaf["q"].dtype == jnp.int8
-            and not ("q4" in proj_leaf and M <= _w4a8_group_m_max())):
+    leaves = proj_leaves if isinstance(proj_leaves, (tuple, list)) else (proj_leaves,)
+    leaves = [l for l in leaves if l is not None]
+    if (_rq.use_fused_rmsq() and _use_w8a8() and not _use_pallas()
+            and M > 8 and leaves and all(w8a8_leaf(l) for l in leaves)):
         q8, sx = _rq.rms_norm_quant(
             x, norm_w, cfg.rms_norm_eps,
             interpret=jax.default_backend() != "tpu")
@@ -340,8 +350,10 @@ def _layer_forward(
     B, T, D = x.shape
     H, Hkv, Dh = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
 
-    h = _norm_maybe_quant(cfg, x, lp["input_layernorm"],
-                          lp.get("qkv_proj", lp.get("q_proj")))
+    h = _norm_maybe_quant(
+        cfg, x, lp["input_layernorm"],
+        ((lp["qkv_proj"],) if "qkv_proj" in lp
+         else (lp.get("q_proj"), lp.get("k_proj"), lp.get("v_proj"))))
     q, k, v = _qkv(cfg, lp, h, B, T)
     q, k = apply_rope(q, k, cos, sin, cfg.rope_dtype)
 
@@ -387,8 +399,10 @@ def _layer_forward(
         y, moe_aux = _moe_mlp(cfg, lp, h, token_valid=tok_valid)
         x = x + y
     else:
-        h = _norm_maybe_quant(cfg, x, lp["post_attention_layernorm"],
-                              lp.get("gate_up_proj", lp.get("gate_proj")))
+        h = _norm_maybe_quant(
+            cfg, x, lp["post_attention_layernorm"],
+            ((lp["gate_up_proj"],) if "gate_up_proj" in lp
+             else (lp.get("gate_proj"), lp.get("up_proj"))))
         x = x + _mlp(cfg, lp, h)
         moe_aux = jnp.zeros((2,), jnp.float32)
     return x, new_cache, moe_aux

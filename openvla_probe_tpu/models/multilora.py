@@ -146,6 +146,21 @@ def fuse_bank_into_base(params: Params, bank: Any,
     """
     from ..ops.linear import is_grouped_int4, quantize_weight
 
+    def unsupported(bw, w):
+        return (bw is not None and isinstance(w, dict) and "q" in w
+                and ("q4" in w or is_grouped_int4(w)
+                     or w["q"].dtype != jnp.int8))
+
+    # validate EVERYTHING before touching any buffer: with free_source the
+    # walk deletes source leaves as it goes, so a mid-walk raise would leave
+    # the caller's tree half-destroyed
+    bad = jax.tree.map(unsupported, bank, params, is_leaf=_is_bank)
+    if any(jax.tree.leaves(bad)):
+        raise NotImplementedError(
+            "fuse_bank_into_base supports int8 and bf16 bases only "
+            "(multi-LoRA's deployment base; mix/int4 bases OOM or "
+            "lack a widened-dot form)")
+
     def fuse(bw, w):
         if bw is None:
             return w
@@ -170,9 +185,15 @@ def fuse_bank_into_base(params: Params, bank: Any,
         if free_source:
             # 7B deployment: the fused copy replaces the base trunk — delete
             # source buffers as each fused leaf lands so base + fused are
-            # never co-resident (the same streaming rule as
-            # ops.linear.quantize_params(free_source=True))
-            jax.block_until_ready(out)
+            # never co-resident. The wait must be a VALUE FETCH, not
+            # block_until_ready: on the tunneled axon backend only a host
+            # transfer reliably waits for real execution (CLAUDE.md), and
+            # deleting a source buffer before its consumer actually ran
+            # would corrupt the fused copy.
+            for key in ("qf", "sf", "wf"):
+                if key in out:  # fetch each derived output: every source
+                    np.asarray(jax.device_get(out[key].ravel()[0]))
+                    # consumer chain must have executed before the delete
             for arr in ([w["q"], w["s"]] if isinstance(w, dict) else [w]):
                 if isinstance(arr, jax.Array):
                     arr.delete()

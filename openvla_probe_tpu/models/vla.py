@@ -816,14 +816,30 @@ class OpenVLA:
         else:
             trees = list(adapters)
             names = [str(i) for i in range(len(trees))]
-        self.lora_bank = multilora.stack_adapter_banks(
+        if fused and self.cfg.tier == "parity":
+            # the fused form's bitwise bare-base argument holds for int8
+            # bases (exact int32 accumulation); a WIDENED bf16 dot may tile/
+            # accumulate differently than the plain one, which would break
+            # the parity tier's bit-equality contract for no-adapter rows
+            raise ValueError(
+                "fused adapter install requires a turbo-tier base (int8): "
+                "widened bf16 dots cannot promise the parity tier's "
+                "bit-equality for bare-base requests. Load with "
+                "quantize_int8=True, or install with fused=False.")
+        bank = multilora.stack_adapter_banks(
             trees, lora_cfg, dtype=dtype or self.cfg.vlm.llm.dtype)
-        self.adapter_names = names
         if fused:
-            self.params = multilora.fuse_bank_into_base(
-                self.params, self.lora_bank, free_source=True)
+            # fuse BEFORE mutating any instance state: an unsupported base
+            # (mix/int4) raises here and the model keeps serving whatever
+            # was installed before, not a half-installed masked bank
+            fused_params = multilora.fuse_bank_into_base(
+                self.params, bank, free_source=True)
+            self.params = fused_params
             self.lora_bank = "fused"   # sentinel: banks live inside params
             self._jit_cache.clear()    # plain graphs hold dead base buffers
+        else:
+            self.lora_bank = bank
+        self.adapter_names = names
 
     @property
     def n_adapters(self) -> int:

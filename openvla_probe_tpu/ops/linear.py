@@ -981,7 +981,6 @@ def quantize_params(
     bits: int = 8,
     group_size: int = 128,
     emit_codes: bool = False,
-    free_source: bool = False,
 ) -> Any:
     """Quantize matching weight leaves of a param pytree (path-suffix match).
 
@@ -1021,23 +1020,12 @@ def quantize_params(
             return quantize_weight(leaf)
         return leaf
 
+    # NOTE full-scale checkpoint loads must NOT call this on a device-
+    # resident bf16 tree: an eager walk materializes f32 absmax transients
+    # per leaf and a whole-tree device jit needs ~20.6 GB at 7B-mix
+    # (PERF_r04.md dress-rehearsal findings). models/load.py quantizes on
+    # the CPU backend and ships only quantized bytes.
     flat, treedef = jax.tree_util.tree_flatten_with_path(params)
-    if not free_source:
-        return jax.tree_util.tree_unflatten(
-            treedef, [walk(p, l) for p, l in flat]
-        )
-    # streaming quantize for full-scale CHECKPOINT loads (dress-rehearsal
-    # finding, PERF_r04.md): quantizing a resident 7B bf16 tree while it
-    # stays referenced co-materializes bf16 + quantized copies (13.5 + up to
-    # 10 GB) — an async OOM that surfaces at the first fetch. Here each
-    # source leaf's device buffer is DELETED as soon as its quantized copy
-    # exists, bounding the peak at source + one quantized leaf. The caller
-    # must not touch the source tree afterwards (its buffers are dead).
-    out = []
-    for p, l in flat:
-        q = walk(p, l)
-        if q is not l and isinstance(l, jax.Array):
-            jax.block_until_ready(q)
-            l.delete()
-        out.append(q)
-    return jax.tree_util.tree_unflatten(treedef, out)
+    return jax.tree_util.tree_unflatten(
+        treedef, [walk(p, l) for p, l in flat]
+    )

@@ -122,33 +122,42 @@ def main(sc: SnapshotConfig) -> None:
     from safetensors.numpy import save_file
 
     budget = int(sc.shard_gb * (1 << 30))
-    shards, cur, cur_bytes = [], {}, 0
-    for k, v in state.items():
-        v16 = np.asarray(v, np.float32).astype(ml_dtypes.bfloat16)
-        nbytes = v16.nbytes
-        if cur and cur_bytes + nbytes > budget:
-            shards.append(cur)
-            cur, cur_bytes = {}, 0
-        cur[k] = v16
+    # plan shard boundaries from byte sizes first, then build and write ONE
+    # shard at a time, popping source entries as they convert — holding the
+    # full fp32 state AND a converted copy peaks ~40 GB at 7B otherwise
+    keys = list(state.keys())
+    plans, cur_keys, cur_bytes = [], [], 0
+    for k in keys:
+        nbytes = state[k].size * 2  # bf16 on disk
+        if cur_keys and cur_bytes + nbytes > budget:
+            plans.append(cur_keys)
+            cur_keys, cur_bytes = [], 0
+        cur_keys.append(k)
         cur_bytes += nbytes
-    if cur:
-        shards.append(cur)
-    n = len(shards)
+    if cur_keys:
+        plans.append(cur_keys)
+    n = len(plans)
     weight_map, total = {}, 0
-    for i, shard in enumerate(shards, start=1):
+    for i, shard_keys in enumerate(plans, start=1):
         fname = (f"model-{i:05d}-of-{n:05d}.safetensors" if n > 1
                  else "model.safetensors")
+        shard = {}
+        for k in shard_keys:
+            v = state.pop(k)
+            shard[k] = (v if v.dtype == ml_dtypes.bfloat16
+                        else np.asarray(v).astype(ml_dtypes.bfloat16))
         overwatch.info(f"Writing {fname} ({len(shard)} tensors)")
         save_file(shard, str(snap / fname))
         for k, v in shard.items():
             weight_map[k] = fname
             total += v.nbytes
+        del shard
     if n > 1:
         (snap / "model.safetensors.index.json").write_text(json.dumps({
             "metadata": {"total_size": total},
             "weight_map": weight_map,
         }, indent=2))
-    del state, shards
+    del state
 
     # --- config + processor/tokenizer sidecars ------------------------------
     norm_stats = {"bridge_orig": {"action": {

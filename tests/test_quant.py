@@ -483,24 +483,3 @@ def test_w4a8_grouped_grad_pallas_bwd(rng, monkeypatch):
     monkeypatch.setenv("OVLA_PALLAS_INTERPRET", "1")
     g_on = np.asarray(jax.grad(loss)(x), np.float32)
     assert np.abs(g_on - g_off).max() <= 0.05 * np.abs(g_off).max()
-
-
-def test_quantize_params_free_source_deletes_buffers(rng):
-    """Streaming checkpoint quantize (dress-rehearsal OOM fix): each bf16
-    source leaf's buffer is deleted as its quantized copy lands, so a 7B
-    load never co-materializes both trees. Values must match the plain path
-    exactly; non-matching leaves pass through alive."""
-    tree = {
-        "q_proj": jnp.asarray(rng.normal(size=(16, 32)), jnp.bfloat16),
-        "norm": jnp.asarray(rng.normal(size=(32,)), jnp.bfloat16),
-    }
-    keep = {k: np.asarray(v, np.float32) for k, v in tree.items()}
-    want = linear.quantize_params(
-        {k: jnp.asarray(v) for k, v in keep.items()}, bits=8)
-    got = linear.quantize_params(tree, bits=8, free_source=True)
-    assert tree["q_proj"].is_deleted()
-    assert not tree["norm"].is_deleted()  # untouched leaf passes through
-    np.testing.assert_array_equal(np.asarray(got["q_proj"]["q"]),
-                                  np.asarray(want["q_proj"]["q"]))
-    np.testing.assert_array_equal(np.asarray(got["norm"], np.float32),
-                                  keep["norm"])
