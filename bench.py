@@ -71,6 +71,19 @@ def _emit_error(reason: str) -> None:
     })
 
 
+def _bs1_extra(dt1_s: float, n_accepted: int) -> dict:
+    """bs=1 speculative bonus fields WITH their acceptance context (VERDICT
+    r4 #7): acceptance is out of 7 possible tokens and depends on trained-
+    weight margins — under this bench's RANDOM weights low acceptance (~2/7)
+    is expected and the p50 OVERSTATES the deployed robot loop by ~20%
+    (trained-weight fleets accept 7/7 at 57.9-66 ms, PARITY_r04.md). The
+    qualifiers keep the driver JSON from reading as a deployment latency."""
+    return {"bs1_spec_p50_ms": round(dt1_s * 1e3, 2),
+            "bs1_spec_accepted": int(n_accepted),
+            "bs1_spec_accept_possible": 7,
+            "random_weights": True}
+
+
 def main() -> None:
     if os.environ.get("OVLA_COMPILE_CACHE"):
         from openvla_probe_tpu.utils.platform import setup_compilation_cache
@@ -320,8 +333,7 @@ def main() -> None:
             o1 = spec1_fn(params, **args1)
         _ = np.asarray(o1["action_tokens"])
         dt1 = (time.time() - t0) / n1
-        extra = {"bs1_spec_p50_ms": round(dt1 * 1e3, 2),
-                 "bs1_spec_accepted": int(np.asarray(o1["n_accepted"])[0])}
+        extra = _bs1_extra(dt1, int(np.asarray(o1["n_accepted"])[0]))
 
     _emit({**_PENDING_ARTIFACT, **extra})
 

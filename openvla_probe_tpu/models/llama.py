@@ -35,9 +35,14 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops.linear import matmul_t
+from ..overwatch import initialize_overwatch
 from . import moe
 
+overwatch = initialize_overwatch(__name__)
+
 Params = Dict[str, Any]
+
+_RMSQ_STANDDOWN_WARNED = False
 
 
 @dataclasses.dataclass(frozen=True)
@@ -267,6 +272,18 @@ def _norm_maybe_quant(cfg: LlamaConfig, x: jnp.ndarray, norm_w: jnp.ndarray,
     M = x.shape[0] * x.shape[1]
     leaves = proj_leaves if isinstance(proj_leaves, (tuple, list)) else (proj_leaves,)
     leaves = [l for l in leaves if l is not None]
+    if _rq.use_fused_rmsq() and _use_pallas():
+        # one-time loud stand-down (ADVICE r4): OVLA_PALLAS=1 enables the wi8
+        # matmul by default, which serves int8 leaves with bf16 activations —
+        # RMSQ's int8 prequant would be a different numeric class, so it
+        # yields. Without this warning the A/B this kernel exists for
+        # silently measures nothing (set OVLA_PALLAS_MATMUL=0 to run RMSQ).
+        global _RMSQ_STANDDOWN_WARNED
+        if not _RMSQ_STANDDOWN_WARNED:
+            _RMSQ_STANDDOWN_WARNED = True
+            overwatch.warning(
+                "OVLA_PALLAS_RMSQ requested but standing down: the Pallas wi8 "
+                "matmul gate is active (set OVLA_PALLAS_MATMUL=0 to A/B RMSQ)")
     if (_rq.use_fused_rmsq() and _use_w8a8() and not _use_pallas()
             and M > 8 and leaves and all(w8a8_leaf(l) for l in leaves)):
         q8, sx = _rq.rms_norm_quant(

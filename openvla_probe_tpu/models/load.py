@@ -30,6 +30,7 @@ from typing import Any, Dict, List, Optional, Union
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..overwatch import initialize_overwatch
 from ..vla.norm_stats import load_dataset_statistics
@@ -266,6 +267,13 @@ def load_vla(
             on_dev = jax.device_put(lf, dev)
             if sh.dtype == jnp.int4:
                 s4 = materialize_int4(on_dev)
+                # VALUE FETCH before deleting the codes source: on the
+                # tunneled axon backend only a host transfer reliably waits
+                # for real execution (CLAUDE.md; same pattern as
+                # multilora.fuse_bank_into_base) — deleting the int8 codes
+                # before materialize_int4 actually ran would corrupt the
+                # freshly materialized s4 copy.
+                np.asarray(jax.device_get(s4.ravel()[0]))
                 on_dev.delete()
                 return s4
             return on_dev

@@ -800,7 +800,14 @@ class OpenVLA:
         request then rides the fused graph — bare-base rows are bitwise the
         plain base (exact int32 accumulation), so `predict_action` without
         an adapter keeps its contract at the cost of the ~3% widened-dot
-        rows. int8 and bf16 bases only."""
+        rows. int8 and bf16 bases only.
+
+        Failure recovery: the fuse frees base buffers AS IT WALKS
+        (free_source=True), so a non-validated mid-walk failure — e.g. a
+        device OOM while concatenating a 7B qf leaf — leaves the params tree
+        half-deleted with no in-place recovery; a full load_vla rebuild is
+        required, same as the already-fused case below. The pre-walk
+        validation covers the unsupported-base class, not runtime OOMs."""
         from . import multilora
 
         if self.lora_bank == "fused":

@@ -107,6 +107,14 @@ class OpenVLAServer:
         import collections
 
         self._lat = collections.deque(maxlen=2048)
+        # speculative-acceptance telemetry (VERDICT r4 #6): int4-speculative
+        # deployments silently degrade toward the ~137 ms sequential floor
+        # when trained-weight margins are thin — a rolling acceptance rate on
+        # /stats makes that observable in deployment. Ring of (accepted,
+        # possible) per drafted request + an all-time histogram of accepted
+        # counts.
+        self._spec_accept = collections.deque(maxlen=2048)
+        self._spec_hist = collections.Counter()
 
     def predict_action(self, payload: Dict[str, Any]) -> Dict[str, Any]:
         import time
@@ -146,6 +154,13 @@ class OpenVLAServer:
                 draft_tokens=draft, **akw,
             )
             toks = out.get("action_tokens")
+            if draft is not None and "n_accepted" in out:
+                acc = int(np.asarray(out["n_accepted"]).reshape(-1)[0])
+                possible = int(np.asarray(toks).reshape(-1).shape[0]) if (
+                    toks is not None) else acc
+                with self._stream_lock:
+                    self._spec_accept.append((acc, possible))
+                    self._spec_hist[acc] += 1
             if toks is not None:
                 with self._stream_lock:
                     if sid not in self._stream_drafts and len(
@@ -200,6 +215,24 @@ class OpenVLAServer:
                         "adapters": list(getattr(server_self.model,
                                                  "adapter_names", [])),
                     }
+                    if server_self._spec_streams:
+                        with server_self._stream_lock:
+                            ring = list(server_self._spec_accept)
+                            hist = dict(server_self._spec_hist)
+                        spec: Dict[str, Any] = {
+                            "drafted_requests": int(sum(hist.values())),
+                            "accept_histogram": {str(k): int(v) for k, v
+                                                 in sorted(hist.items())},
+                        }
+                        if ring:
+                            acc = sum(a for a, _ in ring)
+                            poss = sum(p for _, p in ring)
+                            spec["rolling_accept_rate"] = round(
+                                acc / max(poss, 1), 4)
+                            spec["rolling_full_accept_rate"] = round(
+                                sum(1 for a, p in ring if a >= p) / len(ring), 4)
+                            spec["rolling_window"] = len(ring)
+                        stats["speculative"] = spec
                     lat = np.asarray(server_self._lat, np.float64)
                     if lat.size:
                         p50, p95, p99 = np.percentile(lat, [50, 95, 99]) * 1e3

@@ -99,6 +99,24 @@ def test_stage_budgets_fit_inside_global_deadline(monkeypatch):
     assert flash + 420 <= rem + 1e-6
 
 
+def test_bs1_extra_carries_acceptance_context():
+    """VERDICT r4 #7: the bs=1 speculative bonus fields must carry their
+    acceptance context (out-of-7 + random-weights qualifier) so the driver
+    JSON's 79 ms-class number can't be read as a deployment latency."""
+    sys.path.insert(0, REPO)
+    import importlib
+
+    import bench as b
+    importlib.reload(b)
+    extra = b._bs1_extra(0.07912, 2)
+    assert extra == {
+        "bs1_spec_p50_ms": 79.12,
+        "bs1_spec_accepted": 2,
+        "bs1_spec_accept_possible": 7,
+        "random_weights": True,
+    }
+
+
 def test_error_artifact_schema():
     sys.path.insert(0, REPO)
     import importlib

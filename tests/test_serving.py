@@ -223,6 +223,44 @@ def test_parity_tier_never_drafts():
         srv.shutdown()
 
 
+def test_spec_acceptance_telemetry():
+    """VERDICT r4 #6: drafted requests report accepted-token histogram +
+    rolling acceptance rate on GET /stats, so an int4-speculative deployment
+    degrading toward the sequential floor (thin trained-weight margins) is
+    observable without a profiler."""
+    class AcceptStub(SpecStubModel):
+        accept_seq = [7, 7, 3]          # per-drafted-call n_accepted
+
+        def predict_action(self, image, prompt, unnorm_key=None,
+                           draft_tokens=None):
+            out = super().predict_action(image, prompt, unnorm_key,
+                                         draft_tokens)
+            if draft_tokens is not None:
+                out["n_accepted"] = np.asarray(
+                    [self.accept_seq[sum(d is not None
+                                         for d in self.drafts) - 1]])
+            return out
+
+    stub = AcceptStub()
+    srv = OpenVLAServer(stub)
+    srv.run(host="127.0.0.1", port=0, background=True)
+    try:
+        img = np.zeros((16, 16, 3), np.uint8)
+        p = {"image": img, "instruction": "go", "stream_id": "r"}
+        for _ in range(4):              # 1 undrafted + 3 drafted
+            _post(srv.port, "/act", p)
+        with urllib.request.urlopen(f"http://127.0.0.1:{srv.port}/stats") as r:
+            stats = json.loads(r.read())
+        spec = stats["speculative"]
+        assert spec["drafted_requests"] == 3
+        assert spec["accept_histogram"] == {"7": 2, "3": 1}
+        assert spec["rolling_window"] == 3
+        assert spec["rolling_accept_rate"] == round(17 / 21, 4)
+        assert spec["rolling_full_accept_rate"] == round(2 / 3, 4)
+    finally:
+        srv.shutdown()
+
+
 def test_stream_table_eviction():
     stub = SpecStubModel()
     srv = OpenVLAServer(stub, max_streams=2)
