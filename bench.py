@@ -122,7 +122,7 @@ def main() -> None:
             from openvla_probe_tpu.models.catalog import LLM_BACKBONES
 
             cfg = dataclasses.replace(cfg, llm=LLM_BACKBONES[llm_id]["cfg"])
-        if quant in ("int8", "int4", "mix"):
+        if quant in ("int8", "int4", "mix", "nibble"):
             cfg = cfg.turbo()  # THE turbo numerics (single definition in vlm)
         serving = vla.VLAServingConfig(vlm=cfg, prompt_pad_len=prompt_pad,
                                        action_dim=action_dim,
@@ -133,7 +133,7 @@ def main() -> None:
     serving = serving.with_env_overrides()
 
     # init weights directly on device (bf16) — value-independent benchmark
-    if quant in ("int8", "int4", "mix"):
+    if quant in ("int8", "int4", "mix", "nibble"):
         from openvla_probe_tpu.ops.linear import (
             _DEFAULT_QUANT_SUFFIXES,
             TURBO_QUANT_SUFFIXES,
@@ -153,9 +153,10 @@ def main() -> None:
         shapes = jax.eval_shape(
             lambda key: quantize_params({**vlm.init_params(cfg, key)},
                                         suffixes=suffixes,
-                                        bits={"int4": 4, "mix": "mix"}.get(quant, 8)),
+                                        bits={"int4": 4, "mix": "mix",
+                                              "nibble": "nibble"}.get(quant, 8)),
             jax.random.key(0))
-        if quant in ("int4", "mix"):
+        if quant in ("int4", "mix", "nibble"):
             # per-leaf eager materialization: the whole-tree codes+s4
             # co-materialization OOMs at 13B (ops.linear docstring)
             from openvla_probe_tpu.ops.linear import random_params_like_eager_int4
@@ -390,7 +391,7 @@ def _try_flash_subprocess() -> bool:
 
     if (os.environ.get("BENCH_TRY_FLASH", "1") != "1"
             or os.environ.get("BENCH_SCALE", "full") != "full"
-            or os.environ.get("BENCH_QUANT", "mix") != "mix"
+            or os.environ.get("BENCH_QUANT", "mix") not in ("mix", "nibble")
             or "OVLA_PALLAS" in os.environ):
         return False
     flash_timeout = min(2100.0, _remaining() - 420.0)  # keep 7 min for fallback

@@ -55,7 +55,15 @@ def _convert(value: str, annotation: Any) -> Any:
         args = [a for a in get_args(annotation) if a is not type(None)]
         if value.lower() in ("none", "null"):
             return None
-        return _convert(value, args[0])
+        # try each member in declared order: Union[int, str] fields (e.g.
+        # quantization bits 8|4|"mix"|"nibble") take the int parse when the
+        # value is numeric and fall through to the string form otherwise
+        for a in args[:-1]:
+            try:
+                return _convert(value, a)
+            except (ValueError, KeyError):
+                continue
+        return _convert(value, args[-1])
     if annotation is bool or (isinstance(value, str) and annotation is Any and value.lower() in ("true", "false")):
         return value.lower() in ("true", "1", "yes")
     if annotation is int:

@@ -190,8 +190,10 @@ def load_vla(
     the weight-only turbo mode — int8, grouped int4 with `quantize_bits=4`
     (half the int8 weight stream), or dual-precision with
     `quantize_bits="mix"` (int8 prefill + int4 decode, 1.5x the int8 bytes
-    resident; fastest end-to-end — PERF_r03.md); bf16 stays the bit-parity
-    mode.
+    resident — PERF_r03.md), or nibble-plane with `quantize_bits="nibble"`
+    (ONE int8-grade trunk as two 4-bit planes: exact-int8 prefill, hi-plane
+    int4-traffic decode, int8-footprint residency — VERDICT r4 #1); bf16
+    stays the bit-parity mode.
     """
     import contextlib
 

@@ -144,12 +144,14 @@ def fuse_bank_into_base(params: Params, bank: Any,
     split of the widened [O+N*r] rows would interleave base and bank output
     channels across shards and break matmul_t's static y/u split.
     """
-    from ..ops.linear import is_grouped_int4, quantize_weight
+    from ..ops.linear import is_grouped_int4, is_nibble_quant, quantize_weight
 
     def unsupported(bw, w):
-        return (bw is not None and isinstance(w, dict) and "q" in w
-                and ("q4" in w or is_grouped_int4(w)
-                     or w["q"].dtype != jnp.int8))
+        return (bw is not None and isinstance(w, dict)
+                and (is_nibble_quant(w)
+                     or ("q" in w
+                         and ("q4" in w or is_grouped_int4(w)
+                              or w["q"].dtype != jnp.int8))))
 
     # validate EVERYTHING before touching any buffer: with free_source the
     # walk deletes source leaves as it goes, so a mid-walk raise would leave
@@ -167,12 +169,13 @@ def fuse_bank_into_base(params: Params, bank: Any,
         A, Bt = bw["A"], bw["Bt"]                  # [*, N, r, I], [*, N, r, O]
         nr = A.shape[-3] * A.shape[-2]
         A2 = A.reshape(*A.shape[:-3], nr, A.shape[-1])
-        if isinstance(w, dict) and "q" in w:
-            if "q4" in w or is_grouped_int4(w) or w["q"].dtype != jnp.int8:
+        if isinstance(w, dict) and ("q" in w or is_nibble_quant(w)):
+            if (is_nibble_quant(w) or "q4" in w or is_grouped_int4(w)
+                    or w["q"].dtype != jnp.int8):
                 raise NotImplementedError(
                     "fuse_bank_into_base supports int8 and bf16 bases only "
-                    "(multi-LoRA's deployment base; mix/int4 bases OOM or "
-                    "lack a widened-dot form)")
+                    "(multi-LoRA's deployment base; mix/int4/nibble bases "
+                    "OOM or lack a widened-dot form)")
             qa = quantize_weight(A2.astype(jnp.float32))
             out = {"qf": jnp.concatenate([w["q"], qa["q"]], axis=-2),
                    "sf": jnp.concatenate(

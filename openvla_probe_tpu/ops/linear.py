@@ -192,6 +192,20 @@ def quantize_weight_int4(
     return {"q": materialize_int4(codes), "s": s}
 
 
+def materialize_int4_tree(shapes: Any, raw: Any) -> Any:
+    """Eager per-leaf s4 materialization of a codes-form tree.
+
+    `shapes` = jax.eval_shape of the NON-emit_codes quantization (int4-dtype
+    leaves mark where s4 belongs); `raw` = the emit_codes=True jit output
+    (those leaves as int8 codes). Each codes leaf converts via
+    materialize_int4 (canonical layout at birth); everything else passes
+    through. Callers that must bound peak memory to ONE codes leaf should
+    use random_params_like_eager_int4 / models.load's ship() instead."""
+    return jax.tree.map(
+        lambda sh, lf: materialize_int4(lf) if sh.dtype == jnp.int4 else lf,
+        shapes, raw)
+
+
 def quantize_weight_mixed(
     w: jnp.ndarray, group_size: int = 128, emit_codes: bool = False
 ) -> QuantWeight:
@@ -226,6 +240,59 @@ def is_mixed_quant(w: Any) -> bool:
     return is_quantized(w) and "q4" in w
 
 
+def quantize_weight_nibble(w: jnp.ndarray, emit_codes: bool = False) -> QuantWeight:
+    """Nested nibble-plane int8: ONE int8-grade trunk stored as two 4-bit
+    planes, replacing the mix tier's dual-copy layout (VERDICT r4 #1).
+
+    The per-channel int8 codes q8 = round(w/s) (exactly quantize_weight's
+    grid) are split by floor-division into
+        hi = floor(q8 / 16)   in [-8, 7]   (s4)
+        lo = q8 - 16*hi - 8   in [-8, 7]   (s4; the residual nibble, biased)
+    so q8 = 16*hi + lo + 8 reconstructs EXACTLY (for q8 in [-127, 127] the
+    intermediate 16*hi in [-128, 112] never overflows int8).
+
+    - PREFILL (large M) streams both planes (1 B/elem total — int8's own
+      traffic), reconstructs exact int8 codes in-register, and takes the
+      standard w8a8 dot: prefill numerics are BIT-IDENTICAL to the int8 tier.
+    - DECODE (small M) streams ONLY the hi plane (0.5 B/elem — int4's
+      traffic) and applies the nibble midpoint as a rank-1 correction:
+      w ≈ (16*hi + 7.5)·s, so out = s_x·s_n·(16·Σx·hi + 7.5·Σx) — the
+      error |lo+8-7.5| ≤ 7.5 codes is the same magnitude as
+      round-to-nearest-16, with zero bias per channel in expectation.
+
+    Resident bytes: 2 × 0.5 (planes) + scales ≈ the int8 tier's 1 B/elem —
+    vs the dual-copy mix leaf's 1.5 B/elem, which pinned the headline batch
+    at B=24, made serving-side fusion RESOURCE_EXHAUSTED, and kept 13B mix
+    off-chip (PERF_r04.md). Decode numerics differ from grouped int4
+    (per-channel step absmax·16/127 ≈ absmax/7.94 vs per-128-group
+    absmax/7): re-certified separately (scripts/trained_parity.py "nibble").
+
+    {"hi": s4 [..., O, I], "lo": s4 [..., O, I], "s": f32 [..., O]};
+    emit_codes=True keeps both planes as int8 CODES for eager per-leaf
+    materialize_int4 (s4 jit outputs carry poisoned layout metadata — see
+    _canonical_s4_format)."""
+    w8 = quantize_weight(w)
+    q8 = w8["q"].astype(jnp.int32)
+    hi = jnp.floor_divide(q8, 16)                       # [-8, 7]
+    lo = q8 - 16 * hi - 8                               # [-8, 7]
+    hi8, lo8 = hi.astype(jnp.int8), lo.astype(jnp.int8)
+    if emit_codes:
+        return {"hi": hi8, "lo": lo8, "s": w8["s"]}
+    return {"hi": materialize_int4(hi8), "lo": materialize_int4(lo8),
+            "s": w8["s"]}
+
+
+def is_nibble_quant(w: Any) -> bool:
+    """Nibble-plane leaf {"hi","lo","s"} (see quantize_weight_nibble)."""
+    return isinstance(w, dict) and "hi" in w and "lo" in w and "s" in w
+
+
+def nibble_reconstruct_q8(w: QuantWeight) -> jnp.ndarray:
+    """Exact int8 codes from the two planes: q8 = 16*hi + lo + 8."""
+    return (jnp.int8(16) * w["hi"].astype(jnp.int8)
+            + w["lo"].astype(jnp.int8) + jnp.int8(8))
+
+
 def is_grouped_int4(w: Any) -> bool:
     """Grouped-int4 weight: q [..., G, O, gsz] (s4, or int8 CODES from
     emit_codes=True) with scales s [..., O, G]."""
@@ -241,6 +308,10 @@ def is_grouped_int4(w: Any) -> bool:
 
 
 def dequantize_weight(qw: QuantWeight, dtype=jnp.bfloat16) -> jnp.ndarray:
+    if is_nibble_quant(qw):
+        # exact int8 reconstruction (the prefill relation); per-channel dequant
+        q8 = nibble_reconstruct_q8(qw)
+        return (q8.astype(jnp.float32) * qw["s"][..., None]).astype(dtype)
     q, s = qw["q"], qw["s"]
     if is_grouped_int4(qw):
         # grouped codes [..., G, O, gsz] x scales [..., O, G] -> [..., O, I]
@@ -740,6 +811,66 @@ def _w4a8_matmul(x2: jnp.ndarray, w: QuantWeight) -> jnp.ndarray:
     return _w4a8_dot_requant(x2, w["q"], w["s"])
 
 
+# --- nibble-plane dots (see quantize_weight_nibble) ---------------------------
+
+@jax.custom_vjp
+def _nib_hi_dot(x2: jnp.ndarray, hi: jnp.ndarray, s: jnp.ndarray) -> jnp.ndarray:
+    """Decode-M nibble dot: stream ONLY the hi plane (0.5 B/elem) and apply
+    the lo-nibble midpoint as a rank-1 correction.
+
+    w ≈ (16·hi + 7.5)·s  ⇒  out[m,n] = s_x[m]·s[n]·(16·Σ_k x̂[m,k]·hi[n,k]
+                                                     + 7.5·Σ_k x̂[m,k])
+    One plain [M,K]×[N,K] int8 MXU dot (the s4 plane widens in-register) +
+    a row-sum — no grouped [G,M,N] accumulator and no group-major layout,
+    so decode M=1 pays none of the grouped-int4 tier's 18.6 ms/call layout
+    copies (PERF_r04.md int4-bs=1 profile)."""
+    x_i8, s_x = _quantize_activations(x2)
+    acc = jax.lax.dot_general(
+        x_i8, hi.astype(jnp.int8),
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    rowsum = jnp.sum(x_i8.astype(jnp.int32), axis=-1, keepdims=True)   # [M,1]
+    out = acc.astype(jnp.float32) * 16.0 + rowsum.astype(jnp.float32) * 7.5
+    return (out * s_x * s[None, :]).astype(x2.dtype)
+
+
+def _nib_hi_dot_fwd(x2, hi, s):
+    return _nib_hi_dot(x2, hi, s), (hi, s)
+
+
+def _nib_hi_dot_bwd(res, g):
+    # same STE contract as _w8a8_dot: dx through the (hi-plane) dequantized
+    # weight; the planes are frozen (float0), the scales get a typed zero
+    hi, s = res
+    wd = ((hi.astype(jnp.bfloat16) * 16 + 7.5)
+          * s[:, None].astype(jnp.bfloat16))
+    dx = jax.lax.dot_general(
+        g.astype(jnp.bfloat16), wd,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(g.dtype)
+    return (dx, np.zeros(hi.shape, jax.dtypes.float0),
+            jnp.zeros(s.shape, s.dtype))
+
+
+_nib_hi_dot.defvjp(_nib_hi_dot_fwd, _nib_hi_dot_bwd)
+
+
+def _nib_matmul(x2: jnp.ndarray, w: QuantWeight) -> jnp.ndarray:
+    """matmul_t body for a nibble-plane leaf: hi-plane dot at decode M,
+    exact-int8 reconstruction + w8a8 at prefill M (bit-identical operands to
+    the int8 tier — both planes stream, 1 B/elem, the reconstruct transient
+    lives per scan-layer slice). OVLA_W8A8=0 escape: materialized bf16
+    dequant of the exact int8 codes at every M."""
+    if not _use_w8a8():
+        wd = dequantize_weight(w, x2.dtype)
+        return x2 @ wd.T
+    if _use_w4a8() and x2.shape[0] <= _w4a8_group_m_max():
+        return _nib_hi_dot(x2, w["hi"], w["s"])
+    return _w8a8_dot(x2, nibble_reconstruct_q8(w), w["s"])
+
+
 def matmul_t(x: jnp.ndarray, w: AnyWeight) -> jnp.ndarray:
     """x [..., K] @ w[O, K].T -> [..., O]; w may be bf16/f32, quantized, or a
     streamed-LoRA wrapper {"base", "A", "B"}. `x` may also be a
@@ -814,9 +945,19 @@ def matmul_t(x: jnp.ndarray, w: AnyWeight) -> jnp.ndarray:
         lead, K = x.shape[:-1], x.shape[-1]
         x2 = x.reshape(-1, K)
         if "qf" in w:
-            y_u = (_w8a8_dot(x2, w["qf"], w["sf"]) if _use_w8a8()
-                   else x2 @ (w["qf"].astype(dt)
-                              * w["sf"][:, None].astype(dt)).T)
+            # mirror the PLAIN int8 dispatch exactly (pallas wi8 first, then
+            # w8a8, then dense dequant): under OVLA_PALLAS the bare-base rows
+            # of the widened dot must take the same numeric class as a plain
+            # int8 leaf would, or set_adapters(fused=True)'s "bare-base rows
+            # are bitwise the plain base" guarantee silently breaks
+            # (ADVICE r4: w8a8 int8-activations vs wi8 bf16-activations).
+            if _use_pallas():
+                y_u = _wi8_matmul_2d(x2, w["qf"], w["sf"])
+            elif _use_w8a8():
+                y_u = _w8a8_dot(x2, w["qf"], w["sf"])
+            else:
+                y_u = x2 @ (w["qf"].astype(dt)
+                            * w["sf"][:, None].astype(dt)).T
         else:
             y_u = x2 @ w["wf"].astype(dt).T
         y, u = y_u[:, :O], y_u[:, O:]                    # [.., O], [.., N*r]
@@ -836,6 +977,10 @@ def matmul_t(x: jnp.ndarray, w: AnyWeight) -> jnp.ndarray:
         # lets a 7B base finetune on one 16 GB chip)
         delta = (x @ w["A"].astype(x.dtype).T) @ w["B"].astype(x.dtype).T
         return y + delta
+    if is_nibble_quant(w):
+        lead = x.shape[:-1]
+        out = _nib_matmul(x.reshape(-1, x.shape[-1]), w)
+        return out.reshape(*lead, -1)
     if not is_quantized(w):
         return x @ w.T
     lead = x.shape[:-1]
@@ -904,8 +1049,11 @@ def random_params_like(
             # int4_as_codes=True keeps the leaf as int8 codes: a jitted tree
             # init must NOT emit s4 outputs (poisoned layout metadata — see
             # _canonical_s4_format); the caller materialize_int4()s each
-            # code leaf eagerly afterwards.
-            codes = jax.random.randint(k, s.shape, -7, 8, dtype=jnp.int8)
+            # code leaf eagerly afterwards. Nibble planes ("hi"/"lo") use
+            # the full s4 range [-8, 7] (their defining partition); grouped
+            # int4 codes stay symmetric [-7, 7] (absmax/7 grid).
+            lo_i = -8 if name in ("hi", "lo") else -7
+            codes = jax.random.randint(k, s.shape, lo_i, 8, dtype=jnp.int8)
             leaves.append(codes if int4_as_codes else materialize_int4(codes))
         elif name in ("s", "s4"):
             # grouped-int4 scales ("s4", and bare grouped "s" leaves share
@@ -996,15 +1144,23 @@ def quantize_params(
     decode step streams) carry BOTH int8 and grouped-int4 copies
     (quantize_weight_mixed); everything else in `suffixes` (the ViT towers,
     which only ever run at prefill M) stays single-copy int8.
+
+    bits="nibble": the nested successor of "mix" (VERDICT r4 #1) — the
+    decode-stream leaves hold ONE int8-grade trunk as two 4-bit planes
+    (quantize_weight_nibble: exact-int8 prefill, hi-plane int4-traffic
+    decode) at int8's resident bytes instead of mix's 1.5x; ViT stays int8.
     """
-    if bits not in (4, 8, "mix"):
-        raise ValueError(f"bits must be 4, 8 or 'mix', got {bits}")
+    if bits not in (4, 8, "mix", "nibble"):
+        raise ValueError(f"bits must be 4, 8, 'mix' or 'nibble', got {bits}")
 
     def walk(path, leaf):
         name = path[-1].key if path and hasattr(path[-1], "key") else ""
         if name in suffixes and np.ndim(leaf) >= 2:
-            if bits == "mix":
+            if bits in ("mix", "nibble"):
                 if name in _DEFAULT_QUANT_SUFFIXES:
+                    if bits == "nibble":
+                        return quantize_weight_nibble(leaf,
+                                                      emit_codes=emit_codes)
                     return quantize_weight_mixed(leaf, group_size=group_size,
                                                  emit_codes=emit_codes)
                 return quantize_weight(leaf)

@@ -187,10 +187,20 @@ def shard_params(
     strategy: str = "fsdp",
 ) -> Any:
     """Pytree of NamedShardings mirroring `params` (pass as out_shardings/put target)."""
-    from ..ops.linear import is_grouped_int4, is_quantized
+    from ..ops.linear import is_grouped_int4, is_nibble_quant, is_quantized
 
     def leaf_sharding(path, leaf):
         p = _path_str(path)
+        if is_nibble_quant(leaf):
+            # nibble-plane leaves: both 4-bit planes are per-channel [.., O, I]
+            # (the int8 "q" layout — shard identically), "s" is the int8
+            # per-channel scale row
+            return {
+                k: NamedSharding(mesh, param_spec(
+                    f"{p}/{'s' if k == 's' else 'q'}", np.shape(leaf[k]),
+                    mesh, strategy))
+                for k in leaf
+            }
         if is_quantized(leaf):
             # visit {"q","s"} pairs wholesale: the grouped-int4 layout is a
             # dtype property of q that s's spec also depends on. Dual-
@@ -207,8 +217,9 @@ def shard_params(
         spec = param_spec(p, np.shape(leaf), mesh, strategy)
         return NamedSharding(mesh, spec)
 
-    return jax.tree_util.tree_map_with_path(leaf_sharding, params,
-                                            is_leaf=is_quantized)
+    return jax.tree_util.tree_map_with_path(
+        leaf_sharding, params,
+        is_leaf=lambda l: is_quantized(l) or is_nibble_quant(l))
 
 
 def place_params(params: Any, mesh: Mesh, strategy: str = "fsdp") -> Any:

@@ -27,7 +27,7 @@ import sys
 import time
 from dataclasses import dataclass
 from pathlib import Path
-from typing import Optional
+from typing import Optional, Union
 
 REPO_ROOT = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO_ROOT))
@@ -52,7 +52,7 @@ class ParityConfig:
     instruction: str = "put spoon on towel"
     unnorm_key: Optional[str] = None
     quant_vit: bool = False              # also quantize the ViT towers (BENCH_QUANT_VIT)
-    bits: int = 8                        # turbo weight bits: 8 | 4 (grouped int4)
+    bits: Union[int, str] = 8            # turbo bits: 8 | 4 | "mix" | "nibble"
     report: Optional[str] = None         # markdown artifact path
 
 
@@ -125,11 +125,27 @@ def _full_model(quant: bool, quant_vit: bool, bits: int = 8):
 
         # single turbo suffix definition (ops.linear), shared with bench.py
         suffixes = TURBO_QUANT_SUFFIXES if quant_vit else _DEFAULT_QUANT_SUFFIXES
-        init = jax.jit(lambda key: quantize_params(
-            vlm.init_params(cfg, key), suffixes=suffixes, bits=bits))
+        if bits == 8:
+            init = jax.jit(lambda key: quantize_params(
+                vlm.init_params(cfg, key), suffixes=suffixes, bits=bits))
+            params = init(jax.random.key(0))   # SAME seed both modes
+        else:
+            # int4/mix/nibble tiers carry s4 leaves: the jit emits int8
+            # CODES and each leaf materializes to canonical s4 eagerly
+            # (s4 jit outputs carry poisoned layout metadata on TPU —
+            # ops.linear._canonical_s4_format)
+            from openvla_probe_tpu.ops.linear import materialize_int4_tree
+
+            shapes = jax.eval_shape(lambda key: quantize_params(
+                vlm.init_params(cfg, key), suffixes=suffixes, bits=bits),
+                jax.random.key(0))
+            raw = jax.jit(lambda key: quantize_params(
+                vlm.init_params(cfg, key), suffixes=suffixes, bits=bits,
+                emit_codes=True))(jax.random.key(0))
+            params = materialize_int4_tree(shapes, raw)
     else:
         init = jax.jit(lambda key: vlm.init_params(cfg, key))
-    params = init(jax.random.key(0))   # SAME seed both modes
+        params = init(jax.random.key(0))   # SAME seed both modes
     jax.block_until_ready(params)
 
     serving = vla.VLAServingConfig(vlm=cfg, prompt_pad_len=32,
@@ -206,7 +222,9 @@ def main(cfg: ParityConfig) -> None:
         if cfg.checkpoint:
             from openvla_probe_tpu.models.load import load_vla
 
-            return load_vla(cfg.checkpoint, quantize_int8=quant), cfg.unnorm_key
+            return load_vla(cfg.checkpoint, quantize_int8=quant,
+                            quantize_bits=cfg.bits if quant else 8
+                            ), cfg.unnorm_key
         if cfg.scale == "full":
             return _full_model(quant, cfg.quant_vit, cfg.bits), "bridge_orig"
         return _tiny_model(quant, cfg.bits), "bridge_orig"

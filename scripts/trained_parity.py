@@ -94,7 +94,9 @@ class TrainedParityConfig:
     # weights served through the turbo config — the widest perturbation of
     # the matrix, and the 13B-on-one-chip / halved-decode-stream tier), or
     # "mix" (dual-precision int8-prefill + int4-decode leaves — prefill
-    # positions see the int8 perturbation, decode matmuls the int4 one)
+    # positions see the int8 perturbation, decode matmuls the int4 one), or
+    # "nibble" (nibble-plane int8: prefill positions see EXACTLY the int8
+    # perturbation, decode matmuls the hi-plane ~absmax/7.94 per-channel one)
     int8_tier: str = "turbo"
     fleet_batch: int = 24                # steady-state fleet-serving batch
 
@@ -337,7 +339,8 @@ def merge_requantize_on_device(holder, lcfg, bits=8):
     import jax.numpy as jnp
 
     from openvla_probe_tpu.ops.linear import (
-        is_quantized, materialize_int4, quantize_weight, quantize_weight_int4)
+        is_quantized, materialize_int4, quantize_weight, quantize_weight_int4,
+        quantize_weight_nibble)
     from openvla_probe_tpu.training.lora import _is_ab
 
     base, lora_params = holder
@@ -356,6 +359,8 @@ def merge_requantize_on_device(holder, lcfg, bits=8):
             w8 = quantize_weight(wf)
             w4 = quantize_weight_int4(wf, emit_codes=True)
             return {"q": w8["q"], "s": w8["s"], "q4": w4["q"], "s4": w4["s"]}
+        if mode == "nibble":
+            return quantize_weight_nibble(wf, emit_codes=True)
         return quantize_weight(wf)
 
     def merge_plain(w, A, B):
@@ -378,14 +383,20 @@ def merge_requantize_on_device(holder, lcfg, bits=8):
         if is_quantized(w):
             I = w["q"].shape[-1]
             groupable = I % min(128, I) == 0
-            mode = bits if bits in (4, "mix") and groupable else 8
-            mode = {4: "int4", "mix": "mix", 8: "int8"}[mode]
+            # nibble needs no group structure (per-channel planes); int4/mix
+            # fall back to int8 on ungroupable in-dims like quantize_params
+            mode = bits if (bits == "nibble"
+                            or (bits in (4, "mix") and groupable)) else 8
+            mode = {4: "int4", "mix": "mix", "nibble": "nibble", 8: "int8"}[mode]
             fn = stacked_q if w["q"].ndim >= 3 else flat_q
             new = fn(w["q"], w["s"], lw["A"], lw["B"], mode=mode)
             if mode == "int4":
                 new = {"q": materialize_int4(new["q"]), "s": new["s"]}
             elif mode == "mix":
                 new = {**new, "q4": materialize_int4(new["q4"])}
+            elif mode == "nibble":
+                new = {"hi": materialize_int4(new["hi"]),
+                       "lo": materialize_int4(new["lo"]), "s": new["s"]}
         else:
             new = plain(w, lw["A"], lw["B"])
         pflat[i] = new
@@ -406,7 +417,7 @@ def make_model(params, cfg, img_cfg, pad_len, tier: str = "parity"):
         codec_vocab_size=min(cfg.llm.vocab_size, 32000),
         # "int4"/"mix" are WEIGHT changes, not serving-graph changes: they
         # serve through the turbo config (same as load_vla(quantize_bits=...))
-        tier="turbo" if tier in ("int4", "mix") else tier,
+        tier="turbo" if tier in ("int4", "mix", "nibble") else tier,
         decode_impl=decode_impl,
         kv_int8=(tier == "turbo_kv8"),
         # this harness MEASURES the parity-tier speculative disagreement the
@@ -638,7 +649,8 @@ def main(pc: TrainedParityConfig) -> None:
     holder = [base, lora_params]
     del base, lora_params
     turbo_tree = merge_requantize_on_device(
-        holder, lcfg, bits={"int4": 4, "mix": "mix"}.get(pc.int8_tier, 8))
+        holder, lcfg,
+        bits={"int4": 4, "mix": "mix", "nibble": "nibble"}.get(pc.int8_tier, 8))
     gc.collect()
     tcfg = cfg.turbo() if pc.scale == "full" else cfg
     model = make_model(turbo_tree, tcfg, img_cfg, pad_len, tier=pc.int8_tier)
