@@ -47,6 +47,7 @@ SLOW_MODULES = {
     "test_stacked_kv8", "test_full_pipeline", "test_vlm_pretraining",
     "test_interleave", "test_layer_mask", "test_hf_export",
     "test_trained_parity_helpers", "test_probe_planted",
+    "test_real_weight_day", "test_multihost_real",
 }
 
 
