@@ -302,9 +302,14 @@ def _qkv(cfg: LlamaConfig, lp: Params, h: jnp.ndarray, B: int, T: int):
         q, k, v = jnp.split(qkv, [H * Dh, (H + Hkv) * Dh], axis=-1)
         return (q.reshape(B, T, H, Dh), k.reshape(B, T, Hkv, Dh),
                 v.reshape(B, T, Hkv, Dh))
-    return (matmul_t(h, lp["q_proj"]).reshape(B, T, H, Dh),
-            matmul_t(h, lp["k_proj"]).reshape(B, T, Hkv, Dh),
-            matmul_t(h, lp["v_proj"]).reshape(B, T, Hkv, Dh))
+    # same-input targets: concat-fused multi-LoRA leaves group their rank
+    # projections into ONE batched dot (ops.linear.matmul_t_grouped — the
+    # VERDICT r4 #3 op-count lever); everything else is per-leaf matmul_t
+    from ..ops.linear import matmul_t_grouped
+
+    q, k, v = matmul_t_grouped(h, (lp["q_proj"], lp["k_proj"], lp["v_proj"]))
+    return (q.reshape(B, T, H, Dh), k.reshape(B, T, Hkv, Dh),
+            v.reshape(B, T, Hkv, Dh))
 
 
 def _moe_mlp(cfg: LlamaConfig, lp: Params, h: jnp.ndarray, token_valid=None):
@@ -344,8 +349,10 @@ def _mlp(cfg: LlamaConfig, lp: Params, h: jnp.ndarray) -> jnp.ndarray:
         g, up = jnp.split(gu, 2, axis=-1)
         gate = jax.nn.silu(g.astype(jnp.float32)).astype(h.dtype)
     else:
-        gate = jax.nn.silu(matmul_t(h, lp["gate_proj"]).astype(jnp.float32)).astype(h.dtype)
-        up = matmul_t(h, lp["up_proj"])
+        from ..ops.linear import matmul_t_grouped
+
+        g_raw, up = matmul_t_grouped(h, (lp["gate_proj"], lp["up_proj"]))
+        gate = jax.nn.silu(g_raw.astype(jnp.float32)).astype(h.dtype)
     return matmul_t(gate * up, lp["down_proj"])
 
 

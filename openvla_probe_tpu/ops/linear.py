@@ -811,6 +811,69 @@ def _w4a8_matmul(x2: jnp.ndarray, w: QuantWeight) -> jnp.ndarray:
     return _w4a8_dot_requant(x2, w["q"], w["s"])
 
 
+def _use_multilora_grouped() -> bool:
+    import os
+
+    return os.environ.get("OVLA_MULTILORA_GROUPED", "1") == "1"
+
+
+def _mlf_widened_dot(x2: jnp.ndarray, w: QuantWeight, dt) -> jnp.ndarray:
+    """The concat-fused multi-LoRA widened base dot (mirrors the PLAIN int8
+    dispatch exactly — see matmul_t's is_multilora_fused branch)."""
+    if "qf" in w:
+        if _use_pallas():
+            return _wi8_matmul_2d(x2, w["qf"], w["sf"])
+        if _use_w8a8():
+            return _w8a8_dot(x2, w["qf"], w["sf"])
+        return x2 @ (w["qf"].astype(dt) * w["sf"][:, None].astype(dt)).T
+    return x2 @ w["wf"].astype(dt).T
+
+
+def matmul_t_grouped(x: jnp.ndarray, leaves) -> list:
+    """[matmul_t(x, w) for w in leaves], with the rank projections of
+    concat-fused multi-LoRA leaves GROUPED into one batched dot.
+
+    The fused form's residual cost is op-COUNT, not FLOPs: each decode-scan
+    rank projection ([M, N*r] x [N*r, O]) is <1 µs of compute but pays the
+    TPU's ~37 µs small-matmul pipeline floor, ~1570 times per call at N=4
+    (PERF_r04.md per-HLO accounting). Batching the same-shaped second dots
+    of same-input targets (q/k/v -> 1, gate/up -> 1; 7 -> 4 projections per
+    layer) replaces G ops with ONE [G, M, N*r] x [G, N*r, O] batch-dim dot —
+    the VERDICT r4 #3 block-diagonal lever in its zero-padding form. Same
+    contraction per G slice, same dtype class as the ungrouped `u @ Bt`
+    (multilora_parity must stay 0/896). Falls back to per-leaf matmul_t
+    whenever any leaf is not multilora-fused, the Bt geometries differ
+    (GQA k/v), or OVLA_MULTILORA_GROUPED=0 (the A/B control)."""
+    leaves = list(leaves)
+    if (len(leaves) < 2
+            or not all(is_multilora_fused(w) for w in leaves)
+            or not _use_multilora_grouped()):
+        return [matmul_t(x, w) for w in leaves]
+    Bt0 = leaves[0]["Bt"]
+    if not all(w["Bt"].shape == Bt0.shape for w in leaves):
+        return [matmul_t(x, w) for w in leaves]
+    dt = x.dtype
+    lead, K = x.shape[:-1], x.shape[-1]
+    x2 = x.reshape(-1, K)
+    N, r, O = Bt0.shape
+    G = len(leaves)
+    ys, us = [], []
+    for w in leaves:
+        y_u = _mlf_widened_dot(x2, w, dt)
+        ys.append(y_u[:, :O])
+        us.append(y_u[:, O:])
+    sel = leaves[0]["sel"].astype(dt)                     # [Bex, N]
+    Bex = sel.shape[0]
+    T = x2.shape[0] // Bex
+    mask = jnp.repeat(sel, r, axis=1)                     # [Bex, N*r]
+    u3 = jnp.stack(us).reshape(G, Bex, T, N * r)
+    u3 = (u3 * mask[None, :, None, :]).reshape(G, Bex * T, N * r)
+    Bt3 = jnp.stack([w["Bt"].reshape(N * r, O) for w in leaves]).astype(dt)
+    delta3 = jax.lax.dot_general(                          # ONE op for all G
+        u3, Bt3, dimension_numbers=(((2,), (1,)), ((0,), (0,))))
+    return [(ys[i] + delta3[i]).reshape(*lead, O) for i in range(G)]
+
+
 # --- nibble-plane dots (see quantize_weight_nibble) ---------------------------
 
 @jax.custom_vjp
@@ -944,22 +1007,12 @@ def matmul_t(x: jnp.ndarray, w: AnyWeight) -> jnp.ndarray:
         N, r, O = Bt.shape
         lead, K = x.shape[:-1], x.shape[-1]
         x2 = x.reshape(-1, K)
-        if "qf" in w:
-            # mirror the PLAIN int8 dispatch exactly (pallas wi8 first, then
-            # w8a8, then dense dequant): under OVLA_PALLAS the bare-base rows
-            # of the widened dot must take the same numeric class as a plain
-            # int8 leaf would, or set_adapters(fused=True)'s "bare-base rows
-            # are bitwise the plain base" guarantee silently breaks
-            # (ADVICE r4: w8a8 int8-activations vs wi8 bf16-activations).
-            if _use_pallas():
-                y_u = _wi8_matmul_2d(x2, w["qf"], w["sf"])
-            elif _use_w8a8():
-                y_u = _w8a8_dot(x2, w["qf"], w["sf"])
-            else:
-                y_u = x2 @ (w["qf"].astype(dt)
-                            * w["sf"][:, None].astype(dt)).T
-        else:
-            y_u = x2 @ w["wf"].astype(dt).T
+        # the widened dot mirrors the PLAIN int8 dispatch exactly (pallas wi8
+        # first, then w8a8, then dense dequant): under OVLA_PALLAS the
+        # bare-base rows must take the same numeric class as a plain int8
+        # leaf would, or set_adapters(fused=True)'s "bare-base rows are
+        # bitwise the plain base" guarantee silently breaks (ADVICE r4).
+        y_u = _mlf_widened_dot(x2, w, dt)
         y, u = y_u[:, :O], y_u[:, O:]                    # [.., O], [.., N*r]
         Bex = sel.shape[0]
         T = x2.shape[0] // Bex

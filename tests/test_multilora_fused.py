@@ -253,3 +253,51 @@ def test_fused_serving_token_path_runs(setup):
     tot, ys = jax.lax.scan(body, jnp.float32(0.0), att)
     assert np.isfinite(float(tot))
     assert ys.shape == (L, B, T, O)
+
+
+def test_grouped_rank_projection_matches_per_leaf(setup, monkeypatch):
+    """matmul_t_grouped (VERDICT r4 #3 block-diag/batched lever): grouping
+    the second dots of same-input fused targets into ONE batched dot must
+    reproduce the per-leaf path — same contraction per slice, same dtype
+    class — and fall back verbatim for non-fused leaves."""
+    w, bank, x, sel = setup
+    # three same-geometry fused targets (q/k/v-like) off the same input
+    trees = []
+    for fac in (1.0, 0.7, 1.3):
+        t = multilora.fuse_bank_into_base(
+            {"t": linear.quantize_weight(w * fac)}, bank)
+        trees.append(multilora.attach_multilora_fused(t, sel)["t"])
+
+    grouped = linear.matmul_t_grouped(x, trees)
+    monkeypatch.setenv("OVLA_MULTILORA_GROUPED", "0")
+    per_leaf = [linear.matmul_t(x, t) for t in trees]
+    monkeypatch.delenv("OVLA_MULTILORA_GROUPED")
+    assert len(grouped) == 3
+    for g, p in zip(grouped, per_leaf):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(p),
+                                   rtol=1e-5, atol=1e-5)
+
+    # fallback: plain (non-fused) leaves give bitwise the per-leaf results
+    plain = [linear.quantize_weight(w), linear.quantize_weight(w * 2.0)]
+    got = linear.matmul_t_grouped(x, plain)
+    for g, p in zip(got, [linear.matmul_t(x, q) for q in plain]):
+        np.testing.assert_array_equal(np.asarray(g), np.asarray(p))
+
+    # fallback: mismatched Bt geometries (GQA k/v) group nothing — build a
+    # VALID fused target with half the output rows
+    ks = jax.random.split(jax.random.key(9), 2 * N + 1)
+    w2 = jax.random.normal(ks[0], (O // 2, K), jnp.float32) * 0.05
+    adapters2 = [{"t": {
+        "A": jax.random.normal(ks[1 + i], (R, K), jnp.float32) * 0.05,
+        "B": jax.random.normal(ks[1 + N + i], (O // 2, R), jnp.float32) * 0.05,
+    }} for i in range(N)]
+    bank2 = multilora.stack_adapter_banks(
+        adapters2, LoRAConfig(r=R), dtype=jnp.float32)
+    t2 = multilora.fuse_bank_into_base(
+        {"t": linear.quantize_weight(w2)}, bank2)
+    small = multilora.attach_multilora_fused(t2, sel)["t"]
+    got2 = linear.matmul_t_grouped(x, [trees[0], small])
+    np.testing.assert_array_equal(np.asarray(got2[0]),
+                                  np.asarray(linear.matmul_t(x, trees[0])))
+    np.testing.assert_array_equal(np.asarray(got2[1]),
+                                  np.asarray(linear.matmul_t(x, small)))
