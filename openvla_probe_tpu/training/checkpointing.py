@@ -168,8 +168,12 @@ def save_run_config(run_dir: Union[str, Path], config: Dict[str, Any]) -> Path:
     run_dir = Path(run_dir)
     run_dir.mkdir(parents=True, exist_ok=True)
     out = run_dir / "config.json"
-    with open(out, "w") as f:
-        json.dump(config, f, indent=2, default=str)
+    # rank-zero write: in a real multi-process run every process calls this
+    # with identical content, but concurrent open("w") on a shared filesystem
+    # can interleave/truncate
+    if jax.process_index() == 0:
+        with open(out, "w") as f:
+            json.dump(config, f, indent=2, default=str)
     return out
 
 

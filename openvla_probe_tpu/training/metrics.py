@@ -80,6 +80,14 @@ class WeightsBiasesTracker:
 
 
 def _build_trackers(trackers, run_id, run_dir, hparams):
+    # rank-zero file/W&B output only (reference: overwatch-gated trackers,
+    # metrics.py:34-49): in a REAL multi-process run every process builds a
+    # Metrics object for its local smoothing windows, but two processes
+    # appending the same run_dir jsonl would interleave duplicate lines
+    import jax
+
+    if jax.process_index() != 0:
+        return []
     out = []
     for t in trackers:
         if t == "jsonl":

@@ -141,8 +141,13 @@ def save_dataset_statistics(
     run_dir = Path(run_dir)
     run_dir.mkdir(parents=True, exist_ok=True)
     out_path = run_dir / "dataset_statistics.json"
-    with open(out_path, "w") as f:
-        json.dump(_to_jsonable(statistics), f, indent=2)
+    # rank-zero write (multi-process runs call this with identical global
+    # statistics on every process; see checkpointing.save_run_config)
+    import jax
+
+    if jax.process_index() == 0:
+        with open(out_path, "w") as f:
+            json.dump(_to_jsonable(statistics), f, indent=2)
     return out_path
 
 

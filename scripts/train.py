@@ -80,6 +80,13 @@ def main(cfg: TrainConfig) -> None:
     from openvla_probe_tpu.vla.datasets.datasets import RLDSBatchTransform, RLDSDataset
     from openvla_probe_tpu.vla.norm_stats import save_dataset_statistics
 
+    # multi-host rendezvous FIRST (no-op single-process): device_count /
+    # process_index below must see the GLOBAL fleet. The reference does this
+    # via torchrun+accelerate before any CUDA touch (overwatch.py:49-64).
+    from openvla_probe_tpu.parallel.distributed import initialize_distributed
+
+    initialize_distributed()
+
     v = cfg.vla
     world = jax.device_count()
     if world != v.expected_world_size:
@@ -146,7 +153,17 @@ def main(cfg: TrainConfig) -> None:
             vocab_size = model_cfg.llm.vocab_size
 
             def encode(self, s):
-                return [1] + [(hash(w) % max(self.vocab_size - 100, 100)) + 100 for w in s.split()]
+                # crc32, NOT hash(): builtin hash is salted per process, so
+                # in a multi-process run each host would tokenize the same
+                # prompt differently — divergent data under identical
+                # configs (caught by scripts/dryrun_multihost.py's
+                # loss-trajectory equality; same fix as trained_parity's
+                # CRC32Tokenizer)
+                import zlib
+
+                mod = max(self.vocab_size - 100, 100)
+                return [1] + [(zlib.crc32(w.encode()) % mod) + 100
+                              for w in s.split()]
 
             def decode(self, ids):
                 return " ".join(map(str, ids))
@@ -184,24 +201,50 @@ def main(cfg: TrainConfig) -> None:
         from openvla_probe_tpu.vla.datasets.datasets import DummyDataset
 
         class _DummyStream:
-            def __init__(self):
+            """Process-sharded dummy stream: the GLOBAL example sequence is
+            0,1,2,... and process p yields the rows that land in ITS block of
+            each global batch (global batch b, rows [b*B + p*lbs, ... + lbs)).
+            With make_array_from_process_local_data's device-order placement
+            this makes the assembled 2-process global batch EQUAL row-for-row
+            to the single-process one — the property dryrun_multihost's
+            loss-trajectory comparison certifies (VERDICT r4 #2). Same
+            disjoint-shards treatment RLDSDataset gives real mixtures at the
+            tfrecord-file level."""
+
+            def __init__(self, local_bs: int, start_batch: int = 0):
                 self.ds = DummyDataset(
                     action_tokenizer, tokenizer,
                     image_transform=batch_transform.image_transform,
                     image_size=img_cfg.specs[0].input_size,
                 )
                 self.dataset_statistics = self.ds.dataset_statistics
+                self.local_bs = local_bs
+                # data-order resume: one train step consumes exactly one
+                # global batch, so a run resumed from step S restarts the
+                # stream at batch S instead of replaying from 0 — the dummy
+                # analogue of the RLDS checkpointable-iterator cursor (and
+                # what makes dryrun_multihost's resumed steps 3-4 see the
+                # SAME batches as the continuous single-process run)
+                self.start_batch = start_batch
 
             def __iter__(self):
-                i = 0
+                n_proc, pid = jax.process_count(), jax.process_index()
+                B = self.local_bs * n_proc
+                k = self.start_batch * self.local_bs
                 while True:
-                    yield self.ds[i % len(self.ds)]
-                    i += 1
+                    b, j = divmod(k, self.local_bs)
+                    g = b * B + pid * self.local_bs + j     # global example id
+                    yield self.ds[g % len(self.ds)]
+                    k += 1
 
             def __len__(self):
                 return len(self.ds)
 
-        dataset = _DummyStream()
+        resumed_step = 0
+        if resume_path is not None:
+            resumed_step = ckpt.parse_checkpoint_name(resume_path.name)[0]
+        dataset = _DummyStream(v.global_batch_size // max(jax.process_count(), 1),
+                               start_batch=resumed_step)
     else:
         dataset = RLDSDataset(
             cfg.data_root_dir, v.data_mix, batch_transform,
@@ -227,9 +270,14 @@ def main(cfg: TrainConfig) -> None:
     state_shardings = shard_params(state, mesh, strategy="fsdp+tp")
     state = jax.device_put(state, state_shardings)
     if resume_path is not None:
-        template = jax.tree.map(lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), state)
+        # restore DIRECTLY into the target shardings (abstract template with
+        # sharding): in a real multi-process run a host-local restore +
+        # device_put would try to place numpy arrays onto non-addressable
+        # devices; orbax instead reads each process's shards collectively
+        template = jax.tree.map(
+            lambda x, s: jax.ShapeDtypeStruct(x.shape, x.dtype, sharding=s),
+            state, state_shardings)
         state = ckpt.load_checkpoint(resume_path, template)
-        state = jax.device_put(state, state_shardings)
 
     collator = PaddedCollatorForActionPrediction(pad_token_id=32000)
     batch_sharding = NamedSharding(mesh, P("dp"))
