@@ -812,9 +812,16 @@ def _w4a8_matmul(x2: jnp.ndarray, w: QuantWeight) -> jnp.ndarray:
 
 
 def _use_multilora_grouped() -> bool:
+    """MEASURED LOSER, default OFF (PERF_r05.md): grouping the q/k/v and
+    gate/up second dots into one batched dot was projected ~+1.3 calls/s
+    from the op-count change (7 -> 4 projections/layer, VERDICT r4 #3) but
+    measured 36.21 vs 39.16 calls/s at N=4 r=32 B=24 — the per-step
+    jnp.stack of the u/Bt operands costs more HBM traffic than the saved
+    ~37 µs dispatch floors. Kept behind OVLA_MULTILORA_GROUPED=1 as the
+    documented A/B."""
     import os
 
-    return os.environ.get("OVLA_MULTILORA_GROUPED", "1") == "1"
+    return os.environ.get("OVLA_MULTILORA_GROUPED", "0") == "1"
 
 
 def _mlf_widened_dot(x2: jnp.ndarray, w: QuantWeight, dt) -> jnp.ndarray:

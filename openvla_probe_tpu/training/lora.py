@@ -101,8 +101,18 @@ def init_lora_params(params: Any, cfg: LoRAConfig, key: jax.Array) -> Any:
     Quantized {"q","s"} leaves count as single weights; adapters are fp32
     masters (see _weight_shape_dtype) cast to the activation dtype at use.
     """
-    from ..ops.linear import is_quantized
+    from ..ops.linear import is_nibble_quant, is_quantized
 
+    if any(is_nibble_quant(l) for l in jax.tree_util.tree_leaves(
+            params,
+            is_leaf=lambda x: is_nibble_quant(x) or is_quantized(x))):
+        # nibble-plane trees are a SERVING representation: flattening would
+        # recurse into the hi/lo planes and silently target nothing. QLoRA
+        # bases are int8 (footprint ≈ nibble's) or grouped int4 (half) —
+        # load the base with quantize_bits=8 or 4 instead.
+        raise NotImplementedError(
+            "QLoRA over a nibble-plane base is unsupported; use an int8 "
+            "(same resident bytes) or int4 base")
     flat, treedef = jax.tree_util.tree_flatten_with_path(params, is_leaf=is_quantized)
     keys = jax.random.split(key, len(flat))
     out = []

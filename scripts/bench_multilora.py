@@ -191,7 +191,7 @@ def main(bc: MLBenchConfig) -> None:
         "batch": bc.batch, "compile_s": round(compile_s, 1),
         # the VERDICT r4 #3 op-count lever: grouped same-input rank
         # projections (q/k/v->1, gate/up->1) — A/B via OVLA_MULTILORA_GROUPED
-        "grouped": os.environ.get("OVLA_MULTILORA_GROUPED", "1") == "1",
+        "grouped": os.environ.get("OVLA_MULTILORA_GROUPED", "0") == "1",
         "backend": jax.default_backend(),
     }))
 

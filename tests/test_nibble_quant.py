@@ -284,3 +284,15 @@ def test_nibble_multilora_fuse_rejected():
     bank = {"q_proj": {"A": jnp.zeros((2, 4, 16)), "Bt": jnp.zeros((2, 4, 32))}}
     with pytest.raises(NotImplementedError, match="int8 and bf16 bases"):
         multilora.fuse_bank_into_base(params, bank)
+
+
+def test_nibble_qlora_base_rejected():
+    """init_lora_params must refuse a nibble-plane base loudly (flattening
+    would recurse into the hi/lo planes and silently target nothing);
+    QLoRA bases are int8 (same resident bytes) or grouped int4."""
+    from openvla_probe_tpu.training import lora
+
+    tree = {"q_proj": linear.quantize_weight_nibble(
+        jnp.ones((16, 32), jnp.float32))}
+    with pytest.raises(NotImplementedError, match="nibble-plane base"):
+        lora.init_lora_params(tree, lora.LoRAConfig(r=4), jax.random.key(0))
