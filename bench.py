@@ -13,13 +13,17 @@ against that target.
 
 Env knobs: BENCH_SCALE=tiny|full|13b (tiny = smoke run; 13b = Llama-2-13B
 trunk, fits one 16 GB chip in int8); BENCH_CALLS=N (default 30);
-BENCH_BATCH=N (default 24) batched serving; BENCH_QUANT=int8|int4|mix|bf16
-(default mix — the measured-best headline config, PERF_r03.md ninth
-session) — int8/int4/mix are turbo serving modes (weight-only quantized
-trunk; int4 = grouped scales, half the int8 weight stream — fidelity note:
-int4 is margin-certified >=99.7% token agreement, NOT token-exact
-(PARITY_r03.md; README int4 note); mix = dual-precision, int8 prefill +
-grouped-int4 decode, both copies resident);
+BENCH_BATCH=N (default 24) batched serving;
+BENCH_QUANT=int8|int4|mix|nibble|bf16 (default nibble — the r5 headline:
+ONE exact int8 trunk stored as two 4-bit planes; prefill reconstructs the
+exact int8 codes in-register, decode streams only the hi plane at int4
+traffic; int8-footprint residency, PERF_r05.md) — the quantized modes are
+turbo serving (weight-only quantized trunk). Fidelity notes: int4 and the
+nibble DECODE grid are margin-certified (>=99.1-99.8% / >=99.3% token
+agreement), NOT token-exact (PARITY_r03/r05.md; README notes); nibble
+PREFILL is bit-identical to the certified int8 tier by construction;
+mix = dual-precision, int8 prefill + grouped-int4 decode, both copies
+resident (1.5x nibble's bytes — superseded);
 bf16 is the bit-parity mode; BENCH_SPECULATIVE=1 verified
 draft-from-previous-step serving; BENCH_CAPTURE=1 emit all per-layer probe
 taps; BENCH_ACTION_DIM=1 isolates prefill.
@@ -98,7 +102,7 @@ def main() -> None:
     scale = os.environ.get("BENCH_SCALE", "full")
     n_calls = int(os.environ.get("BENCH_CALLS", "30"))
     batch = int(os.environ.get("BENCH_BATCH", "24"))
-    quant = os.environ.get("BENCH_QUANT", "mix")
+    quant = os.environ.get("BENCH_QUANT", "nibble")
 
     action_dim = int(os.environ.get("BENCH_ACTION_DIM", "7"))
     prompt_pad = int(os.environ.get("BENCH_PROMPT_PAD", "32"))
@@ -174,8 +178,24 @@ def main() -> None:
         # serving-side weight fusion (qkv + gate_up): same bytes, fewer
         # dispatches on the decode hot path; bitwise-identical outputs
         from openvla_probe_tpu.models.llama import fuse_serving_params
+        from openvla_probe_tpu.ops.linear import materialize_int4_tree
 
-        params = {**params, "llm": jax.jit(fuse_serving_params)(params["llm"])}
+        # s4-carrying tiers (int4/mix/nibble): a fuse jit must emit int8
+        # CODES and rematerialize each s4 leaf eagerly — s4 jit OUTPUTS carry
+        # poisoned layout metadata (ops.linear._canonical_s4_format; the
+        # consuming serving jit dies in a device_put RecursionError —
+        # found by the r5 FUSE-on-nibble cell). Donation frees the unfused
+        # trunk as the fused copy lands.
+        fuse_shapes = jax.eval_shape(fuse_serving_params, params["llm"])
+
+        def fuse_codes(llm):
+            fused = fuse_serving_params(llm)
+            return jax.tree.map(
+                lambda l: l.astype(jnp.int8) if l.dtype == jnp.int4 else l,
+                fused)
+
+        raw = jax.jit(fuse_codes, donate_argnums=0)(params["llm"])
+        params = {**params, "llm": materialize_int4_tree(fuse_shapes, raw)}
         jax.block_until_ready(params)
 
     from openvla_probe_tpu.ops.image import ImageTransformConfig
@@ -391,7 +411,7 @@ def _try_flash_subprocess() -> bool:
 
     if (os.environ.get("BENCH_TRY_FLASH", "1") != "1"
             or os.environ.get("BENCH_SCALE", "full") != "full"
-            or os.environ.get("BENCH_QUANT", "mix") not in ("mix", "nibble")
+            or os.environ.get("BENCH_QUANT", "nibble") not in ("mix", "nibble")
             or "OVLA_PALLAS" in os.environ):
         return False
     flash_timeout = min(2100.0, _remaining() - 420.0)  # keep 7 min for fallback

@@ -140,7 +140,7 @@ def test_prefill_taps_match_forward_taps():
     )
 
 
-@pytest.mark.parametrize("quant", ["bf16", "int8", "int4", "mix"])
+@pytest.mark.parametrize("quant", ["bf16", "int8", "int4", "mix", "nibble"])
 def test_fused_serving_weights_token_identical(quant):
     """fuse_serving_params (qkv + gate_up stacks) must be BITWISE identical:
     each output channel's dot is unchanged, only the dispatch count drops.
@@ -151,7 +151,8 @@ def test_fused_serving_weights_token_identical(quant):
     if quant != "bf16":
         from openvla_probe_tpu.ops.linear import quantize_params
 
-        bits = {"int8": 8, "int4": 4, "mix": "mix"}[quant]
+        bits = {"int8": 8, "int4": 4, "mix": "mix",
+                "nibble": "nibble"}[quant]
         params = {**params, "llm": quantize_params(params["llm"], bits=bits,
                                                    group_size=32)}
     ex = _example(serving)
