@@ -28,7 +28,8 @@ from pathlib import Path
 
 REPO = Path(__file__).resolve().parents[1]
 LEDGER = REPO / "PARITY_LEDGER.jsonl"
-SOURCES = ["PARITY_r02.md", "PARITY_r03.md", "PARITY_r04.md", "PARITY.md"]
+SOURCES = ["PARITY_r02.md", "PARITY_r03.md", "PARITY_r04.md",
+           "PARITY_r05.md", "PARITY.md"]
 
 # required keys per kind — the minimal invariant core each harness emits;
 # extra keys are allowed (schemas grew round over round and may keep growing)
