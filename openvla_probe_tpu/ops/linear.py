@@ -1159,9 +1159,14 @@ def random_params_like_eager_int4(
     leaves = jax.jit(rest)(key)
     ks = jax.random.split(jax.random.fold_in(key, 4), max(len(int4_idx), 1))
     for j, i in enumerate(int4_idx):
-        shape = flat[i][1].shape
+        path, shape = flat[i][0], flat[i][1].shape
+        name = path[-1].key if hasattr(path[-1], "key") else ""
+        # SAME per-name ranges as random_params_like: nibble planes span the
+        # full s4 range [-8, 7], grouped codes stay symmetric [-7, 7]
+        lo_i = -8 if name in ("hi", "lo") else -7
         codes = jax.jit(
-            lambda k, sh=shape: jax.random.randint(k, sh, -7, 8, dtype=jnp.int8)
+            lambda k, sh=shape, lo=lo_i: jax.random.randint(
+                k, sh, lo, 8, dtype=jnp.int8)
         )(ks[j])
         leaves[i] = materialize_int4(codes)
         del codes   # frees the int8 twin before the next leaf is born

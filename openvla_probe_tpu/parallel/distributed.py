@@ -41,12 +41,14 @@ def initialize_distributed(
         if env_n <= 1:
             overwatch.info("single-process run; skipping jax.distributed init")
             return
-    platforms = (os.environ.get("JAX_PLATFORMS", "")
-                 or str(jax.config.jax_platforms or ""))
-    if "cpu" in platforms.split(","):
-        jax.config.update(
-            "jax_cpu_collectives_implementation",
-            os.environ.get("OVLA_CPU_COLLECTIVES", "gloo"))
+    # select the CPU collectives implementation UNCONDITIONALLY: the config
+    # only affects the CPU backend (harmless on TPU fleets), and a
+    # multi-process run that lands on CPU implicitly (no JAX_PLATFORMS, no
+    # explicit platform config) would otherwise die at its first
+    # cross-process psum with no collectives impl
+    jax.config.update(
+        "jax_cpu_collectives_implementation",
+        os.environ.get("OVLA_CPU_COLLECTIVES", "gloo"))
     jax.distributed.initialize(
         coordinator_address=coordinator_address
         or os.environ.get("COORDINATOR_ADDRESS"),
@@ -60,6 +62,17 @@ def initialize_distributed(
         f"distributed: process {jax.process_index()}/{jax.process_count()} "
         f"({jax.local_device_count()} local / {jax.device_count()} global devices)"
     )
+
+
+def is_primary() -> bool:
+    """True on the one process that owns shared-filesystem writes (rank 0).
+
+    The single home for the multi-process file-writer invariant: metrics
+    trackers, config/statistics sidecars, and checkpoint pruning all gate on
+    this — two processes open("w")-ing the same path interleave/truncate
+    (the reference gates the same way via overwatch/accelerate rank checks).
+    """
+    return jax.process_index() == 0
 
 
 def barrier(name: str = "barrier") -> None:

@@ -156,8 +156,13 @@ class OpenVLAServer:
             toks = out.get("action_tokens")
             if draft is not None and "n_accepted" in out:
                 acc = int(np.asarray(out["n_accepted"]).reshape(-1)[0])
-                possible = int(np.asarray(toks).reshape(-1).shape[0]) if (
-                    toks is not None) else acc
+                # `possible` = how many tokens COULD have been accepted: the
+                # output length, or the draft length when the model returned
+                # no tokens — never `acc` itself, which would record a
+                # degrading deployment as 100% accepting (the blind spot
+                # this telemetry exists to expose)
+                possible = int(np.asarray(
+                    toks if toks is not None else draft).reshape(-1).shape[0])
                 with self._stream_lock:
                     self._spec_accept.append((acc, possible))
                     self._spec_hist[acc] += 1

@@ -170,8 +170,10 @@ def save_run_config(run_dir: Union[str, Path], config: Dict[str, Any]) -> Path:
     out = run_dir / "config.json"
     # rank-zero write: in a real multi-process run every process calls this
     # with identical content, but concurrent open("w") on a shared filesystem
-    # can interleave/truncate
-    if jax.process_index() == 0:
+    # can interleave/truncate (single home: parallel.distributed.is_primary)
+    from ..parallel.distributed import is_primary
+
+    if is_primary():
         with open(out, "w") as f:
             json.dump(config, f, indent=2, default=str)
     return out

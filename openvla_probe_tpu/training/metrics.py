@@ -84,9 +84,9 @@ def _build_trackers(trackers, run_id, run_dir, hparams):
     # metrics.py:34-49): in a REAL multi-process run every process builds a
     # Metrics object for its local smoothing windows, but two processes
     # appending the same run_dir jsonl would interleave duplicate lines
-    import jax
+    from ..parallel.distributed import is_primary
 
-    if jax.process_index() != 0:
+    if not is_primary():
         return []
     out = []
     for t in trackers:

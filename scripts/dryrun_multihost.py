@@ -241,7 +241,18 @@ def main() -> None:
         procs.append((subprocess.Popen(
             [sys.executable, __file__, "--worker", "rlds", "--pid", str(pid)],
             env=_env(2, pid, 1), cwd=str(REPO), stdout=log, stderr=log), log))
-    rcs = [p.wait(timeout=600) for p, _ in procs]
+    rcs = []
+    for p, _ in procs:
+        try:
+            rcs.append(p.wait(timeout=600))
+        except subprocess.TimeoutExpired:
+            # kill BOTH workers: one hung process (stale rendezvous port,
+            # tf.data stall) must not orphan its peer inside the gloo
+            # rendezvous — an orphan holds the fixed port and poisons every
+            # rerun
+            for q, _ in procs:
+                q.kill()
+            rcs.append(-9)
     for _, log in procs:
         log.close()
     if any(rc != 0 for rc in rcs):

@@ -268,6 +268,10 @@ def test_grouped_rank_projection_matches_per_leaf(setup, monkeypatch):
             {"t": linear.quantize_weight(w * fac)}, bank)
         trees.append(multilora.attach_multilora_fused(t, sel)["t"])
 
+    # the batched-dot branch is default-OFF (measured loser, PERF_r05.md) —
+    # force it ON so this test covers the documented A/B lever, not the
+    # fallback against itself
+    monkeypatch.setenv("OVLA_MULTILORA_GROUPED", "1")
     grouped = linear.matmul_t_grouped(x, trees)
     monkeypatch.setenv("OVLA_MULTILORA_GROUPED", "0")
     per_leaf = [linear.matmul_t(x, t) for t in trees]
