@@ -380,17 +380,27 @@ def _await_backend() -> bool:
              "x = jax.numpy.ones((8, 8)); print(float(np.asarray(x @ x).sum()))")
     deadline = time.time() + budget
     while True:
-        per_probe = min(300.0, max(60.0, deadline - time.time()))
+        per_probe = max(60.0, deadline - time.time())
         try:
             r = subprocess.run([sys.executable, "-c", probe],
                                timeout=per_probe, capture_output=True)
             if r.returncode == 0:
                 return True
+            # fast nonzero exit = the backend ERRORED (the true outage
+            # signature surfaces as an init exception) — retry within budget
         except subprocess.TimeoutExpired:
-            pass
+            # ambiguous: a healthy tunnel can take >5 min of fresh-process
+            # init (round-5: repeated false "outage" verdicts while the chip
+            # measured fine seconds later). PROCEED — the measurement itself
+            # pays the init, and if the backend is truly dead the global
+            # BENCH_DEADLINE + exit guards still emit the honest error
+            # artifact. Never fail the whole bench on a probe timeout.
+            print("# backend probe timed out; proceeding (deadline guards "
+                  "the run)", file=sys.stderr)
+            return True
         if time.time() + 120 >= deadline:
             return False
-        print(f"# backend not answering; retrying ({int(deadline - time.time())}s left)",
+        print(f"# backend errored; retrying ({int(deadline - time.time())}s left)",
               file=sys.stderr)
         time.sleep(120)
 
