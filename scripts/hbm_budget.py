@@ -76,8 +76,15 @@ def plan(cfg: BudgetConfig) -> dict:
            "cache_seq_len": seq, "modes": {}}
     if n_exp:
         out["llm_active_params_b"] = round(llm_active / 1e9, 3)
-    for mode, wbytes in (("bf16", 2.0), ("int8", 1.0)):
-        weights_gb = (llm_params * wbytes + vis_params * (wbytes if mode == "int8" else 2.0)) / 2**30
+    # (mode, resident bytes/elem, decode-STREAM bytes/elem): nibble and
+    # int4 are resident==1.0/0.52 but stream only 0.5 B/elem at decode
+    # (hi plane / s4 codes — PERF_r05.md roofline); mix holds both copies
+    # resident (1.55) and streams the int4 copy (0.52)
+    for mode, wbytes, dbytes in (("bf16", 2.0, 2.0), ("int8", 1.0, 1.0),
+                                 ("nibble", 1.0, 0.5), ("mix", 1.55, 0.52),
+                                 ("int4", 0.52, 0.52)):
+        q = mode != "bf16"
+        weights_gb = (llm_params * wbytes + vis_params * (1.0 if q else 2.0)) / 2**30
         kv_per_item = (2 * lcfg.num_hidden_layers * seq
                        * lcfg.num_key_value_heads * lcfg.head_dim * 2) / 2**30
         tp = 1
@@ -87,7 +94,7 @@ def plan(cfg: BudgetConfig) -> dict:
                 break
         free = cfg.hbm_gb - weights_gb / tp - cfg.activation_headroom_gb
         max_batch = int(max(free // kv_per_item, 0))
-        decode_ms = (weights_gb / tp) / cfg.hbm_bw_gbps * 1e3
+        decode_ms = (llm_params * dbytes / 2**30 / tp) / cfg.hbm_bw_gbps * 1e3
         out["modes"][mode] = {
             "weights_gb": round(weights_gb, 2),
             "kv_gb_per_item": round(kv_per_item, 4),
@@ -98,7 +105,7 @@ def plan(cfg: BudgetConfig) -> dict:
         if n_exp:
             # bs=1 decode streams only top_k experts' FFN per layer (the
             # MoE latency advantage); min_tp can equivalently be ep ways
-            active_gb = (llm_active * wbytes + vis_params * (wbytes if mode == "int8" else 2.0)) / 2**30
+            active_gb = (llm_active * dbytes + vis_params * (1.0 if q else 2.0)) / 2**30
             out["modes"][mode]["decode_weight_stream_ms_per_token_bs1"] = round(
                 (active_gb / tp) / cfg.hbm_bw_gbps * 1e3, 2)
     return out
